@@ -1,0 +1,657 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 exposed as a
+(spark_fn, oracle_sql) pair runnable on the TPC-H-ish testdata tables.
+
+Design rule for oracle parity: any query whose values are hash-compared is
+built from SHARED SQL TEXT valid in both Spark SQL and DuckDB, over
+deterministic integer-derived coordinates (projection.derived_*_sql), and
+outputs only types whose bits are engine-independent (ints, strings, and
+doubles produced by identical expression trees — no order-dependent double
+aggregation; sums go through DECIMAL first).
+
+The Spark side of geo queries runs the real DataFrame operators (e.g.
+operators.tiles.assign_tiles); since those Column expressions are built
+from the very same SQL text (F.expr), the arithmetic is identical by
+construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.projection import (
+    affine_px_sql,
+    affine_py_sql,
+    derived_lat_sql,
+    derived_lon_sql,
+    tile_key_sql,
+)
+from .sources.catalog import register_views
+
+# ---------------------------------------------------------------------------
+# shared coordinate fragments
+# ---------------------------------------------------------------------------
+
+LON_ORD = derived_lon_sql("o_orderkey")
+LAT_ORD = derived_lat_sql("o_orderkey")
+LON_CUST = derived_lon_sql("c_custkey * 3 + 1")
+LAT_CUST = derived_lat_sql("c_custkey * 5 + 2")
+LON_EVT = derived_lon_sql("event_id")
+LAT_EVT = derived_lat_sql("event_id")
+LON_LI = derived_lon_sql("l_orderkey * 7 + l_linenumber")
+LAT_LI = derived_lat_sql("l_orderkey * 11 + l_linenumber")
+
+FLAGSHIP_ZOOM = 6
+
+
+@dataclass
+class QueryDef:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+
+
+def _sql_query(sql: str) -> QueryDef:
+    """Query whose Spark side is the same SQL text run via spark.sql."""
+
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    return QueryDef(spark_fn=fn, oracle=sql)
+
+
+# ---------------------------------------------------------------------------
+# flagship: tile-assign two point sets, join per tile, aggregate (M1)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_SQL = f"""
+WITH pts AS (
+  SELECT o_orderkey AS image_id, {LON_ORD} AS lon, {LAT_ORD} AS lat FROM orders
+),
+feats AS (
+  SELECT c_custkey AS feature_id, {LON_CUST} AS lon, {LAT_CUST} AS lat FROM customer
+),
+tp AS (SELECT image_id, {tile_key_sql('lon', 'lat', FLAGSHIP_ZOOM)} AS tile_key FROM pts),
+tf AS (SELECT feature_id, {tile_key_sql('lon', 'lat', FLAGSHIP_ZOOM)} AS tile_key FROM feats)
+SELECT tp.tile_key AS tile_key,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT tp.image_id) AS n_images,
+       COUNT(DISTINCT tf.feature_id) AS n_features,
+       MIN(tp.image_id) AS min_image
+FROM tp JOIN tf ON tp.tile_key = tf.tile_key
+GROUP BY tp.tile_key
+ORDER BY tile_key
+"""
+
+
+def flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API form of the flagship (exercises operators.tiles);
+    arithmetic identical to FLAGSHIP_SQL by shared expression text."""
+    from .operators.tiles import assign_tiles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = orders.select(
+        F.col("o_orderkey").alias("image_id"),
+        F.expr(LON_ORD).alias("lon"),
+        F.expr(LAT_ORD).alias("lat"),
+    )
+    feats = customer.select(
+        F.col("c_custkey").alias("feature_id"),
+        F.expr(LON_CUST).alias("lon"),
+        F.expr(LAT_CUST).alias("lat"),
+    )
+    tp = assign_tiles(pts, "lon", "lat", FLAGSHIP_ZOOM).select("image_id", "tile_key")
+    tf = assign_tiles(feats, "lon", "lat", FLAGSHIP_ZOOM).select("feature_id", "tile_key")
+    return (
+        tp.join(tf, "tile_key")
+        .groupBy("tile_key")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("image_id").alias("n_images"),
+            F.countDistinct("feature_id").alias("n_features"),
+            F.min("image_id").alias("min_image"),
+        )
+        .orderBy("tile_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# geo / projection / tiling queries
+# ---------------------------------------------------------------------------
+
+def _q_tile_counts() -> QueryDef:
+    zoom = 8
+    sql = f"""
+WITH pts AS (SELECT event_id, {LON_EVT} AS lon, {LAT_EVT} AS lat FROM events)
+SELECT {tile_key_sql('lon', 'lat', zoom)} AS tile_key, COUNT(*) AS n
+FROM pts GROUP BY 1 ORDER BY tile_key
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.tiles import tile_counts
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = events.select(
+            F.expr(LON_EVT).alias("lon"), F.expr(LAT_EVT).alias("lat")
+        )
+        return tile_counts(pts, zoom).orderBy("tile_key")
+
+    return QueryDef(fn, sql)
+
+
+def _q_tile_counts_salted() -> QueryDef:
+    """Same result as q_tile_counts but through the salted two-phase path
+    (skew handling, SURVEY.md §4 'skew'): salting must not change results."""
+    zoom = 8
+    sql = f"""
+WITH pts AS (SELECT event_id, {LON_EVT} AS lon, {LAT_EVT} AS lat FROM events)
+SELECT {tile_key_sql('lon', 'lat', zoom)} AS tile_key, COUNT(*) AS n
+FROM pts GROUP BY 1 ORDER BY tile_key
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.tiles import tile_counts
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = events.select(
+            F.expr(LON_EVT).alias("lon"), F.expr(LAT_EVT).alias("lat")
+        )
+        return tile_counts(pts, zoom, salt_buckets=8).orderBy("tile_key")
+
+    return QueryDef(fn, sql)
+
+
+def _q_affine_projection() -> QueryDef:
+    """P8/P9: scene-box affine lon/lat->pixel with floor(x+0.5) rounding
+    (OsmRender.m:382-387) over a bbox filter (P1)."""
+    bbox = (-60.0, -120.0, 60.0, 120.0)  # lat_min, lon_min, lat_max, lon_max
+    w = h = 396  # reference render size, OsmRender.m:28
+    px = affine_px_sql("lon", bbox[1], bbox[3], w)
+    py = affine_py_sql("lat", bbox[0], bbox[2], h)
+    sql = f"""
+WITH pts AS (SELECT o_orderkey AS id, {LON_ORD} AS lon, {LAT_ORD} AS lat FROM orders)
+SELECT id, {px} AS px, {py} AS py
+FROM pts
+WHERE lat >= {bbox[0]!r} AND lat <= {bbox[2]!r} AND lon >= {bbox[1]!r} AND lon <= {bbox[3]!r}
+ORDER BY id
+"""
+    return _sql_query(sql)
+
+
+def _q_bbox_normalize() -> QueryDef:
+    """P11 (OsmRender.m:893-909): inverted bounds swapped via least/greatest."""
+    sql = f"""
+WITH raw AS (
+  SELECT o_orderkey AS id, {LAT_ORD} AS lat0, {LON_ORD} AS lon0,
+         {derived_lat_sql('o_orderkey * 13 + 3')} AS lat1,
+         {derived_lon_sql('o_orderkey * 17 + 5')} AS lon1
+  FROM orders
+)
+SELECT id,
+       LEAST(lat0, lat1) AS lat_min, GREATEST(lat0, lat1) AS lat_max,
+       LEAST(lon0, lon1) AS lon_min, GREATEST(lon0, lon1) AS lon_max
+FROM raw ORDER BY id
+"""
+    return _sql_query(sql)
+
+
+# ---------------------------------------------------------------------------
+# join-family queries (J1, J2/J3/A1, J5 semantics on testdata shapes)
+# ---------------------------------------------------------------------------
+
+_BBOX_J = "lat >= -40.0 AND lat <= 40.0 AND lon >= -90.0 AND lon <= 90.0"
+
+
+def _q_semi_join_matching() -> QueryDef:
+    """J1 (MapData.m:110-127): 'way' (order) matches iff ≥1 'ref' (lineitem)
+    lands in the bbox — left-semi via EXISTS."""
+    sql = f"""
+WITH refs AS (
+  SELECT l_orderkey, l_linenumber, {LON_LI} AS lon, {LAT_LI} AS lat FROM lineitem
+)
+SELECT o_orderkey AS way_id FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM refs WHERE refs.l_orderkey = orders.o_orderkey AND {_BBOX_J}
+)
+ORDER BY way_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        refs = li.select(
+            "l_orderkey",
+            F.expr(LON_LI).alias("lon"),
+            F.expr(LAT_LI).alias("lat"),
+        ).where(F.expr(_BBOX_J))
+        return (
+            orders.join(refs, orders.o_orderkey == refs.l_orderkey, "left_semi")
+            .select(F.col("o_orderkey").alias("way_id"))
+            .orderBy("way_id")
+        )
+
+    return QueryDef(fn, sql)
+
+
+def _q_geometry_assembly() -> QueryDef:
+    """J2+J3+A1 (MapData.m:216-238): for matched 'ways', assemble the FULL
+    ordered vertex list (including out-of-bbox refs — extraNodes J2),
+    fingerprinted as an ordered string so the comparison is exact."""
+    sql = f"""
+WITH refs AS (
+  SELECT l_orderkey, l_linenumber, {LON_LI} AS lon, {LAT_LI} AS lat FROM lineitem
+),
+matched AS (
+  SELECT DISTINCT l_orderkey FROM refs WHERE {_BBOX_J}
+)
+SELECT refs.l_orderkey AS way_id,
+       COUNT(*) AS n_vertices,
+       string_agg(CAST(refs.l_linenumber AS VARCHAR), ',' ORDER BY refs.l_linenumber) AS vertex_order
+FROM refs JOIN matched ON refs.l_orderkey = matched.l_orderkey
+GROUP BY refs.l_orderkey
+ORDER BY way_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        refs = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(LON_LI).alias("lon"),
+            F.expr(LAT_LI).alias("lat"),
+        )
+        matched = refs.where(F.expr(_BBOX_J)).select("l_orderkey").distinct()
+        joined = refs.join(matched, "l_orderkey", "left_semi")
+        return (
+            joined.groupBy(F.col("l_orderkey").alias("way_id"))
+            .agg(
+                F.count("*").alias("n_vertices"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("l_linenumber"))),
+                        lambda x: x["l_linenumber"].cast("string"),
+                    ),
+                    ",",
+                ).alias("vertex_order"),
+            )
+            .orderBy("way_id")
+        )
+
+    return QueryDef(fn, sql)
+
+
+def _q_relation_tag_merge() -> QueryDef:
+    """J5 (MapData.m:249-284): relation tags merged OVER way tags,
+    later relation wins. 'Ways' = orders with tag k='way:<priority>';
+    'relations' = lineitems tagging their order, later linenumber wins.
+    Spark side exercises real map columns + map_concat LAST_WIN."""
+    sql = """
+WITH rel AS (
+  SELECT l_orderkey,
+         max_by(CAST(l_partkey AS VARCHAR), l_linenumber * 100000000 + l_partkey) AS rel_v
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey AS way_id,
+       COALESCE(rel.rel_v, o_orderpriority) AS merged_v
+FROM orders LEFT JOIN rel ON rel.l_orderkey = orders.o_orderkey
+ORDER BY way_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # J5 requires relation-wins-on-collision; set per-session in case the
+        # caller's session didn't come from session.get_spark.
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        ways = orders.select(
+            F.col("o_orderkey").alias("way_id"),
+            F.create_map(F.lit("k"), F.col("o_orderpriority")).alias("tags"),
+        )
+        rel = (
+            li.groupBy(F.col("l_orderkey").alias("way_id"))
+            .agg(
+                F.create_map(
+                    F.lit("k"),
+                    F.max_by(
+                        F.col("l_partkey").cast("string"),
+                        # l_linenumber is NOT unique per order in the testdata;
+                        # tie-break on partkey for determinism
+                        F.col("l_linenumber") * 100000000 + F.col("l_partkey"),
+                    ),
+                ).alias("rel_tags")
+            )
+        )
+        merged = ways.join(rel, "way_id", "left").withColumn(
+            "tags",
+            F.when(F.col("rel_tags").isNull(), F.col("tags")).otherwise(
+                F.map_concat(F.col("tags"), F.col("rel_tags"))  # LAST_WIN policy
+            ),
+        )
+        return merged.select(
+            "way_id", F.element_at("tags", "k").alias("merged_v")
+        ).orderBy("way_id")
+
+    return QueryDef(fn, sql)
+
+
+def _q_knn_top3() -> QueryDef:
+    """J7/W3 generalized to kNN (SURVEY.md M4): for each query point
+    (nation), the 3 nearest candidates (customer) by squared L2 in degree
+    space; broadcast the small query side; rank via window; deterministic
+    tie-break on candidate id."""
+    lon_n = derived_lon_sql("n_nationkey * 19 + 7")
+    lat_n = derived_lat_sql("n_nationkey * 23 + 11")
+    sql = f"""
+WITH q AS (SELECT n_nationkey AS query_id, {lon_n} AS qlon, {lat_n} AS qlat FROM nation),
+c AS (SELECT c_custkey AS cand_id, {LON_CUST} AS lon, {LAT_CUST} AS lat FROM customer),
+d AS (
+  SELECT q.query_id, c.cand_id,
+         (c.lon - q.qlon) * (c.lon - q.qlon) + (c.lat - q.qlat) * (c.lat - q.qlat) AS d2
+  FROM q CROSS JOIN c
+),
+r AS (
+  SELECT query_id, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS rank
+  FROM d
+)
+SELECT query_id, cand_id, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.knn import knn_join
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        q = nation.select(
+            F.col("n_nationkey").alias("query_id"),
+            F.expr(lon_n).alias("qlon"),
+            F.expr(lat_n).alias("qlat"),
+        )
+        c = customer.select(
+            F.col("c_custkey").alias("cand_id"),
+            F.expr(LON_CUST).alias("lon"),
+            F.expr(LAT_CUST).alias("lat"),
+        )
+        return knn_join(q, c, k=3).select("query_id", "cand_id", "rank").orderBy(
+            "query_id", "rank"
+        )
+
+    return QueryDef(fn, sql)
+
+
+# ---------------------------------------------------------------------------
+# window / set / scalar queries
+# ---------------------------------------------------------------------------
+
+def _q_delta_decode() -> QueryDef:
+    """W1 (MapData.m:96-100): delta-decode = running prefix sum in block
+    order, frame ROWS UNBOUNDED PRECEDING..CURRENT ROW."""
+    sql = """
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(l_linenumber) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS decoded
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+    return _sql_query(sql)
+
+
+def _q_top1_per_group() -> QueryDef:
+    """W3 (OsmRender.m:231-253): best-successor = min score per source."""
+    sql = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS best_order FROM r WHERE rn = 1 ORDER BY o_custkey
+"""
+    return _sql_query(sql)
+
+
+def _q_clockwise_position() -> QueryDef:
+    """W2 (ClockwiseBoxPosition, OsmRender.m:137-160): boundary point ->
+    clockwise perimeter arc length (top->right->bottom->left, y-down)."""
+    w = h = 396
+    sql = f"""
+WITH px AS (
+  SELECT event_id,
+         (event_id * 37) % {w + 1} AS x,
+         CASE (event_id * 41) % 4 WHEN 0 THEN 0 WHEN 1 THEN {h}
+              WHEN 2 THEN 0 ELSE {h} END AS y
+  FROM events
+),
+pts AS (
+  SELECT event_id,
+         CASE WHEN (event_id * 43) % 2 = 0 THEN x ELSE CASE WHEN (event_id * 47) % 2 = 0 THEN 0 ELSE {w} END END AS x,
+         CASE WHEN (event_id * 43) % 2 = 0 THEN y ELSE (event_id * 53) % {h + 1} END AS y
+  FROM px
+)
+SELECT event_id, x, y,
+       CASE
+         WHEN y = 0 THEN x
+         WHEN x = {w} THEN {w} + y
+         WHEN y = {h} THEN {w} + {h} + ({w} - x)
+         ELSE {w} + {h} + {w} + ({h} - y)
+       END AS arc
+FROM pts ORDER BY event_id
+"""
+    return _sql_query(sql)
+
+
+def _q_union_distinct() -> QueryDef:
+    """E1 (MapData.m:470-472): union of two id sets."""
+    sql = """
+SELECT id FROM (
+  SELECT o_custkey AS id FROM orders
+  UNION
+  SELECT c_custkey AS id FROM customer
+) u ORDER BY id
+"""
+    return _sql_query(sql)
+
+
+def _q_anti_join() -> QueryDef:
+    """E2 (OsmRender.m:288,351,377): discard-by-membership (anti join)."""
+    sql = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+)
+ORDER BY c_custkey
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderstatus") == "F"
+        )
+        return (
+            customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey")
+            .orderBy("c_custkey")
+        )
+
+    return QueryDef(fn, sql)
+
+
+def _q_dedup_last_win() -> QueryDef:
+    """E4 (MapData.m:244-246): duplicate-key resolution, last (max) wins,
+    with a deterministic order column (engine diverges from the
+    reference's nondeterministic hash order — SURVEY.md O4)."""
+    sql = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS latest_order FROM r WHERE rn = 1 ORDER BY o_custkey
+"""
+    return _sql_query(sql)
+
+
+def _q_hover_color() -> QueryDef:
+    """F4 (OsmRender.m:37-38): per-channel truncating ARGB average."""
+    from .functions.colors import hover_color_sql
+
+    c1 = "(p_partkey * 2654435761) % 4294967296"
+    c2 = "(p_partkey * 40503) % 4294967296"
+    sql = f"""
+SELECT p_partkey, {hover_color_sql(c1, c2)} AS hover
+FROM part ORDER BY p_partkey
+"""
+    return _sql_query(sql)
+
+
+def _q_cache_key() -> QueryDef:
+    """F5/S10 (OsmRender.m:548-565): SHA-256 content-addressed cache key.
+    Spark sha2(x,256) == DuckDB sha256(x) on identical utf-8 input."""
+    params = "CONCAT_WS('|', CAST(p_partkey AS STRING), p_brand, CAST(p_size AS STRING))"
+    d_params = "CONCAT_WS('|', CAST(p_partkey AS VARCHAR), p_brand, CAST(p_size AS VARCHAR))"
+    sql = f"SELECT p_partkey, sha256({d_params}) AS cache_key FROM part ORDER BY p_partkey"
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(
+            f"SELECT p_partkey, sha2({params}, 256) AS cache_key FROM part ORDER BY p_partkey"
+        )
+
+    return QueryDef(fn, sql)
+
+
+def _q_round_half_away() -> QueryDef:
+    """F6: floor(x+0.5) — C round() on non-negative pixel coords."""
+    sql = """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(l_quantity * 396.0 / 50.0 + 0.5) AS BIGINT) AS px
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+    return _sql_query(sql)
+
+
+def _q_format_filename() -> QueryDef:
+    """F11 (OsmRender.m:1286-1290): '%@-%02lu-callout.png' formatting."""
+    sql = """
+SELECT n_nationkey, printf('%s-%02d-callout.png', n_name, n_nationkey % 100) AS fname
+FROM nation ORDER BY n_nationkey
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(
+            "SELECT n_nationkey, format_string('%s-%02d-callout.png', n_name, "
+            "CAST(n_nationkey % 100 AS INT)) AS fname FROM nation ORDER BY n_nationkey"
+        )
+
+    return QueryDef(fn, sql)
+
+
+def _q_json_access() -> QueryDef:
+    """F13 (OsmRender.m:888-891): JSON field access + typed coercion."""
+    sql = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val
+FROM events ORDER BY event_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(
+            "SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val "
+            "FROM events ORDER BY event_id"
+        )
+
+    return QueryDef(fn, sql)
+
+
+def _q_rect_math() -> QueryDef:
+    """F14/P12 (OsmRender.m:771-794): label rect clamp + inset + integralize."""
+    w = h = 396
+    sql = f"""
+WITH r AS (
+  SELECT event_id,
+         ((event_id * 29) % 500) - 50 AS cx,
+         ((event_id * 31) % 500) - 50 AS cy,
+         10 + (event_id * 7) % 90 AS tw,
+         8 + (event_id * 5) % 24 AS th
+  FROM events
+)
+SELECT event_id,
+       LEAST(GREATEST(cx - CAST(FLOOR(tw / 2.0) AS BIGINT), 2), {w} - 2) AS rx,
+       LEAST(GREATEST(cy - CAST(FLOOR(th / 2.0) AS BIGINT), 2), {h} - 2) AS ry,
+       tw + 6 AS rw, th + 6 AS rh
+FROM r ORDER BY event_id
+"""
+    return _sql_query(sql)
+
+
+# ---------------------------------------------------------------------------
+# classic OLAP headliners (bench anchors)
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q1() -> QueryDef:
+    """TPC-H Q1 shape — sums via DECIMAL so partial-agg order can't change
+    the result bits, then cast to DOUBLE for a stable schema."""
+    sql = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    return _sql_query(sql)
+
+
+def _q_tpch_q3() -> QueryDef:
+    sql = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+"""
+    return _sql_query(sql)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def build_queries() -> dict[str, QueryDef]:
+    defs: dict[str, QueryDef] = {
+        "flagship_tile_join": QueryDef(flagship_df, FLAGSHIP_SQL),
+        "tile_counts_z8": _q_tile_counts(),
+        "tile_counts_z8_salted": _q_tile_counts_salted(),
+        "affine_projection": _q_affine_projection(),
+        "bbox_normalize": _q_bbox_normalize(),
+        "semi_join_matching": _q_semi_join_matching(),
+        "geometry_assembly": _q_geometry_assembly(),
+        "relation_tag_merge": _q_relation_tag_merge(),
+        "knn_top3": _q_knn_top3(),
+        "delta_decode_cumsum": _q_delta_decode(),
+        "top1_per_group": _q_top1_per_group(),
+        "clockwise_position": _q_clockwise_position(),
+        "union_distinct": _q_union_distinct(),
+        "anti_join": _q_anti_join(),
+        "dedup_last_win": _q_dedup_last_win(),
+        "hover_color": _q_hover_color(),
+        "cache_key": _q_cache_key(),
+        "round_half_away": _q_round_half_away(),
+        "format_filename": _q_format_filename(),
+        "json_access": _q_json_access(),
+        "rect_math": _q_rect_math(),
+        "tpch_q1": _q_tpch_q1(),
+        "tpch_q3": _q_tpch_q3(),
+    }
+    return defs
