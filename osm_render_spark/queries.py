@@ -383,6 +383,74 @@ SELECT query_id, cand_id, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
     return QueryDef(fn, sql)
 
 
+# convex test polygons (CCW; off-grid vertices so no event point can lie
+# exactly on an edge — keeps ray-cast and sign-test semantics identical)
+PIP_POLYGONS = {
+    0: [
+        (48.003713, 12.007317),
+        (34.001913, 30.009719),
+        (8.005717, 25.003141),
+        (10.007523, -3.001931),
+        (37.009111, -8.004531),
+    ],
+    1: [(-30.004131, -30.007717), (-60.009213, -10.003819), (-70.002417, -50.008313)],
+}
+
+
+def _convex_inside_sql(poly: list[tuple[float, float]], lon: str, lat: str) -> str:
+    """Point strictly inside a CCW convex polygon: positive cross product
+    for every edge."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        terms.append(
+            f"(({x2!r} - {x1!r}) * ({lat} - {y1!r}) - "
+            f"({y2!r} - {y1!r}) * ({lon} - {x1!r})) > 0.0"
+        )
+    return " AND ".join(terms)
+
+
+def _q_pip() -> QueryDef:
+    """J8: cell-cover prefilter + exact ray-cast refinement. The Spark side
+    runs the generic even-odd kernel (operators.pip); the oracle uses the
+    convex sign test — identical semantics for convex polygons with no
+    boundary-incident points."""
+    parts = []
+    for aid, poly in PIP_POLYGONS.items():
+        parts.append(
+            f"SELECT event_id AS point_id, {aid} AS area_id\n"
+            f"FROM pts WHERE {_convex_inside_sql(poly, 'lon', 'lat')}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    sql = f"""
+WITH pts AS (SELECT event_id, {LON_EVT} AS lon, {LAT_EVT} AS lat FROM events)
+{union}
+ORDER BY point_id, area_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.pip import POLY_SCHEMA, pip_join
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        points = events.select(
+            F.col("event_id").alias("point_id"),
+            F.expr(LON_EVT).alias("lon"),
+            F.expr(LAT_EVT).alias("lat"),
+        )
+        polys = spark.createDataFrame(
+            [
+                (aid, [p[0] for p in poly], [p[1] for p in poly])
+                for aid, poly in PIP_POLYGONS.items()
+            ],
+            POLY_SCHEMA,
+        )
+        return pip_join(points, polys, zoom=9).orderBy("point_id", "area_id")
+
+    return QueryDef(fn, sql)
+
+
 # ---------------------------------------------------------------------------
 # window / set / scalar queries
 # ---------------------------------------------------------------------------
@@ -625,6 +693,65 @@ ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# image / raster pipeline (input_hint table; rows-only checks — not
+# SQL-expressible; pixel parity is covered by tests/test_raster.py goldens)
+# ---------------------------------------------------------------------------
+
+def _q_image_pipeline() -> QueryDef:
+    """Synthesize input_hint-shaped images from testdata keys on the
+    EXECUTORS (mapInPandas), then run the decode/verify/feature kernel
+    (raster.ops.decode_features). Deterministic; rows-only check."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        from .fixtures.images import image_pixels
+        from .raster.codec import encode_image, phash64
+        from .raster.ops import decode_features
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        keys = nation.select(F.col("n_nationkey").cast("long").alias("k"))
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["k"]:
+                    i = int(k)
+                    img = image_pixels(i, 64, 64)
+                    fmt = "png" if i % 2 == 0 else "jpeg"
+                    rows.append(
+                        (
+                            f"img{i:010d}",
+                            encode_image(img, fmt),
+                            64,
+                            64,
+                            fmt,
+                            f"synthetic caption {i}",
+                            phash64(img),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+                )
+
+        images = keys.mapInPandas(
+            gen,
+            schema=(
+                "image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long"
+            ),
+        )
+        return (
+            decode_features(images)
+            .select("image_id", "w", "h", "fmt", "phash_ok", "dims_ok")
+            .orderBy("image_id")
+        )
+
+    return QueryDef(fn, None)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -639,6 +766,7 @@ def build_queries() -> dict[str, QueryDef]:
         "geometry_assembly": _q_geometry_assembly(),
         "relation_tag_merge": _q_relation_tag_merge(),
         "knn_top3": _q_knn_top3(),
+        "pip_raycast": _q_pip(),
         "delta_decode_cumsum": _q_delta_decode(),
         "top1_per_group": _q_top1_per_group(),
         "clockwise_position": _q_clockwise_position(),
@@ -653,5 +781,6 @@ def build_queries() -> dict[str, QueryDef]:
         "rect_math": _q_rect_math(),
         "tpch_q1": _q_tpch_q1(),
         "tpch_q3": _q_tpch_q3(),
+        "image_pipeline": _q_image_pipeline(),
     }
     return defs

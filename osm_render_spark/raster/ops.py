@@ -1,0 +1,293 @@
+"""Raster↔vector Spark operators (SURVEY.md J8-J11, A5/A6, R1-R12, M5).
+
+All imperative pixel work lives in numpy kernels invoked from
+``applyInPandas`` / ``mapInPandas`` over Arrow batches — never per-row
+Python. DataFrame plumbing (grouping, joins, fan-out) is pure Spark, so
+Catalyst handles partitioning; the per-scene/per-tile group kernels are
+embarrassingly parallel across groups.
+
+Scale notes: tiles are the unit of parallelism (co-partition by tile/scene
+key before the kernels — one shuffle); sprite fan-out is a crossJoin
+against a tiny modes dimension (broadcast, no shuffle of the tile side);
+the atlas aggregation is the only single-group stage and is bounded by
+sprites-per-scene, never by table size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.clip import clip_polyline
+from ..operators.coast_merge import merge_coast_paths
+from .codec import decode_image, encode_png, phash64
+from .kernels import (
+    _coverage_mask,
+    diff_sprite,
+    fill_polygon,
+    mask_fill,
+    new_surface,
+    stroke_polyline,
+)
+
+# engine default palette (packed ARGB, engine-owned — not read from the
+# reference's options.cfg)
+LAND_COLOR = (238, 234, 226, 255)
+WATER_COLOR = (163, 204, 255, 255)
+AREA_COLORS = {
+    "base": (0, 0, 0, 0),
+    "hover": (255, 255, 160, 120),
+    "active": (255, 200, 80, 160),
+}
+
+
+# ---------------------------------------------------------------------------
+# map rendering (OsmRenderMap analog, OsmRender.m:430-537)
+# ---------------------------------------------------------------------------
+
+def render_map_kernel(
+    pdf: pd.DataFrame, w: int, h: int
+) -> np.ndarray:
+    """One scene/tile: land base, merged-coast water fill, water-body
+    fill, bridge DEST_OUT erase. pdf columns: kind, xs, ys."""
+    surf = new_surface(w, h, LAND_COLOR)
+    rect = (0.0, 0.0, float(w), float(h))
+
+    coast_subpaths: list[np.ndarray] = []
+    water_rings: list[np.ndarray] = []
+    bridges: list[np.ndarray] = []
+    for kind, xs, ys in zip(pdf["kind"], pdf["xs"], pdf["ys"]):
+        path = np.column_stack([np.asarray(xs), np.asarray(ys)])
+        if kind == "coast":
+            coast_subpaths.extend(clip_polyline(path, rect))
+        elif kind == "water":
+            if len(path) >= 3:
+                water_rings.append(path)
+        elif kind == "bridge":
+            bridges.append(path)
+
+    # coastline: merge clipped fragments into closed polys, one even-odd
+    # poly-polygon fill (OsmRender.m:495-504)
+    coast_polys = merge_coast_paths(coast_subpaths, rect)
+    if coast_polys:
+        fill_polygon(surf, coast_polys, WATER_COLOR)
+    if water_rings:
+        fill_polygon(surf, water_rings, WATER_COLOR)
+    for b in bridges:
+        stroke_polyline(surf, b, 2.0, (0, 0, 0, 255), erase=True)
+    return surf
+
+
+def render_map_tiles(scene_ways: DataFrame, w: int, h: int) -> DataFrame:
+    """scene_ways(scene_id, way_id, kind, xs, ys — pixel space) →
+    (scene_id, bytes, w, h) one rendered base tile per scene."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        surf = render_map_kernel(pdf, w, h)
+        return pd.DataFrame(
+            {
+                "scene_id": [pdf["scene_id"].iloc[0]],
+                "bytes": [encode_png(surf)],
+                "w": [w],
+                "h": [h],
+            }
+        )
+
+    return scene_ways.groupBy("scene_id").applyInPandas(
+        kernel, schema="scene_id long, bytes binary, w int, h int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sprite fan-out + variants + diffs (A6/J9/J10, OsmRender.m:1248-1257)
+# ---------------------------------------------------------------------------
+
+def sprite_variants(
+    base_tiles: DataFrame, areas: DataFrame, modes: tuple[str, ...] = ("hover", "active")
+) -> DataFrame:
+    """base_tiles(scene_id, bytes, w, h) × areas(scene_id, area_id, xs, ys)
+    × modes → per-(area, mode) variant sprite plus its per-pixel diff vs
+    base (J10). Fan-out is a broadcast crossJoin against a 2-row modes dim;
+    the render is a cogrouped Arrow kernel."""
+    spark = base_tiles.sparkSession
+    modes_df = spark.createDataFrame([(m,) for m in modes], "mode string")
+    fanned = areas.crossJoin(F.broadcast(modes_df)).join(
+        base_tiles, "scene_id"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                base = decode_image(row.bytes, "png")
+                poly = np.column_stack([np.asarray(row.xs), np.asarray(row.ys)])
+                mask = _coverage_mask(base.shape[1], base.shape[0], [poly])
+                variant = base.copy()
+                color = AREA_COLORS[row.mode]
+                a8 = (mask * 255).astype(np.uint8)
+                mask_fill(variant, a8, color)
+                d = diff_sprite(variant, base)
+                out.append(
+                    (
+                        row.scene_id,
+                        row.area_id,
+                        row.mode,
+                        encode_png(variant),
+                        encode_png(d),
+                        base.shape[1],
+                        base.shape[0],
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["scene_id", "area_id", "mode", "sprite", "diff", "w", "h"],
+                )
+
+    return fanned.mapInPandas(
+        kernel,
+        schema="scene_id long, area_id long, mode string, sprite binary, diff binary, w int, h int",
+    )
+
+
+def pack_atlas(sprites: DataFrame) -> DataFrame:
+    """A5/R10: per-scene atlas of all sprites, deterministic order
+    (area_id, mode). Single group per scene — bounded by sprite count."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .kernels import atlas
+
+        pdf = pdf.sort_values(["area_id", "mode"], kind="mergesort")
+        imgs = [decode_image(b, "png") for b in pdf["sprite"]]
+        packed = atlas(imgs)
+        return pd.DataFrame(
+            {
+                "scene_id": [pdf["scene_id"].iloc[0]],
+                "atlas": [encode_png(packed)],
+                "w": [packed.shape[1]],
+                "h": [packed.shape[0]],
+                "n_sprites": [len(imgs)],
+            }
+        )
+
+    return sprites.groupBy("scene_id").applyInPandas(
+        kernel, schema="scene_id long, atlas binary, w int, h int, n_sprites int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# image-table operators (training-data pipeline over the input_hint table)
+# ---------------------------------------------------------------------------
+
+def decode_features(images: DataFrame) -> DataFrame:
+    """Decode the binary column, verify dims + phash, extract features —
+    (image_id, w, h, fmt, phash_ok, dims_ok, mean_lum). The decode itself
+    is the container-stubbed part only for real JPEG (codec docstring);
+    plumbing (Arrow batches, schema, partitioning) is production-shaped."""
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(row.bytes, row.fmt)
+                recs.append(
+                    (
+                        row.image_id,
+                        img.shape[1],
+                        img.shape[0],
+                        row.fmt,
+                        bool(phash64(img) == row.phash) if row.fmt == "png" else None,
+                        bool(img.shape[1] == row.w and img.shape[0] == row.h),
+                        float(img[:, :, :3].mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "image_id", "w", "h", "fmt", "phash_ok", "dims_ok", "mean_lum",
+                ],
+            )
+
+    return images.mapInPandas(
+        kernel,
+        schema=(
+            "image_id string, w int, h int, fmt string, "
+            "phash_ok boolean, dims_ok boolean, mean_lum double"
+        ),
+    )
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Block-mean resize (training-pipeline thumbnailing) — numpy kernel,
+    deterministic (no interpolation library)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(row.bytes, row.fmt).astype(np.float64)
+                h, w = img.shape[:2]
+                ys = (np.arange(out_h + 1) * h) // out_h
+                xs = (np.arange(out_w + 1) * w) // out_w
+                out = np.zeros((out_h, out_w, img.shape[2]))
+                for i in range(out_h):
+                    for j in range(out_w):
+                        out[i, j] = img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean(
+                            axis=(0, 1)
+                        )
+                thumb = np.floor(out + 0.5).astype(np.uint8)
+                recs.append((row.image_id, encode_png(thumb), out_w, out_h))
+            yield pd.DataFrame(recs, columns=["image_id", "bytes", "w", "h"])
+
+    return images.mapInPandas(
+        kernel, schema="image_id string, bytes binary, w int, h int"
+    )
+
+
+def sample_video_frames(videos: DataFrame, every_n: int) -> DataFrame:
+    """Frame-sampling plumbing for opaque video blobs. The DECODER IS A
+    STUB (no video codec in this container): blobs produced by
+    `fake_video_bytes` are decoded deterministically; anything else raises
+    NotImplementedError. Schema/batching/partitioning are production-shaped.
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                frames = _decode_fake_video(row.bytes)
+                for k in range(0, len(frames), every_n):
+                    recs.append((row.video_id, k, encode_png(frames[k])))
+            yield pd.DataFrame(recs, columns=["video_id", "frame_idx", "png"])
+
+    return videos.mapInPandas(kernel, schema="video_id string, frame_idx int, png binary")
+
+
+def fake_video_bytes(video_id: int, n_frames: int, w: int = 32, h: int = 32) -> bytes:
+    """Deterministic stand-in for an encoded video blob."""
+    import struct
+    import zlib
+
+    frames = []
+    for k in range(n_frames):
+        f = new_surface(w, h, ((video_id * 31 + k * 7) % 256, (k * 11) % 256, 99, 255))
+        frames.append(f)
+    raw = b"".join(f.tobytes() for f in frames)
+    return b"FVID" + struct.pack(">IIHH", video_id, n_frames, w, h) + zlib.compress(raw)
+
+
+def _decode_fake_video(data: bytes) -> list[np.ndarray]:
+    import struct
+    import zlib
+
+    if data[:4] != b"FVID":
+        raise NotImplementedError(
+            "real video decode requires a codec library not present in this "
+            "container; only fake_video_bytes blobs are supported"
+        )
+    _vid, n, w, h = struct.unpack(">IIHH", data[4:16])
+    raw = zlib.decompress(data[16:])
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(n, h, w, 4)
+    return [arr[i] for i in range(n)]

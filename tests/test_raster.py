@@ -1,0 +1,184 @@
+"""Raster layer: codec round-trips, kernel semantics, Spark pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osm_render_spark.raster.codec import (
+    decode_image,
+    decode_png,
+    encode_image,
+    encode_png,
+    phash64,
+    psnr,
+)
+from osm_render_spark.raster.kernels import (
+    apply_diff,
+    atlas,
+    diff_sprite,
+    fill_polygon,
+    new_surface,
+    stroke_polyline,
+)
+
+
+def _img(i=3, w=60, h=40):
+    from osm_render_spark.fixtures.images import image_pixels
+
+    return image_pixels(i, w, h)
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_bitexact():
+    img = _img()
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_roundtrip_byte_stable():
+    img = _img(5)
+    assert encode_png(img) == encode_png(img.copy())
+
+
+def test_png_gray_and_rgb():
+    g = (np.arange(96, dtype=np.uint8).reshape(8, 12) * 2).astype(np.uint8)
+    assert (decode_png(encode_png(g))[:, :, 0] == g).all()
+    rgb = _img()[:, :, :3]
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+
+
+def test_fake_jpeg_lossy_psnr_above_40db():
+    img = _img(7, 396, 396)
+    dec = decode_image(encode_image(img, "jpeg"), "jpeg")
+    assert dec.shape == img.shape
+    p = psnr(img, dec)
+    assert p >= 40.0, f"lossy stand-in PSNR {p:.1f} dB < 40"
+
+
+def test_phash_deterministic_and_sensitive():
+    img = _img(9, 128, 128)
+    assert phash64(img) == phash64(img.copy())
+    other = _img(10, 128, 128)
+    assert phash64(img) != phash64(other)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def test_fill_even_odd_hole():
+    surf = new_surface(20, 20)
+    outer = np.array([[2, 2], [18, 2], [18, 18], [2, 18]], dtype=float)
+    inner = np.array([[6, 6], [14, 6], [14, 14], [6, 14]], dtype=float)
+    fill_polygon(surf, [outer, inner], (255, 0, 0, 255))
+    assert (surf[10, 4] == (255, 0, 0, 255)).all()  # ring
+    assert (surf[10, 10] == (0, 0, 0, 0)).all()  # hole (even-odd)
+
+
+def test_stroke_and_dest_out():
+    surf = new_surface(20, 20, (0, 0, 255, 255))
+    stroke_polyline(surf, np.array([[0, 10], [20, 10]], dtype=float), 2.0, (0, 0, 0, 255), erase=True)
+    assert (surf[10, 10] == (0, 0, 0, 0)).all()  # erased (DEST_OUT)
+    assert (surf[2, 10] == (0, 0, 255, 255)).all()  # untouched
+
+
+def test_diff_apply_inverse():
+    base = _img(1, 50, 50)
+    variant = base.copy()
+    variant[10:20, 10:20] = (1, 2, 3, 255)
+    d = diff_sprite(variant, base)
+    assert (apply_diff(base, d) == variant).all()
+    # diff is minimal: untouched pixels are fully zero
+    assert (d[30, 30] == 0).all()
+
+
+def test_atlas_packs_in_order():
+    a = new_surface(4, 4, (1, 1, 1, 255))
+    b = new_surface(6, 4, (2, 2, 2, 255))
+    packed = atlas([a, b])
+    assert packed.shape == (4, 10, 4)
+    assert (packed[0, 0] == (1, 1, 1, 255)).all() and (packed[0, 5] == (2, 2, 2, 255)).all()
+
+
+# ---------------------------------------------------------------------------
+# Spark pipeline: scene → render → variants → diff → atlas
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def scene_tiles(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_render_spark.fixtures.osm import ALL_SCENES
+    from osm_render_spark.operators.ways_in_rect import ways_in_rect
+    from osm_render_spark.raster.ops import render_map_tiles
+
+    scene = ALL_SCENES["bridges"]()
+    nodes, ways, rels = scene.to_spark(spark)
+    result = ways_in_rect(nodes, ways, rels, scene.bbox)
+    lat_min, lon_min, lat_max, lon_max = scene.bbox
+    w = h = 396
+    # project to pixel space (P8/P9) as Column expressions — JVM-side
+    proj = result.select(
+        F.lit(0).cast("long").alias("scene_id"),
+        F.col("way_id"),
+        F.when(F.map_contains_key("tags", "bridge"), F.lit("bridge"))
+        .when(F.element_at("tags", "natural") == "coastline", F.lit("coast"))
+        .otherwise(F.lit("water"))
+        .alias("kind"),
+        F.transform(
+            "geometry", lambda p: (p["lon"] - F.lit(lon_min)) * F.lit(w / (lon_max - lon_min))
+        ).alias("xs"),
+        F.transform(
+            "geometry", lambda p: (p["lat"] - F.lit(lat_max)) * F.lit(h / (lat_min - lat_max))
+        ).alias("ys"),
+    )
+    tiles = render_map_tiles(proj, w, h)
+    return proj.toPandas(), tiles
+
+
+def test_render_map_spark_matches_local(scene_tiles):
+    """Plumbing equivalence: the Spark group kernel must produce the exact
+    bytes of a single-process run of the same kernel."""
+    from osm_render_spark.raster.ops import render_map_kernel
+
+    proj_pdf, tiles = scene_tiles
+    rows = tiles.collect()
+    assert len(rows) == 1
+    spark_img = decode_png(rows[0]["bytes"])
+    local_img = render_map_kernel(proj_pdf, 396, 396)
+    assert (spark_img == local_img).all()
+    # water must actually be painted (the pond fills some pixels)
+    from osm_render_spark.raster.ops import LAND_COLOR, WATER_COLOR
+
+    assert (spark_img == np.array(WATER_COLOR, dtype=np.uint8)).all(axis=2).any()
+    assert (spark_img == np.array(LAND_COLOR, dtype=np.uint8)).all(axis=2).any()
+
+
+def test_sprites_and_atlas(spark, scene_tiles):
+    from osm_render_spark.raster.ops import pack_atlas, sprite_variants
+
+    _proj, tiles = scene_tiles
+    areas = spark.createDataFrame(
+        [
+            (0, 0, [50.0, 150.0, 150.0, 50.0], [50.0, 50.0, 150.0, 150.0]),
+            (0, 1, [200.0, 300.0, 250.0], [200.0, 200.0, 300.0]),
+        ],
+        "scene_id long, area_id long, xs array<double>, ys array<double>",
+    )
+    sprites = sprite_variants(tiles, areas).cache()
+    rows = {(r["area_id"], r["mode"]): r for r in sprites.collect()}
+    assert set(rows) == {(0, "hover"), (0, "active"), (1, "hover"), (1, "active")}
+    base = decode_png(tiles.collect()[0]["bytes"])
+    for (aid, mode), r in rows.items():
+        variant = decode_png(r["sprite"])
+        d = decode_png(r["diff"])
+        assert (apply_diff(base, d) == variant).all()  # J10 inverse
+        assert (variant != base).any()  # the mode tint painted something
+    packed = pack_atlas(sprites).collect()
+    assert len(packed) == 1 and packed[0]["n_sprites"] == 4
+    atlas_img = decode_png(packed[0]["atlas"])
+    assert atlas_img.shape[1] == 4 * 396
