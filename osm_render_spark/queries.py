@@ -693,6 +693,322 @@ ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text analysis / similarity
+# (operators.text defines one arithmetic, rendered into both dialects)
+# ---------------------------------------------------------------------------
+
+def _dual_sql_query(make) -> QueryDef:
+    """Query built once per dialect from a shared template function."""
+    from .operators.text import DUCK, SPARK
+
+    spark_sql = make(SPARK)
+    duck_sql = make(DUCK)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return QueryDef(fn, duck_sql)
+
+
+# corpus with exact duplicates (doc_id + 1000000 is a copy) so dedup and
+# LSH bucketing have real collisions to find
+_DOUBLED = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+"""
+
+
+def _q_dedup_exact() -> QueryDef:
+    def make(d) -> str:
+        return f"""
+WITH {_DOUBLED}
+SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY text ORDER BY canonical_id
+"""
+
+    return _dual_sql_query(make)
+
+
+def _q_token_count() -> QueryDef:
+    def make(d) -> str:
+        words = d.split("text")
+        return f"""
+SELECT doc_id, CAST({d.size(words)} AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents ORDER BY doc_id
+"""
+
+    return _dual_sql_query(make)
+
+
+def _q_text_quality() -> QueryDef:
+    """Quality scoring: token count, stopword count, mean-word-length
+    bucket — all integer math so comparisons are exact."""
+
+    def make(d) -> str:
+        from .operators.text import stopword_score_sql
+
+        words = d.split("text")
+        n_words = f"CAST({d.size(words)} AS BIGINT)"
+        n_stop = stopword_score_sql(d, words, "en")
+        return f"""
+SELECT doc_id, {n_words} AS n_words, CAST({n_stop} AS BIGINT) AS n_stopwords,
+       CASE WHEN {n_stop} * 5 >= {n_words} THEN 'high'
+            WHEN {n_stop} * 20 >= {n_words} THEN 'mid'
+            ELSE 'low' END AS quality
+FROM documents ORDER BY doc_id
+"""
+
+    return _dual_sql_query(make)
+
+
+def _q_langid() -> QueryDef:
+    def make(d) -> str:
+        from .operators.text import langid_sql
+
+        words = d.split("text")
+        return f"""
+SELECT doc_id, {langid_sql(d, words)} AS lang_guess
+FROM documents ORDER BY doc_id
+"""
+
+    return _dual_sql_query(make)
+
+
+def _q_fingerprint() -> QueryDef:
+    def make(d) -> str:
+        from .operators.text import fingerprint_sql, word_keys_sql
+
+        keys = word_keys_sql(d, "text")
+        return f"""
+SELECT doc_id, CAST({fingerprint_sql(d, f'({keys})')} AS BIGINT) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+    return _dual_sql_query(make)
+
+
+def _q_minhash() -> QueryDef:
+    def make(d) -> str:
+        from .operators.text import MINHASH_A, minhash_sql, shingles_sql, word_keys_sql
+
+        keys = word_keys_sql(d, "text")
+        sh = shingles_sql(d, f"({keys})")
+        cols = ", ".join(
+            f"CAST({minhash_sql(d, f'({sh})', j)} AS BIGINT) AS mh{j}"
+            for j in range(len(MINHASH_A))
+        )
+        return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # DataFrame-API operator (same SQL-text arithmetic via F.expr)
+        from .operators.dedup import minhash_signatures
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_signatures(docs).select(
+            "doc_id", "mh0", "mh1", "mh2", "mh3"
+        ).orderBy("doc_id")
+
+    from .operators.text import DUCK
+
+    return QueryDef(fn, make(DUCK))
+
+
+def _q_lsh_buckets() -> QueryDef:
+    def make(d) -> str:
+        from .operators.text import MINHASH_A, minhash_sql, shingles_sql, word_keys_sql
+
+        keys = word_keys_sql(d, "text")
+        sh = shingles_sql(d, f"({keys})")
+        mh = [minhash_sql(d, f"({sh})", j) for j in range(len(MINHASH_A))]
+        return f"""
+WITH {_DOUBLED},
+sig AS (
+  SELECT doc_id, {mh[0]} AS mh0, {mh[1]} AS mh1, {mh[2]} AS mh2, {mh[3]} AS mh3
+  FROM corpus
+),
+b AS (
+  SELECT 0 AS band, mh0 AS h1, mh1 AS h2, doc_id FROM sig
+  UNION ALL
+  SELECT 1 AS band, mh2 AS h1, mh3 AS h2, doc_id FROM sig
+)
+SELECT band, h1, h2, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM b GROUP BY band, h1, h2 HAVING COUNT(*) > 1
+ORDER BY band, h1, h2
+"""
+
+    return _dual_sql_query(make)
+
+
+def _q_simhash() -> QueryDef:
+    def make(d) -> str:
+        from .operators.text import simhash_bit_terms, word_keys_sql
+
+        keys = word_keys_sql(d, "text")
+        unnest = "explode" if d.name == "spark" else "unnest"
+        sums = ", ".join(
+            f"SUM({simhash_bit_terms(b)}) AS s{b}" for b in range(16)
+        )
+        bits = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+        return f"""
+WITH kx AS (SELECT doc_id, {unnest}({keys}) AS k FROM documents),
+agg AS (SELECT doc_id, {sums} FROM kx GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM agg ORDER BY doc_id
+"""
+
+    return _dual_sql_query(make)
+
+
+def _q_ngram_jaccard() -> QueryDef:
+    """Word-trigram Jaccard ingredients for consecutive doc pairs —
+    integer outputs (|A|, |B|, |A∩B|)."""
+
+    def make(d) -> str:
+        from .operators.text import shingles_sql, word_keys_sql
+
+        keys = word_keys_sql(d, "text")
+        sh = shingles_sql(d, f"({keys})")
+        unnest = "explode" if d.name == "spark" else "unnest"
+        return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, {unnest}({sh}) AS s FROM documents
+  ) raw
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.s = a.s
+  GROUP BY a.doc_id
+)
+SELECT c1.doc_id AS d1, c1.n AS n1, c2.n AS n2, COALESCE(i.n_inter, 0) AS n_inter
+FROM cnt c1 JOIN cnt c2 ON c2.doc_id = c1.doc_id + 1
+LEFT JOIN inter i ON i.d1 = c1.doc_id
+ORDER BY d1
+"""
+
+    return _dual_sql_query(make)
+
+
+def _q_embedding_l2_top3() -> QueryDef:
+    """Brute-force L2 kNN over embeddings. DECIMAL accumulation of the
+    per-element squared diffs makes the distance exact and independent of
+    aggregation order, so ranks match bitwise across engines."""
+    duck = """
+WITH q AS (
+  SELECT vec_id AS query_id, unnest(embedding) AS qv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (
+  SELECT vec_id AS cand_id, unnest(embedding) AS cv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id % 25 <> 0
+),
+d AS (
+  SELECT query_id, cand_id,
+         SUM(CAST((CAST(qv AS DOUBLE) - CAST(cv AS DOUBLE))
+                  * (CAST(qv AS DOUBLE) - CAST(cv AS DOUBLE)) AS DECIMAL(20, 12))) AS d2
+  FROM q JOIN c USING (i) GROUP BY query_id, cand_id
+),
+r AS (
+  SELECT query_id, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS rank
+  FROM d
+)
+SELECT query_id, cand_id, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.expr("vec_id % 25 = 0")).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        c = emb.where(F.expr("vec_id % 25 <> 0")).select(
+            F.col("vec_id").alias("cand_id"), "embedding"
+        )
+        d2 = (
+            "aggregate(zip_with(q_embedding, embedding, (x, y) -> "
+            "CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(20, 12))), "
+            "CAST(0 AS DECIMAL(38, 12)), (acc, v) -> CAST(acc + v AS DECIMAL(38, 12)))"
+        )
+        from pyspark.sql import Window
+
+        scored = c.crossJoin(F.broadcast(q)).withColumn("d2", F.expr(d2))
+        w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cand_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("query_id", "cand_id", "rank")
+            .orderBy("query_id", "rank")
+        )
+
+    return QueryDef(fn, duck)
+
+
+def _q_ann_lsh_bucket() -> QueryDef:
+    """Random-hyperplane sign-LSH bucket assignment (the ANN scale path):
+    deterministic ±1 planes, DECIMAL dot products — exact in both engines."""
+    from .operators.similarity import N_PLANES, PLANE_PRIMES
+
+    def duck_bucket() -> str:
+        bits = []
+        for j in range(N_PLANES):
+            p = PLANE_PRIMES[j]
+            term = (
+                f"list_transform(range(1, len(embedding) + 1), i -> "
+                f"CASE WHEN (i * {p}) % 5 < 2 THEN "
+                f"CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20, 12)) ELSE "
+                f"-CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20, 12)) END)"
+            )
+            bits.append(f"(CASE WHEN list_sum({term}) > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(bits)
+
+    duck = f"""
+SELECT vec_id, CAST({duck_bucket()} AS BIGINT) AS bucket
+FROM embeddings ORDER BY vec_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.similarity import ann_lsh_buckets
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return (
+            ann_lsh_buckets(emb)
+            .select("vec_id", F.col("bucket").cast("long").alias("bucket"))
+            .orderBy("vec_id")
+        )
+
+    return QueryDef(fn, duck)
+
+
+def _q_cosine_top3() -> QueryDef:
+    """Brute-force cosine top-k via the similarity operator. Rows-only:
+    double SQRT/division makes the score engine-dependent at ulp level, so
+    ranks near ties are not oracle-comparable (the L2 query covers exact
+    kNN parity; cosine correctness is covered in tests/test_similarity)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.similarity import cosine_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.expr("vec_id % 25 = 0")).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        c = emb.where(F.expr("vec_id % 25 <> 0"))
+        return cosine_topk(c, q, 3).select("query_id", "cand_id", "rank").orderBy(
+            "query_id", "rank"
+        )
+
+    return QueryDef(fn, None)
+
+
+# ---------------------------------------------------------------------------
 # image / raster pipeline (input_hint table; rows-only checks — not
 # SQL-expressible; pixel parity is covered by tests/test_raster.py goldens)
 # ---------------------------------------------------------------------------
@@ -782,5 +1098,17 @@ def build_queries() -> dict[str, QueryDef]:
         "tpch_q1": _q_tpch_q1(),
         "tpch_q3": _q_tpch_q3(),
         "image_pipeline": _q_image_pipeline(),
+        "dedup_exact": _q_dedup_exact(),
+        "token_count": _q_token_count(),
+        "text_quality": _q_text_quality(),
+        "langid": _q_langid(),
+        "doc_fingerprint": _q_fingerprint(),
+        "minhash_sig": _q_minhash(),
+        "minhash_lsh_buckets": _q_lsh_buckets(),
+        "simhash16": _q_simhash(),
+        "ngram_jaccard": _q_ngram_jaccard(),
+        "embedding_l2_top3": _q_embedding_l2_top3(),
+        "ann_lsh_bucket": _q_ann_lsh_bucket(),
+        "cosine_top3": _q_cosine_top3(),
     }
     return defs

@@ -1,0 +1,92 @@
+"""Dedup / similarity / text operators vs independent numpy brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    return vecs, df
+
+
+def test_cosine_topk_matches_numpy(emb):
+    from osm_render_spark.operators.similarity import cosine_topk
+
+    vecs, df = emb
+    q_ids = [0, 50, 100]
+    queries = df.where(df.vec_id.isin(q_ids)).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("q_embedding")
+    )
+    cands = df.where(~df.vec_id.isin(q_ids))
+    got = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in cosine_topk(cands, queries, 5).collect()
+    }
+    norms = np.linalg.norm(vecs.astype(np.float64), axis=1)
+    for q in q_ids:
+        cos = (vecs.astype(np.float64) @ vecs[q].astype(np.float64)) / (norms * norms[q])
+        order = [
+            i
+            for i in np.lexsort((np.arange(len(vecs)), -cos))
+            if i not in q_ids
+        ][:5]
+        for rank, cid in enumerate(order, 1):
+            assert got[(q, rank)] == cid, f"query {q} rank {rank}"
+
+
+def test_ann_topk_is_subset_ranked_consistently(emb):
+    """ANN results come from the query's bucket only: every returned
+    candidate shares the bucket, ranked by exact cosine within it."""
+    from osm_render_spark.operators.similarity import ann_lsh_buckets, ann_topk
+
+    vecs, df = emb
+    queries = df.where(df.vec_id < 3).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("q_embedding")
+    )
+    res = ann_topk(df.where(df.vec_id >= 3), queries, 4).collect()
+    buckets = {r["vec_id"]: r["bucket"] for r in ann_lsh_buckets(df).collect()}
+    for r in res:
+        assert buckets[r["cand_id"]] == buckets[r["query_id"]]
+    # ranks are 1..k dense per query
+    for q in (0, 1, 2):
+        ranks = sorted(r["rank"] for r in res if r["query_id"] == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_exact_dedup_counts(spark):
+    from osm_render_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd"), (3, "aa bb"), (4, "aa bb"), (5, "ee")],
+        "doc_id long, text string",
+    )
+    got = {r["canonical_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert got == {1: 3, 2: 1, 5: 1}
+
+
+def test_minhash_identical_docs_collide(spark):
+    from osm_render_spark.operators.dedup import lsh_buckets, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely unrelated text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(docs)
+    rows = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"]) for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    buckets = lsh_buckets(sig).collect()
+    pairs = [(b["min_doc"], b["max_doc"]) for b in buckets]
+    assert all(p == (1, 2) for p in pairs) and len(pairs) == 2  # both bands
