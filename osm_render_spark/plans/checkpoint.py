@@ -1,0 +1,180 @@
+"""Content-addressed stage checkpoints with per-partition lineage + resume.
+
+Generalizes the reference's render cache (OsmRenderMapCached,
+OsmRender.m:539-588: SHA-256 over params → probe → compute → store) with
+the two fixes the survey calls out (SURVEY.md S10):
+
+* the key covers ALL parameters (the reference omits most colors — a
+  stale-cache hazard, OsmRender.m:548-565) plus an input-snapshot token;
+* every completed stage writes per-partition lineage rows
+  (partition key, row count, order-independent checksum) so a resumed
+  job can verify what it is skipping.
+
+Storage is plain Parquet directories (Iceberg jars are not in this
+sandbox); the layout mirrors an Iceberg table + manifest: swap
+``_write``/``_read`` for Iceberg ``writeTo``/snapshot reads in
+production and the API is unchanged.
+
+Two resume granularities:
+
+* ``run_stage`` — whole-stage memoization: key hit → zero recompute.
+* ``run_stage_partitioned`` — partition-level resume: the expected
+  partition set is anti-joined against the partitions already present in
+  the output (SURVEY.md: "resume = anti-join against existing keys");
+  only missing partitions are computed and appended. A killed job that
+  completed k of n partitions recomputes exactly n−k.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stage_key(stage: str, params: dict, input_token: str = "") -> str:
+    """SHA-256 over stage name + canonicalized params + input snapshot."""
+    payload = json.dumps(
+        {"stage": stage, "params": params, "input": input_token}, sort_keys=True
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, stage: str, key: str) -> str:
+        return os.path.join(self.root, stage, key)
+
+    def _lineage_path(self, stage: str, key: str) -> str:
+        return os.path.join(self.root, "_lineage", stage, key)
+
+    def _done(self, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    # -- whole-stage memoization ------------------------------------------
+
+    def run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        params: dict,
+        compute: Callable[[], DataFrame],
+        partition_col: str | None = None,
+        input_token: str = "",
+    ) -> DataFrame:
+        """Read-or-compute: on key hit return the stored result without
+        touching `compute` (the reference's cache probe, OsmRender.m:569-578).
+        """
+        key = stage_key(stage, params, input_token)
+        path = self._path(stage, key)
+        if self._done(path):
+            return spark.read.parquet(path)
+        df = compute()
+        df.write.mode("overwrite").parquet(path)
+        self._write_lineage(spark, stage, key, params, partition_col)
+        return spark.read.parquet(path)
+
+    # -- partition-level resume -------------------------------------------
+
+    def run_stage_partitioned(
+        self,
+        spark: SparkSession,
+        stage: str,
+        params: dict,
+        partition_col: str,
+        expected_partitions: DataFrame,
+        compute: Callable[[DataFrame], DataFrame],
+        input_token: str = "",
+    ) -> DataFrame:
+        """`expected_partitions`: one-column DF of partition keys the full
+        job must produce. Missing = expected ANTI JOIN existing; only those
+        are computed (passed to `compute` as the work list) and appended,
+        partitioned by `partition_col`."""
+        key = stage_key(stage, params, input_token)
+        path = self._path(stage, key)
+        if os.path.exists(path):
+            existing = (
+                spark.read.option("basePath", path)
+                .parquet(path)
+                .select(partition_col)
+                .distinct()
+            )
+            missing = expected_partitions.join(existing, partition_col, "left_anti")
+        else:
+            missing = expected_partitions
+        if not missing.isEmpty():
+            out = compute(missing)
+            (
+                out.write.mode("append")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        self._write_lineage(spark, stage, key, params, partition_col)
+        return spark.read.parquet(path)
+
+    # -- lineage ------------------------------------------------------------
+
+    def _write_lineage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        key: str,
+        params: dict,
+        partition_col: str | None,
+    ) -> None:
+        df = spark.read.parquet(self._path(stage, key))
+        group = (
+            F.col(partition_col)
+            if partition_col and partition_col in df.columns
+            else F.lit(0)
+        )
+        # order-independent per-partition checksum: exact DECIMAL sum of
+        # row hashes (a LONG sum overflows under ANSI mode), stored as string
+        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+        lineage = (
+            df.groupBy(group.cast("string").alias("partition_key"))
+            .agg(
+                F.count("*").alias("row_count"),
+                F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum"),
+            )
+            .withColumn("stage", F.lit(stage))
+            .withColumn("key", F.lit(key))
+            .withColumn("partition_col", F.lit(partition_col or ""))
+            .withColumn("params_json", F.lit(json.dumps(params, sort_keys=True)))
+        )
+        lineage.write.mode("overwrite").parquet(self._lineage_path(stage, key))
+
+    def lineage(self, spark: SparkSession, stage: str, params: dict, input_token: str = "") -> DataFrame:
+        key = stage_key(stage, params, input_token)
+        return spark.read.parquet(self._lineage_path(stage, key))
+
+    def verify_lineage(
+        self, spark: SparkSession, stage: str, params: dict, input_token: str = ""
+    ) -> bool:
+        """Recompute per-partition counts + checksums from the stored data
+        and compare with the lineage rows — detects partial/corrupt state
+        before a resume trusts it."""
+        key = stage_key(stage, params, input_token)
+        stored = self.lineage(spark, stage, params, input_token)
+        first = stored.limit(1).collect()
+        if not first:
+            return False
+        pcol = first[0]["partition_col"]
+        df = spark.read.parquet(self._path(stage, key))
+        group = F.col(pcol) if pcol else F.lit(0)
+        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+        recomputed = df.groupBy(group.cast("string").alias("partition_key")).agg(
+            F.count("*").alias("row_count"),
+            F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum"),
+        )
+        stored_sel = stored.select("partition_key", "row_count", "checksum")
+        matched = recomputed.join(
+            stored_sel, ["partition_key", "row_count", "checksum"], "inner"
+        ).count()
+        return matched == stored_sel.count() == recomputed.count()
