@@ -1,0 +1,137 @@
+"""Physical-plan audits: the optimizations SURVEY.md §4 promises must
+actually appear in the plans (pushdown, broadcast, partial agg, codegen).
+These tests pin the plan shape so a regression that silently de-optimizes
+(e.g. a UDF blocking pushdown) fails loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .where(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: only the two referenced columns in ReadSchema
+    assert "l_orderkey" in plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_knn_uses_broadcast_and_no_shuffle_of_big_side(spark):
+    from osm_render_spark.operators.knn import knn_join
+
+    q = spark.range(10).select(
+        F.col("id").alias("query_id"),
+        (F.col("id") * 1.0).alias("qlon"),
+        (F.col("id") * 2.0).alias("qlat"),
+    )
+    c = spark.range(10000).select(
+        F.col("id").alias("cand_id"),
+        (F.col("id") % 360 - 180.0).alias("lon"),
+        (F.col("id") % 170 - 85.0).alias("lat"),
+    )
+    plan = _plan(knn_join(q, c, 3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_flagship_join_is_shuffle_on_tile_key_only(spark):
+    from osm_render_spark.queries import flagship_df
+
+    plan = _plan(flagship_df(spark, SF))
+    # the big-side scan feeds codegen straight into the join/agg — no
+    # Python evaluation anywhere in the flagship plan (AQE hides
+    # WholeStageCodegen spans until execution, so pin the absence of the
+    # slow path rather than the presence of the codegen marker)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" in plan  # the per-tile join/agg shuffle is expected
+
+
+def test_tile_counts_has_partial_aggregation(spark):
+    from osm_render_spark.operators.tiles import tile_counts
+
+    pts = spark.range(1000).select(
+        (F.col("id") % 360 - 180.0).alias("lon"), (F.col("id") % 170 - 85.0).alias("lat")
+    )
+    plan = _plan(tile_counts(pts, 8))
+    # two HashAggregates around one Exchange = map-side combine present
+    first_exchange = plan.find("Exchange")
+    assert first_exchange > 0
+    assert "HashAggregate" in plan[:first_exchange], "missing partial (map-side) agg"
+    assert "HashAggregate" in plan[first_exchange:], "missing final agg"
+
+
+def test_ways_in_rect_semi_join_strategy(spark):
+    from osm_render_spark.fixtures.osm import ALL_SCENES
+    from osm_render_spark.operators.ways_in_rect import ways_in_rect
+
+    scene = ALL_SCENES["minimal"]()
+    nodes, ways, rels = scene.to_spark(spark)
+    plan = _plan(ways_in_rect(nodes, ways, rels, scene.bbox))
+    assert "LeftSemi" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pip_prefilter_is_broadcast_join(spark):
+    from osm_render_spark.operators.pip import POLY_SCHEMA, pip_join
+
+    points = spark.range(1000).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") % 100 * 1.0).alias("lon"),
+        (F.col("id") % 80 * 1.0).alias("lat"),
+    )
+    polys = spark.createDataFrame([(0, [0.0, 50.0, 25.0], [0.0, 0.0, 40.0])], POLY_SCHEMA)
+    plan = _plan(pip_join(points, polys, zoom=6))
+    assert "BroadcastHashJoin" in plan
+    # exactly one Arrow stage: the exact ray-cast refinement (cover gen is
+    # on the tiny polygon side)
+    assert plan.count("ArrowEvalPython") <= 2
+
+
+def test_salted_counts_equal_unsalted(spark):
+    """Skew path correctness: two-phase salted aggregation is a pure
+    physical rewrite — results must be identical."""
+    from osm_render_spark.operators.tiles import tile_counts
+
+    pts = spark.range(20000).select(
+        # hot key: 60% of rows land on one tile
+        F.when(F.col("id") % 10 < 6, F.lit(10.0)).otherwise(
+            (F.col("id") % 360 - 180.0) * 1.0
+        ).alias("lon"),
+        F.lit(20.0).alias("lat"),
+    )
+    a = {(r["tile_key"], r["n"]) for r in tile_counts(pts, 8).collect()}
+    b = {(r["tile_key"], r["n"]) for r in tile_counts(pts, 8, salt_buckets=16).collect()}
+    assert a == b
+
+
+@pytest.mark.parametrize("zoom", [8])
+def test_tile_key_filter_prunes_parquet(spark, tmp_path, zoom):
+    """The engine's S6 analog: data written partitioned by tile cell +
+    a WHERE on the cell key must prune partitions at scan time."""
+    from osm_render_spark.functions.projection import tile_key_sql
+
+    src = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 360 - 180.0).alias("lon"),
+        (F.col("id") % 170 - 85.0).alias("lat"),
+    ).withColumn("cell", F.expr(tile_key_sql("lon", "lat", 5)) % 16)
+    out = str(tmp_path / "cells")
+    src.write.partitionBy("cell").parquet(out)
+    df = spark.read.parquet(out).where(F.col("cell") == 3)
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(cell" in plan and "(cell" in plan
+    assert df.count() == src.where(F.col("cell") == 3).count()
