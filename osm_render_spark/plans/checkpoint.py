@@ -34,6 +34,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hashable_cols(df: DataFrame) -> list:
+    """xxhash64 rejects MAP columns (nondeterministic hashcodes); replace
+    them with canonically-sorted entry arrays."""
+    cols = []
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if isinstance(field.dataType, T.MapType):
+            cols.append(F.array_sort(F.map_entries(c)))
+        else:
+            cols.append(c)
+    return cols
 
 
 def stage_key(stage: str, params: dict, input_token: str = "") -> str:
@@ -136,7 +150,7 @@ class CheckpointStore:
         )
         # order-independent per-partition checksum: exact DECIMAL sum of
         # row hashes (a LONG sum overflows under ANSI mode), stored as string
-        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+        row_hash = F.xxhash64(*_hashable_cols(df))
         lineage = (
             df.groupBy(group.cast("string").alias("partition_key"))
             .agg(
@@ -168,7 +182,7 @@ class CheckpointStore:
         pcol = first[0]["partition_col"]
         df = spark.read.parquet(self._path(stage, key))
         group = F.col(pcol) if pcol else F.lit(0)
-        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+        row_hash = F.xxhash64(*_hashable_cols(df))
         recomputed = df.groupBy(group.cast("string").alias("partition_key")).agg(
             F.count("*").alias("row_count"),
             F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum"),

@@ -1,0 +1,81 @@
+"""JSON config source (S7) + Structured-Streaming ingest."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from osm_render_spark.sources.config import (
+    areas_table,
+    landmarks_table,
+    load_demo_configs,
+    parse_config,
+)
+
+
+def test_config_bbox_normalized(spark):
+    parsed = parse_config(load_demo_configs(spark))
+    row = parsed.collect()[0]
+    # the demo config has latMin > latMax on purpose (P11 swap)
+    assert row["lat_min"] == 10.0 and row["lat_max"] == 10.1
+    assert row["lon_min"] == 20.0 and row["lon_max"] == 20.1
+
+
+def test_areas_vertex_parse_lat_first(spark):
+    areas = areas_table(parse_config(load_demo_configs(spark))).collect()
+    a0 = [a for a in areas if a["area_id"] == 0][0]
+    # config string "10.02 20.02" is lat lon (OsmRender.m:925)
+    assert a0["polygon"][0]["lat"] == 10.02 and a0["polygon"][0]["lon"] == 20.02
+    assert a0["label"] == "Old Town\nCenter"  # multi-line labels survive (F1)
+    a1 = [a for a in areas if a["area_id"] == 1][0]
+    assert a1["type"] == 2  # park
+
+
+def test_landmarks_display_filter(spark):
+    lm = landmarks_table(parse_config(load_demo_configs(spark))).collect()
+    assert [r["label"] for r in lm] == ["Museum"]  # P4 drops display=false
+
+
+def test_streaming_tile_counts_match_batch(spark, tmp_path):
+    from osm_render_spark.functions.projection import tile_key_sql
+    from osm_render_spark.streaming.ingest import run_to_completion, streaming_tile_counts
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=i % 600),
+            float((i * 7) % 360 - 180),
+            float((i * 11) % 170 - 85),
+        )
+        for i in range(2000)
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, lon double, lat double"
+    ).write.parquet(src)
+
+    got = run_to_completion(
+        streaming_tile_counts(spark, src, zoom=4, window="60 minutes", watermark="30 minutes"),
+        "stream_tiles",
+    )
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("tile_key", F.expr(tile_key_sql("lon", "lat", 4)))
+        .groupBy(F.window("ts", "60 minutes").alias("win"), "tile_key")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "tile_key", "n")
+    )
+    got_rows = {(r["win_start"], r["tile_key"]): r["n"] for r in got.collect()}
+    batch_rows = {(r["win_start"], r["tile_key"]): r["n"] for r in batch.collect()}
+    # append mode only emits windows finalized by the watermark — every
+    # emitted row must match the batch result exactly, and all windows
+    # strictly older than (max_ts − watermark) must have been emitted
+    assert got_rows, "no finalized windows emitted"
+    for k, v in got_rows.items():
+        assert batch_rows[k] == v
+    max_ts = max(r[1] for r in rows)
+    horizon = max_ts - dt.timedelta(minutes=90)  # window + watermark
+    must_emit = {k for k in batch_rows if k[0] < horizon}
+    assert must_emit <= set(got_rows)
