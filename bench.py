@@ -41,8 +41,10 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
     defs = build_queries()
 
-    # warm the JVM + parquet footers once (not timed)
-    defs["tpch_q1"].spark_fn(spark, sf_dir).count()
+    # warm-up: run each headline query once untimed (JVM JIT, codegen,
+    # parquet footer cache) — steady-state timing, stable across rounds
+    for name in HEADLINE:
+        defs[name].spark_fn(spark, sf_dir).count()
 
     queries: dict[str, float] = {}
     total_rows = 0

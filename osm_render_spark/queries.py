@@ -89,7 +89,14 @@ ORDER BY tile_key
 
 def flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-API form of the flagship (exercises operators.tiles);
-    arithmetic identical to FLAGSHIP_SQL by shared expression text."""
+    arithmetic identical to FLAGSHIP_SQL by shared expression text.
+
+    Plan shape (the 100 TB design): each side pre-aggregates per tile
+    BEFORE the join (map-side combine bounds the shuffle at
+    tiles × 2, independent of row count), then a per-tile equi-join of
+    the aggregates. Equivalent to join-then-aggregate because point ids
+    are unique: n_pairs = n_images × n_features.
+    """
     from .operators.tiles import assign_tiles
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -104,16 +111,24 @@ def flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(LON_CUST).alias("lon"),
         F.expr(LAT_CUST).alias("lat"),
     )
-    tp = assign_tiles(pts, "lon", "lat", FLAGSHIP_ZOOM).select("image_id", "tile_key")
-    tf = assign_tiles(feats, "lon", "lat", FLAGSHIP_ZOOM).select("feature_id", "tile_key")
+    tp = (
+        assign_tiles(pts, "lon", "lat", FLAGSHIP_ZOOM)
+        .groupBy("tile_key")
+        .agg(F.count("*").alias("n_images"), F.min("image_id").alias("min_image"))
+    )
+    tf = (
+        assign_tiles(feats, "lon", "lat", FLAGSHIP_ZOOM)
+        .groupBy("tile_key")
+        .agg(F.count("*").alias("n_features"))
+    )
     return (
         tp.join(tf, "tile_key")
-        .groupBy("tile_key")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.countDistinct("image_id").alias("n_images"),
-            F.countDistinct("feature_id").alias("n_features"),
-            F.min("image_id").alias("min_image"),
+        .select(
+            "tile_key",
+            (F.col("n_images") * F.col("n_features")).alias("n_pairs"),
+            "n_images",
+            "n_features",
+            "min_image",
         )
         .orderBy("tile_key")
     )
