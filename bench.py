@@ -28,7 +28,13 @@ HEADLINE = [
     "geometry_assembly",
     "relation_tag_merge",
     "knn_top3",
+    "pip_raycast",
     "delta_decode_cumsum",
+    "minhash_sig",
+    # cosine_top3 is the production similarity operator (double arithmetic);
+    # embedding_l2_top3's DECIMAL accumulation exists for oracle exactness
+    # and is deliberately not a perf target
+    "cosine_top3",
     "tpch_q1",
     "tpch_q3",
 ]

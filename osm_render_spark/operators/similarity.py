@@ -36,20 +36,51 @@ def cosine_topk(
     candidates: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id"
 ) -> DataFrame:
     """candidates(vec_id, embedding) × queries(query_id, q_embedding) →
-    top-k by cosine, ties broken by candidate id."""
-    crossed = candidates.crossJoin(F.broadcast(queries))
-    scored = crossed.withColumn(
-        "cos",
-        F.expr(
-            f"{_dot('embedding', 'q_embedding')} / "
-            f"(SQRT({_norm2('embedding')}) * SQRT({_norm2('q_embedding')}))"
-        ),
+    top-k by cosine, ties broken by candidate id.
+
+    Physical shape: the query matrix (dimension-sized by contract) ships
+    to executors inside the Arrow kernel closure; each candidate batch
+    scores against ALL queries with one numpy matmul, then prunes to the
+    per-query local top-k BEFORE the shuffle (map-side pruning: the rank
+    window sees ≤ k × n_queries × n_batches rows, not |candidates| ×
+    |queries|). Spark HOF lambdas are interpreted per element — a numpy
+    matmul is ~100× faster for dense float math, which is why this is a
+    Pandas-UDF operator, not a zip_with expression.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("query_id", "q_embedding").collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["q_embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_ids = pdf[id_col].to_numpy()
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            cos = (c_mat @ q_mat.T) / (c_norm[:, None] * q_norm[None, :])
+            out = []
+            kk = min(k, len(c_ids))
+            for qi in range(len(q_ids)):
+                col = cos[:, qi]
+                # local top-k with (cos desc, cand_id asc) tie-break
+                order = np.lexsort((c_ids, -col))[:kk]
+                for ci in order:
+                    out.append((int(q_ids[qi]), int(c_ids[ci]), float(col[ci])))
+            yield pd.DataFrame(out, columns=["query_id", "cand_id", "cos"])
+
+    scored = candidates.mapInPandas(
+        kernel, schema="query_id long, cand_id long, cos double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("cand_id"), "rank", "cos")
+        .select("query_id", "cand_id", "rank", "cos")
     )
 
 

@@ -99,4 +99,31 @@ def render_scene_pipeline(
     atlas = store.run_stage(
         spark, "atlas", params, lambda: pack_atlas(sprites), partition_col="scene_id"
     )
-    return {"ways": joined, "tiles": tiles, "sprites": sprites, "atlas": atlas}
+
+    # second-resolution callout pass (OsmRender.m:1261-1291: globals mutate
+    # to 290×290 and each area gets its own highlighted render)
+    cw = ch = 290
+    cparams = {**params, "w": cw, "h": ch}
+    ctiles = store.run_stage(
+        spark,
+        "callout_base",
+        cparams,
+        lambda: render_map_tiles(project_ways(joined, scene.bbox, cw, ch), cw, ch),
+        partition_col="scene_id",
+    )
+    callouts = store.run_stage(
+        spark,
+        "callouts",
+        cparams,
+        lambda: sprite_variants(
+            ctiles, project_areas(areas, scene.bbox, cw, ch), modes=("active",)
+        ).withColumn("mode", F.lit("callout")),
+        partition_col="area_id",
+    )
+    return {
+        "ways": joined,
+        "tiles": tiles,
+        "sprites": sprites,
+        "atlas": atlas,
+        "callouts": callouts,
+    }

@@ -178,6 +178,115 @@ def pack_atlas(sprites: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# landmark bullets + park icon blit (R2 bullets OsmRender.m:840-844,
+# J11 icon blit OsmRender.m:746-756)
+# ---------------------------------------------------------------------------
+
+def park_icon(size: int = 16) -> np.ndarray:
+    """Deterministic stand-in for the reference's park.png tree icon
+    (engine-owned asset; we do not read reference binaries)."""
+    icon = new_surface(size, size)
+    trunk = np.array([[size / 2, size * 0.95], [size / 2, size * 0.55]])
+    stroke_polyline(icon, trunk, 2.0, (101, 67, 33, 255))
+    crown = np.array(
+        [[size / 2, size * 0.05], [size * 0.9, size * 0.6], [size * 0.1, size * 0.6]]
+    )
+    fill_polygon(icon, [crown], (34, 139, 34, 255))
+    return icon
+
+
+def annotate_tiles(
+    tiles: DataFrame, marks: DataFrame, bullet_radius: float = 3.0
+) -> DataFrame:
+    """tiles(scene_id, bytes, w, h) × marks(scene_id, mark_id, x, y, kind)
+    → tiles with landmark bullets (kind='bullet') and park icons
+    (kind='park', J11) composited. Marks are broadcast-joined (dimension-
+    sized); one Arrow kernel pass over the tiles."""
+
+    def kernel(key, tiles_pdf: pd.DataFrame, marks_pdf: pd.DataFrame) -> pd.DataFrame:
+        marks_pdf = marks_pdf.sort_values("mark_id", kind="mergesort")
+        icon = park_icon()
+        out = []
+        for row in tiles_pdf.itertuples(index=False):
+            surf = decode_image(row.bytes, "png").copy()
+            for m in marks_pdf.itertuples(index=False):
+                if m.kind == "bullet":
+                    # a disc = zero-length stroke with width 2r (R2 bullets)
+                    p = np.array([[m.x, m.y], [m.x, m.y]])
+                    stroke_polyline(surf, p, bullet_radius * 2, (200, 30, 30, 255))
+                elif m.kind == "park":
+                    from .kernels import blit
+
+                    # centered blit, floor(x+0.5) rounding (F6)
+                    bx = int(np.floor(m.x - icon.shape[1] / 2 + 0.5))
+                    by = int(np.floor(m.y - icon.shape[0] / 2 + 0.5))
+                    blit(surf, icon, bx, by)
+            out.append((key[0], encode_png(surf), row.w, row.h))
+        return pd.DataFrame(out, columns=["scene_id", "bytes", "w", "h"])
+
+    return (
+        tiles.groupBy("scene_id")
+        .cogroup(marks.groupBy("scene_id"))
+        .applyInPandas(kernel, schema="scene_id long, bytes binary, w int, h int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster↔vector co-partitioned overlay (J9 north-star form)
+# ---------------------------------------------------------------------------
+
+def overlay_tiles(tiles: DataFrame, features: DataFrame) -> DataFrame:
+    """Co-partition decoded image tiles with vector features on tile_key
+    and composite the features onto each tile (the north rule's
+    raster↔vector join): ``tiles(tile_key, bytes, fmt)`` cogrouped with
+    ``features(tile_key, kind, xs, ys)`` → rendered (tile_key, bytes).
+
+    Both sides shuffle ONCE on tile_key (cogroup); the kernel is Arrow-
+    batched per tile group. At 10^12 images the tile side is written
+    bucketed by tile_key so this cogroup co-locates without a shuffle.
+    Tiles with no features pass through unchanged (left-cogroup
+    semantics); features without a tile are dropped.
+    """
+
+    def kernel(key, tiles_pdf: pd.DataFrame, feats_pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic draw order regardless of shuffle arrival order
+        feats_pdf = feats_pdf.sort_values("feature_id", kind="mergesort")
+        out = []
+        for row in tiles_pdf.itertuples(index=False):
+            img = decode_image(row.bytes, row.fmt)
+            if img.shape[2] == 3:  # promote RGB to RGBA for compositing
+                img = np.concatenate(
+                    [img, np.full(img.shape[:2] + (1,), 255, dtype=np.uint8)], axis=2
+                )
+            surf = img.copy()
+            # render order mirrors the reference: polygon fills first
+            # (water), strokes over them, erases last (bridge DEST_OUT)
+            polys = [
+                np.column_stack([np.asarray(f.xs), np.asarray(f.ys)])
+                for f in feats_pdf.itertuples(index=False)
+                if f.kind == "poly"
+            ]
+            if polys:
+                fill_polygon(surf, polys, WATER_COLOR)
+            for f in feats_pdf.itertuples(index=False):
+                if f.kind == "line":
+                    path = np.column_stack([np.asarray(f.xs), np.asarray(f.ys)])
+                    stroke_polyline(surf, path, 2.0, (20, 20, 20, 255))
+            for f in feats_pdf.itertuples(index=False):
+                if f.kind == "erase":
+                    path = np.column_stack([np.asarray(f.xs), np.asarray(f.ys)])
+                    stroke_polyline(surf, path, 2.0, (0, 0, 0, 255), erase=True)
+            out.append((key[0], encode_png(surf)))
+        return pd.DataFrame(out, columns=["tile_key", "bytes"])
+
+    return (
+        tiles.groupBy("tile_key")
+        .cogroup(features.groupBy("tile_key"))
+        .applyInPandas(kernel, schema="tile_key long, bytes binary")
+    )
+
+
+# ---------------------------------------------------------------------------
 # image-table operators (training-data pipeline over the input_hint table)
 # ---------------------------------------------------------------------------
 
