@@ -1,0 +1,67 @@
+"""Property-based tests (SURVEY.md §5.2 #3): projection round-trips,
+delta-decode inverse, tile containment."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_render_spark.functions.cells import merc_xy, tile_xy
+from osm_render_spark.functions.projection import MERC_MAX_LAT
+
+finite_lon = st.floats(-180.0, 180.0, allow_nan=False)
+finite_lat = st.floats(-MERC_MAX_LAT, MERC_MAX_LAT, allow_nan=False)
+
+
+@given(lon=finite_lon, lat=finite_lat, zoom=st.integers(0, 18))
+@settings(max_examples=200, deadline=None)
+def test_mercator_round_trip(lon, lat, zoom):
+    """P8 generalized: merc forward then inverse recovers lon/lat within
+    float tolerance."""
+    x, y = merc_xy(np.array([lon]), np.array([lat]), zoom)
+    n = 1 << zoom
+    lon2 = x[0] / n * 360.0 - 180.0
+    lat2 = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y[0] / n))))
+    assert abs(lon2 - lon) < 1e-9 * max(1.0, abs(lon)) + 1e-9
+    assert abs(lat2 - lat) < 1e-6
+
+
+@given(lon=finite_lon, lat=finite_lat, zoom=st.integers(0, 16))
+@settings(max_examples=200, deadline=None)
+def test_tile_contains_its_point(lon, lat, zoom):
+    """A point's tile square must contain its continuous merc coords."""
+    tx, ty = tile_xy(np.array([lon]), np.array([lat]), zoom)
+    x, y = merc_xy(np.array([lon]), np.array([lat]), zoom)
+    n = 1 << zoom
+    assert 0 <= tx[0] < n and 0 <= ty[0] < n
+    # containment (up to the clamp at the antimeridian/pole edges)
+    if 0 < x[0] < n:
+        assert tx[0] <= x[0] <= tx[0] + 1
+    if 0 < y[0] < n:
+        assert ty[0] <= y[0] <= ty[0] + 1
+
+
+@given(
+    start=st.integers(-(10**12), 10**12),
+    deltas=st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=200),
+)
+@settings(max_examples=100, deadline=None)
+def test_delta_decode_inverse(start, deltas):
+    """W1 (MapData.m:96-100): decode(encode(xs)) == xs. Encode = first
+    value + successive differences; decode = cumulative sum."""
+    xs = np.cumsum(np.array([start] + deltas, dtype=np.int64))
+    encoded = np.diff(xs, prepend=0)
+    decoded = np.cumsum(encoded)
+    assert (decoded == xs).all()
+
+
+@given(lat=st.floats(-90, 90, allow_nan=False))
+@settings(max_examples=100, deadline=None)
+def test_latitude_clamp_monotonic(lat):
+    """Mercator y is monotone decreasing in latitude (y-down, W2/P8)."""
+    y1 = merc_xy(np.array([0.0]), np.array([lat]), 10)[1][0]
+    y2 = merc_xy(np.array([0.0]), np.array([min(lat + 1.0, 90.0)]), 10)[1][0]
+    assert y2 <= y1 + 1e-12
