@@ -57,6 +57,9 @@ def _sql_query(sql: str) -> QueryDef:
     """Query whose Spark side is the same SQL text run via spark.sql."""
 
     def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        # DuckDB timestamps are UTC-naive; pin the session TZ so literal
+        # comparisons agree even when the caller's session isn't ours
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         register_views(spark, sf_dir)
         return spark.sql(_sql)
 
@@ -720,6 +723,7 @@ def _dual_sql_query(make) -> QueryDef:
     duck_sql = make(DUCK)
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         register_views(spark, sf_dir)
         return spark.sql(spark_sql)
 
