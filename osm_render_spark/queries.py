@@ -356,6 +356,41 @@ ORDER BY way_id
     return QueryDef(fn, sql)
 
 
+def _q_bbox_containment_join() -> QueryDef:
+    """J6 (OsmRender.m:986-993): file-bbox ⊇ query-bbox containment
+    theta-join — a broadcast non-equi join on 4 inequality predicates.
+    'Files' = supplier-derived boxes, 'queries' = nation-derived boxes."""
+    sql = f"""
+WITH files AS (
+  SELECT s_suppkey AS file_id,
+         {derived_lat_sql('s_suppkey * 3')} AS f_lat, {derived_lon_sql('s_suppkey * 5')} AS f_lon
+  FROM supplier
+),
+fb AS (
+  SELECT file_id, f_lat - 8.0 AS lat_min, f_lat + 8.0 AS lat_max,
+         f_lon - 12.0 AS lon_min, f_lon + 12.0 AS lon_max
+  FROM files
+),
+q AS (
+  SELECT n_nationkey AS query_id,
+         {derived_lat_sql('n_nationkey * 7 + 1')} AS q_lat,
+         {derived_lon_sql('n_nationkey * 11 + 2')} AS q_lon
+  FROM nation
+),
+qb AS (
+  SELECT query_id, q_lat - 1.0 AS lat_min, q_lat + 1.0 AS lat_max,
+         q_lon - 1.0 AS lon_min, q_lon + 1.0 AS lon_max
+  FROM q
+)
+SELECT qb.query_id, fb.file_id
+FROM qb JOIN fb
+  ON fb.lat_min <= qb.lat_min AND fb.lat_max >= qb.lat_max
+ AND fb.lon_min <= qb.lon_min AND fb.lon_max >= qb.lon_max
+ORDER BY query_id, file_id
+"""
+    return _sql_query(sql)
+
+
 def _q_knn_top3() -> QueryDef:
     """J7/W3 generalized to kNN (SURVEY.md M4): for each query point
     (nation), the 3 nearest candidates (customer) by squared L2 in degree
@@ -1101,6 +1136,7 @@ def build_queries() -> dict[str, QueryDef]:
         "geometry_assembly": _q_geometry_assembly(),
         "relation_tag_merge": _q_relation_tag_merge(),
         "knn_top3": _q_knn_top3(),
+        "bbox_containment_join": _q_bbox_containment_join(),
         "pip_raycast": _q_pip(),
         "delta_decode_cumsum": _q_delta_decode(),
         "top1_per_group": _q_top1_per_group(),

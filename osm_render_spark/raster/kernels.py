@@ -42,17 +42,30 @@ def _coverage_mask(w: int, h: int, polys: list[np.ndarray]) -> np.ndarray:
     poly-polygon fill (coast rings accumulated then filled once,
     OsmRender.m:495-504): a point is covered iff its total crossing count
     over ALL sub-paths is odd.
+
+    Each sub-path only ray-casts the pixels inside its own bbox window
+    (outside the bbox the crossing parity is always even), so dense tiles
+    with many small polygons cost O(Σ poly_bbox_area) instead of
+    O(n_polys × tile_area). Semantics unchanged.
     """
-    yy, xx = np.mgrid[0:h, 0:w]
-    px = (xx + 0.5).ravel()
-    py = (yy + 0.5).ravel()
-    parity = np.zeros(w * h, dtype=bool)
+    parity = np.zeros((h, w), dtype=bool)
     for poly in polys:
         poly = np.asarray(poly, dtype=np.float64)
         if len(poly) < 3:
             continue
-        parity ^= raycast_even_odd(px, py, poly[:, 0], poly[:, 1])
-    return parity.reshape(h, w)
+        x0 = max(0, int(np.floor(poly[:, 0].min() - 0.5)))
+        x1 = min(w, int(np.ceil(poly[:, 0].max() + 0.5)))
+        y0 = max(0, int(np.floor(poly[:, 1].min() - 0.5)))
+        y1 = min(h, int(np.ceil(poly[:, 1].max() + 0.5)))
+        if x0 >= x1 or y0 >= y1:
+            continue
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        px = (xx + 0.5).ravel()
+        py = (yy + 0.5).ravel()
+        parity[y0:y1, x0:x1] ^= raycast_even_odd(
+            px, py, poly[:, 0], poly[:, 1]
+        ).reshape(y1 - y0, x1 - x0)
+    return parity
 
 
 def fill_polygon(
