@@ -38,6 +38,63 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _word_keys_batch(text: str) -> "np.ndarray":
+    """Vectorized word keys for one ASCII document — byte-level numpy,
+    EXACTLY the SQL definition in operators.text.word_keys_sql:
+    key = ascii(w[0])*65536 + ascii(w[1])*256 + (len(w) % 256).
+    (Non-ASCII first/second chars would need codepoints, not bytes — the
+    SQL path remains the general definition; this kernel asserts ASCII.)
+    """
+    import numpy as np
+
+    raw = text.encode("ascii")  # raises on non-ASCII by design
+    b = np.frombuffer(raw, dtype=np.uint8)
+    is_sep = b == 32  # ' '
+    # word boundaries of a sep-split INCLUDING empty words (SQL split
+    # semantics: 'a  b' -> ['a', '', 'b'])
+    sep_idx = np.flatnonzero(is_sep)
+    starts = np.concatenate([[0], sep_idx + 1])
+    ends = np.concatenate([sep_idx, [len(b)]])
+    lengths = ends - starts
+    first = np.where(lengths > 0, b[np.minimum(starts, len(b) - 1)], 0).astype(np.int64)
+    second_pos = np.minimum(starts + 1, len(b) - 1)
+    second = np.where(lengths > 1, b[second_pos], 0).astype(np.int64)
+    return first * 65536 + second * 256 + (lengths.astype(np.int64) % 256)
+
+
+def minhash_signatures_kernel(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Vectorized Arrow-kernel form of minhash_signatures — identical
+    integer arithmetic (tests assert bitwise equality with the SQL/HOF
+    form), byte-level numpy instead of interpreted HOF lambdas. This is
+    the 10^12-document scale path."""
+    import numpy as np
+    import pandas as pd
+
+    from .text import MINHASH_B, P
+
+    a = list(MINHASH_A)
+    bb = list(MINHASH_B)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                k = _word_keys_batch(text)
+                if len(k) >= 3:
+                    sh = (k[:-2] * 2654435761 + k[1:-1] * 40503 + k[2:]) % P
+                    mh = [int(((aj * sh + bj) % P).min()) for aj, bj in zip(a, bb)]
+                else:
+                    mh = [-1, -1, -1, -1]
+                rows.append((doc_id, *mh))
+            yield pd.DataFrame(rows, columns=[id_col, "mh0", "mh1", "mh2", "mh3"])
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, mh0 long, mh1 long, mh2 long, mh3 long"
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -859,13 +859,12 @@ def _q_minhash() -> QueryDef:
         return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # DataFrame-API operator (same SQL-text arithmetic via F.expr)
-        from .operators.dedup import minhash_signatures
+        # vectorized Arrow kernel — bitwise-identical to the SQL/HOF form
+        # (tests/test_training_ops pins the equality), ~3× faster
+        from .operators.dedup import minhash_signatures_kernel
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return minhash_signatures(docs).select(
-            "doc_id", "mh0", "mh1", "mh2", "mh3"
-        ).orderBy("doc_id")
+        return minhash_signatures_kernel(docs).orderBy("doc_id")
 
     from .operators.text import DUCK
 

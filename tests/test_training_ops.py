@@ -72,6 +72,20 @@ def test_exact_dedup_counts(spark):
     assert got == {1: 3, 2: 1, 5: 1}
 
 
+def test_minhash_kernel_equals_sql_form(spark):
+    """The vectorized byte-level kernel must reproduce the SQL/HOF
+    definition bit-for-bit (it IS the oracle-checked arithmetic)."""
+    from osm_render_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_kernel,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {tuple(r) for r in minhash_signatures(docs).collect()}
+    b = {tuple(r) for r in minhash_signatures_kernel(docs).collect()}
+    assert a == b
+
+
 def test_minhash_identical_docs_collide(spark):
     from osm_render_spark.operators.dedup import lsh_buckets, minhash_signatures
 
