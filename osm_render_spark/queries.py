@@ -645,6 +645,49 @@ def _q_cache_key() -> QueryDef:
     return QueryDef(fn, sql)
 
 
+def _q_hex_roundtrip() -> QueryDef:
+    """F3 (OsmRender.m:1024-1103): packed ARGB colors as hex strings.
+    Spark hex() and DuckDB to_hex() both emit uppercase unpadded hex."""
+    c = "(p_partkey * 2654435761) % 4294967296"
+    duck = f"SELECT p_partkey, to_hex({c}) AS color_hex FROM part ORDER BY p_partkey"
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(
+            f"SELECT p_partkey, hex({c}) AS color_hex FROM part ORDER BY p_partkey"
+        )
+
+    return QueryDef(fn, duck)
+
+
+def _q_cyclic_predicate() -> QueryDef:
+    """P5 (OsmRender.m:497-498): first point == last point, exact double
+    equality. 'Ways' = orders; vertices = lineitems ordered by
+    (linenumber, partkey); coords derived. Orders with one distinct
+    vertex position are trivially cyclic — matches the semantics."""
+    lon = derived_lon_sql("l_partkey * 7 + 1")
+    lat = derived_lat_sql("l_partkey * 11 + 4")
+    sql = f"""
+WITH v AS (
+  SELECT l_orderkey AS way_id,
+         l_linenumber * 100000000 + l_partkey AS ord,
+         {lon} AS lon, {lat} AS lat
+  FROM lineitem
+),
+fl AS (
+  SELECT way_id,
+         min_by(lon, ord) AS first_lon, min_by(lat, ord) AS first_lat,
+         max_by(lon, ord) AS last_lon, max_by(lat, ord) AS last_lat
+  FROM v GROUP BY way_id
+)
+SELECT way_id,
+       CASE WHEN first_lon = last_lon AND first_lat = last_lat
+            THEN 1 ELSE 0 END AS is_cyclic
+FROM fl ORDER BY way_id
+"""
+    return _sql_query(sql)
+
+
 def _q_round_half_away() -> QueryDef:
     """F6: floor(x+0.5) — C round() on non-negative pixel coords."""
     sql = """
@@ -1145,6 +1188,8 @@ def build_queries() -> dict[str, QueryDef]:
         "dedup_last_win": _q_dedup_last_win(),
         "hover_color": _q_hover_color(),
         "cache_key": _q_cache_key(),
+        "hex_roundtrip": _q_hex_roundtrip(),
+        "cyclic_predicate": _q_cyclic_predicate(),
         "round_half_away": _q_round_half_away(),
         "format_filename": _q_format_filename(),
         "json_access": _q_json_access(),
