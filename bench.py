@@ -84,6 +84,45 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     ).collect()[0][0]
     join_sec = time.time() - t0
 
+    # multimodal axis: decode+verify+feature throughput over synthetic
+    # input_hint images generated on executors (no files involved)
+    from osm_render_spark.queries import build_queries as _bq  # noqa: F401
+    from osm_render_spark.raster.ops import decode_features
+
+    import pandas as pd  # noqa: F401
+
+    def _gen_images(it):
+        import pandas as pd
+
+        from osm_render_spark.fixtures.images import image_pixels
+        from osm_render_spark.raster.codec import encode_image, phash64
+
+        for pdf in it:
+            rows = []
+            for k in pdf["id"]:
+                i = int(k)
+                img = image_pixels(i, 64, 64)
+                fmt = "png" if i % 2 == 0 else "jpeg"
+                rows.append(
+                    (f"img{i:010d}", encode_image(img, fmt), 64, 64, fmt,
+                     f"caption {i}", phash64(img))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    n_img = 2000
+    imgs = spark.range(n_img).mapInPandas(
+        _gen_images,
+        schema=("image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long"),
+    ).cache()
+    imgs.count()  # materialize generation outside the timed decode
+    t0 = time.time()
+    decode_features(imgs).count()
+    img_sec = time.time() - t0
+    imgs.unpersist()
+
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
         "metric": "headline suite wall (tile join + spatial ops + OLAP) at local[%d]" % cpus,
@@ -95,6 +134,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "rows_counted": total_rows,
         "tile_assignments_per_sec": round(n_assign / assign_sec, 1),
         "joined_rows_per_sec": round((n_joined or 0) / join_sec, 1),
+        "images_decoded_per_sec": round(n_img / img_sec, 1),
     }
 
 

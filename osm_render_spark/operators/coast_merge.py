@@ -162,3 +162,33 @@ def merge_coast_paths(paths: list[np.ndarray], rect: Rect) -> list[np.ndarray]:
     merged = concat_fixpoint(paths)
     kept = drop_interior_endpoints(merged, rect)
     return connect_edge_paths(kept, rect)
+
+
+def merge_coast_df(paths_df, rect: Rect):
+    """Distributed form: paths(tile_key, path_id, xs, ys) →
+    (tile_key, poly_id, xs, ys) closed polygons, one group kernel per
+    tile (sequential within a tile, parallel across tiles — SURVEY A3/A4).
+    Input paths within a tile are processed in path_id order (the
+    deterministic stand-in for the reference's file order)."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("path_id", kind="mergesort")
+        paths = [
+            np.column_stack([np.asarray(xs), np.asarray(ys)])
+            for xs, ys in zip(pdf["xs"], pdf["ys"])
+        ]
+        polys = merge_coast_paths(paths, rect)
+        tile = pdf["tile_key"].iloc[0]
+        return pd.DataFrame(
+            [
+                (tile, i, [float(x) for x in p[:, 0]], [float(y) for y in p[:, 1]])
+                for i, p in enumerate(polys)
+            ],
+            columns=["tile_key", "poly_id", "xs", "ys"],
+        )
+
+    return paths_df.groupBy("tile_key").applyInPandas(
+        kernel,
+        schema="tile_key long, poly_id long, xs array<double>, ys array<double>",
+    )

@@ -140,6 +140,37 @@ def test_merge_closed_ring_untouched():
     assert (out[0] == ring).all()
 
 
+def test_merge_coast_df_matches_kernel(spark):
+    """Distributed per-tile merge == single-process kernel per tile."""
+    from osm_render_spark.operators.coast_merge import merge_coast_df
+
+    tiles = {
+        0: [
+            np.array([[0.0, 4.0], [5.0, 5.0], [6.0, 0.0]]),
+            np.array([[8.0, 0.0], [9.0, 2.0], [10.0, 3.0]]),
+        ],
+        1: [np.array([[2.0, 2.0], [6.0, 2.0], [4.0, 6.0], [2.0, 2.0]])],
+    }
+    rows = [
+        (t, i, [float(x) for x in p[:, 0]], [float(y) for y in p[:, 1]])
+        for t, ps in tiles.items()
+        for i, p in enumerate(ps)
+    ]
+    df = spark.createDataFrame(
+        rows, "tile_key long, path_id long, xs array<double>, ys array<double>"
+    )
+    got = {}
+    for r in merge_coast_df(df, RECT).collect():
+        got.setdefault(r["tile_key"], []).append(
+            np.column_stack([r["xs"], r["ys"]])
+        )
+    for t, paths in tiles.items():
+        want = merge_coast_paths(paths, RECT)
+        assert len(got[t]) == len(want)
+        for a, b in zip(got[t], want):
+            assert (a == b).all()
+
+
 @given(seed=st.integers(0, 3000))
 @settings(max_examples=40, deadline=None)
 def test_merge_invariants(seed):
