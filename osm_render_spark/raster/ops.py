@@ -51,7 +51,12 @@ def render_map_kernel(
     pdf: pd.DataFrame, w: int, h: int
 ) -> np.ndarray:
     """One scene/tile: land base, merged-coast water fill, water-body
-    fill, bridge DEST_OUT erase. pdf columns: kind, xs, ys."""
+    fill, bridge DEST_OUT erase. pdf columns: way_id, kind, xs, ys."""
+    # shuffle arrival order is nondeterministic; the coast concat/walk is
+    # order-sensitive, so pin way_id order (the engine's canonical stand-in
+    # for the reference's file order, SURVEY O4)
+    if "way_id" in pdf.columns:
+        pdf = pdf.sort_values("way_id", kind="mergesort")
     surf = new_surface(w, h, LAND_COLOR)
     rect = (0.0, 0.0, float(w), float(h))
 
@@ -174,6 +179,105 @@ def pack_atlas(sprites: DataFrame) -> DataFrame:
 
     return sprites.groupBy("scene_id").applyInPandas(
         kernel, schema="scene_id long, atlas binary, w int, h int, n_sprites int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# slippy-map multi-tile renderer — the distributed generalization of the
+# reference's single-scene render (each z/x/y tile is its own 256px
+# render box; a way lands on EVERY tile its bbox covers)
+# ---------------------------------------------------------------------------
+
+def _merc_x(lon, zoom: int):
+    n = 1 << zoom
+    return (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))
+
+
+def _merc_y(lat, zoom: int):
+    import math
+
+    n = 1 << zoom
+    lat_c = F.least(F.greatest(lat, F.lit(-85.05112878)), F.lit(85.05112878))
+    rad = F.radians(lat_c)
+    return (
+        (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * F.lit(float(n))
+    )
+
+
+def render_slippy_tiles(
+    ways: DataFrame, zoom: int, tile_px: int = 256
+) -> DataFrame:
+    """ways(way_id, kind, geometry:array<struct<lon,lat>>) → one rendered
+    PNG per z/x/y tile any way's bbox covers.
+
+    Plan shape (all pre-kernel work is Column arithmetic):
+      1. per-way mercator bbox → covered tile ranges (aggregate HOFs)
+      2. fan-out: explode the tile-x and tile-y ranges (a way appears once
+         per covered tile — the slippy generalization of P8/P9)
+      3. translate geometry to tile-local pixel coords (transform HOF)
+      4. ONE shuffle on (tile_x, tile_y) → per-tile group render kernel
+         (clip → coast merge → fill/stroke/erase — same kernels as the
+         single-scene path, so goldens carry over)
+
+    Skew note: dense cells fan out many ways to one tile; the group kernel
+    cost is bounded by tile_px² plus the bbox-windowed fills, and AQE
+    skew-split handles uneven groups.
+    """
+    n = 1 << zoom
+    g = F.col("geometry")
+    lon_min = F.array_min(F.transform(g, lambda p: p["lon"]))
+    lon_max = F.array_max(F.transform(g, lambda p: p["lon"]))
+    lat_min = F.array_min(F.transform(g, lambda p: p["lat"]))
+    lat_max = F.array_max(F.transform(g, lambda p: p["lat"]))
+
+    def clamp_tile(c):
+        return F.least(F.greatest(F.floor(c), F.lit(0)), F.lit(n - 1)).cast("long")
+
+    ranged = ways.select(
+        "way_id",
+        "kind",
+        "geometry",
+        clamp_tile(_merc_x(lon_min, zoom)).alias("tx0"),
+        clamp_tile(_merc_x(lon_max, zoom)).alias("tx1"),
+        clamp_tile(_merc_y(lat_max, zoom)).alias("ty0"),  # y-down: max lat = min y
+        clamp_tile(_merc_y(lat_min, zoom)).alias("ty1"),
+    )
+    fanned = (
+        ranged.withColumn("tile_x", F.explode(F.sequence("tx0", "tx1")))
+        .withColumn("tile_y", F.explode(F.sequence("ty0", "ty1")))
+        .drop("tx0", "tx1", "ty0", "ty1")
+    )
+    local = fanned.select(
+        "way_id",
+        "kind",
+        "tile_x",
+        "tile_y",
+        (F.col("tile_x") * n + F.col("tile_y")).alias("tile_key"),
+        F.transform(
+            "geometry",
+            lambda p: (_merc_x(p["lon"], zoom) - F.col("tile_x")) * F.lit(float(tile_px)),
+        ).alias("xs"),
+        F.transform(
+            "geometry",
+            lambda p: (_merc_y(p["lat"], zoom) - F.col("tile_y")) * F.lit(float(tile_px)),
+        ).alias("ys"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        surf = render_map_kernel(pdf, tile_px, tile_px)
+        return pd.DataFrame(
+            {
+                "tile_key": [pdf["tile_key"].iloc[0]],
+                "tile_x": [pdf["tile_x"].iloc[0]],
+                "tile_y": [pdf["tile_y"].iloc[0]],
+                "bytes": [encode_png(surf)],
+            }
+        )
+
+    return local.groupBy("tile_key").applyInPandas(
+        kernel, schema="tile_key long, tile_x long, tile_y long, bytes binary"
     )
 
 
