@@ -1163,6 +1163,39 @@ def _q_image_pipeline() -> QueryDef:
     return QueryDef(fn, None)
 
 
+def _q_slippy_render() -> QueryDef:
+    """Multi-tile slippy render over testdata-derived polygon ways —
+    rows-only (PNG bytes are engine-side; pixel parity is pinned by
+    tests/test_slippy + golden tiles)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .raster.ops import render_slippy_tiles
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.expr("o_orderkey % 100 = 0")
+        )
+        d = 0.05
+        ways = orders.select(
+            F.col("o_orderkey").alias("way_id"),
+            F.lit("water").alias("kind"),
+            F.expr(
+                f"""array(
+                  struct({LON_ORD} AS lon, {LAT_ORD} AS lat),
+                  struct({LON_ORD} + {d} AS lon, {LAT_ORD} AS lat),
+                  struct({LON_ORD} + {d} AS lon, {LAT_ORD} + {d} AS lat),
+                  struct({LON_ORD} AS lon, {LAT_ORD} + {d} AS lat),
+                  struct({LON_ORD} AS lon, {LAT_ORD} AS lat)
+                )"""
+            ).alias("geometry"),
+        )
+        tiles = render_slippy_tiles(ways, zoom=6, tile_px=128)
+        return tiles.select(
+            "tile_key", "tile_x", "tile_y", F.length("bytes").alias("png_bytes")
+        ).orderBy("tile_key")
+
+    return QueryDef(fn, None)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1209,5 +1242,6 @@ def build_queries() -> dict[str, QueryDef]:
         "embedding_l2_top3": _q_embedding_l2_top3(),
         "ann_lsh_bucket": _q_ann_lsh_bucket(),
         "cosine_top3": _q_cosine_top3(),
+        "slippy_render": _q_slippy_render(),
     }
     return defs

@@ -37,6 +37,49 @@ def test_landmarks_display_filter(spark):
     assert [r["label"] for r in lm] == ["Museum"]  # P4 drops display=false
 
 
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): each distinct
+    text emitted exactly once, even when duplicates arrive in later
+    micro-batches (maxFilesPerTrigger=1 forces multiple batches)."""
+    import time as _time
+
+    from osm_render_spark.streaming.dedup import streaming_dedup
+
+    src = str(tmp_path / "docs")
+    texts1 = [(i, f"text number {i}") for i in range(10)]
+    texts2 = [(100 + i, f"text number {i}") for i in range(5)] + [
+        (200 + i, f"fresh text {i}") for i in range(5)
+    ]
+    spark.createDataFrame(texts1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(texts2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts)), "a text was emitted twice"
+    assert set(texts) == {f"text number {i}" for i in range(10)} | {
+        f"fresh text {i}" for i in range(5)
+    }
+
+
 def test_streaming_tile_counts_match_batch(spark, tmp_path):
     from osm_render_spark.functions.projection import tile_key_sql
     from osm_render_spark.streaming.ingest import run_to_completion, streaming_tile_counts
