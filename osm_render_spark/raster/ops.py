@@ -459,6 +459,73 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def fake_audio_bytes(audio_id: int, n_samples: int = 8000, rate: int = 8000) -> bytes:
+    """Deterministic stand-in for an encoded audio blob: int16 PCM of a
+    few id-derived sinusoids, zlib-wrapped. (No audio codec in this
+    container — the compressed-format decode is the stubbed part; the
+    PCM math and Spark plumbing are real.)"""
+    import struct
+    import zlib
+
+    t = np.arange(n_samples, dtype=np.float64) / rate
+    f1 = 110.0 + (audio_id * 37) % 500
+    f2 = 220.0 + (audio_id * 91) % 900
+    wave = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+    pcm = np.floor(wave * 32767 + 0.5).astype(np.int16)
+    return b"FAUD" + struct.pack(">IIH", audio_id, n_samples, rate) + zlib.compress(
+        pcm.tobytes()
+    )
+
+
+def audio_features(audios: DataFrame, frame: int = 400) -> DataFrame:
+    """Audio feature extraction over opaque blobs: per-frame RMS energy,
+    peak amplitude, zero-crossing rate — vectorized numpy inside Arrow
+    batches. Only fake_audio_bytes blobs decode (NotImplementedError
+    otherwise — see fake_audio_bytes)."""
+    import struct
+    import zlib
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                data = row.bytes
+                if data[:4] != b"FAUD":
+                    raise NotImplementedError(
+                        "real audio decode requires a codec library not in "
+                        "this container; only fake_audio_bytes blobs decode"
+                    )
+                _aid, n, rate = struct.unpack(">IIH", data[4:14])
+                pcm = np.frombuffer(zlib.decompress(data[14:]), dtype=np.int16)
+                x = pcm.astype(np.float64) / 32767.0
+                n_frames = len(x) // frame
+                fx = x[: n_frames * frame].reshape(n_frames, frame)
+                rms = np.sqrt((fx**2).mean(axis=1))
+                zc = (np.diff(np.signbit(fx), axis=1) != 0).sum(axis=1)
+                rows.append(
+                    (
+                        row.audio_id,
+                        rate,
+                        n_frames,
+                        float(rms.mean()),
+                        float(np.abs(x).max()),
+                        float(zc.mean() / frame),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "rate", "n_frames", "rms", "peak", "zcr"],
+            )
+
+    return audios.mapInPandas(
+        kernel,
+        schema=(
+            "audio_id long, rate int, n_frames int, rms double, peak double, "
+            "zcr double"
+        ),
+    )
+
+
 def sample_video_frames(videos: DataFrame, every_n: int) -> DataFrame:
     """Frame-sampling plumbing for opaque video blobs. The DECODER IS A
     STUB (no video codec in this container): blobs produced by
