@@ -111,6 +111,31 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
                 rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
             )
 
+    # slippy render throughput: small polygon ways world-wide → per-tile
+    # render at z6/128px (the engine's core raster path)
+    from osm_render_spark.functions.projection import derived_lat_sql, derived_lon_sql
+    from osm_render_spark.raster.ops import render_slippy_tiles
+
+    n_ways = 3000
+    d = 0.03
+    ways = spark.range(n_ways).select(
+        F.col("id").alias("way_id"),
+        F.lit("water").alias("kind"),
+        F.expr(
+            f"""array(
+              struct({derived_lon_sql('id * 13 + 5')} AS lon, {derived_lat_sql('id * 17 + 3')} AS lat),
+              struct({derived_lon_sql('id * 13 + 5')} + {d} AS lon, {derived_lat_sql('id * 17 + 3')} AS lat),
+              struct({derived_lon_sql('id * 13 + 5')} + {d} AS lon, {derived_lat_sql('id * 17 + 3')} + {d} AS lat),
+              struct({derived_lon_sql('id * 13 + 5')} AS lon, {derived_lat_sql('id * 17 + 3')} + {d} AS lat),
+              struct({derived_lon_sql('id * 13 + 5')} AS lon, {derived_lat_sql('id * 17 + 3')} AS lat)
+            )"""
+        ).alias("geometry"),
+    )
+    render_slippy_tiles(ways.limit(200), 6, 128).count()  # warm
+    t0 = time.time()
+    n_tiles_rendered = render_slippy_tiles(ways, 6, 128).count()
+    render_sec = time.time() - t0
+
     n_img = 2000
     imgs = spark.range(n_img).mapInPandas(
         _gen_images,
@@ -135,6 +160,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "tile_assignments_per_sec": round(n_assign / assign_sec, 1),
         "joined_rows_per_sec": round((n_joined or 0) / join_sec, 1),
         "images_decoded_per_sec": round(n_img / img_sec, 1),
+        "tiles_rendered_per_sec": round(n_tiles_rendered / render_sec, 1),
+        "n_tiles_rendered": n_tiles_rendered,
     }
 
 

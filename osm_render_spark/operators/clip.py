@@ -39,9 +39,17 @@ def clip_polyline(pts: np.ndarray, rect: Rect) -> list[np.ndarray]:
     q = pts[1:]
     d = q - p
 
-    # Liang–Barsky t-interval per segment against each of the 4 half-planes
+    # Liang–Barsky t-interval per segment against each of the 4 half-planes.
+    # Track WHICH plane produced each t so the clipped coordinate can be
+    # ASSIGNED the exact boundary value (clamping is not enough: the float
+    # p + t*d can land epsilon-inside the rect, and the coastline merge
+    # relies on exact boundary equality — OsmRender.m:368-371).
     t_enter = np.zeros(len(p))
     t_exit = np.ones(len(p))
+    enter_axis = np.full(len(p), -1, dtype=np.int8)
+    enter_bound = np.zeros(len(p))
+    exit_axis = np.full(len(p), -1, dtype=np.int8)
+    exit_bound = np.zeros(len(p))
     valid = np.ones(len(p), dtype=bool)
     for lo, hi, axis in ((x0, x1, 0), (y0, y1, 1)):
         dp = d[:, axis]
@@ -50,17 +58,25 @@ def clip_polyline(pts: np.ndarray, rect: Rect) -> list[np.ndarray]:
             t_lo = (lo - pp) / dp
             t_hi = (hi - pp) / dp
         t0 = np.where(dp >= 0, t_lo, t_hi)
+        b0 = np.where(dp >= 0, lo, hi)
         t1 = np.where(dp >= 0, t_hi, t_lo)
+        b1 = np.where(dp >= 0, hi, lo)
         par_out = (dp == 0) & ((pp < lo) | (pp > hi))
         valid &= ~par_out
-        t_enter = np.where(dp != 0, np.maximum(t_enter, t0), t_enter)
-        t_exit = np.where(dp != 0, np.minimum(t_exit, t1), t_exit)
+        upd0 = (dp != 0) & (t0 > t_enter)
+        t_enter = np.where(upd0, t0, t_enter)
+        enter_axis = np.where(upd0, axis, enter_axis)
+        enter_bound = np.where(upd0, b0, enter_bound)
+        upd1 = (dp != 0) & (t1 < t_exit)
+        t_exit = np.where(upd1, t1, t_exit)
+        exit_axis = np.where(upd1, axis, exit_axis)
+        exit_bound = np.where(upd1, b1, exit_bound)
     valid &= t_enter <= t_exit
 
-    def snap(point: np.ndarray) -> np.ndarray:
-        """Assign exact boundary coords when a clipped point lies on (or
-        within float noise of) an edge it was clipped against."""
+    def cut(point: np.ndarray, axis: int, bound: float) -> np.ndarray:
         out = point.copy()
+        if axis >= 0:
+            out[axis] = bound  # exact boundary assignment
         out[0] = min(max(out[0], x0), x1)
         out[1] = min(max(out[1], y0), y1)
         return out
@@ -74,8 +90,16 @@ def clip_polyline(pts: np.ndarray, rect: Rect) -> list[np.ndarray]:
             cur = []
             continue
         te, tx = t_enter[i], t_exit[i]
-        a = p[i] if te <= 0 else snap(p[i] + te * d[i])
-        b = q[i] if tx >= 1 else snap(p[i] + tx * d[i])
+        a = (
+            p[i]
+            if te <= 0
+            else cut(p[i] + te * d[i], int(enter_axis[i]), float(enter_bound[i]))
+        )
+        b = (
+            q[i]
+            if tx >= 1
+            else cut(p[i] + tx * d[i], int(exit_axis[i]), float(exit_bound[i]))
+        )
         if te > 0:  # segment enters the rect: start a new sub-path
             if len(cur) >= 2:
                 subpaths.append(cur)

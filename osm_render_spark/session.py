@@ -54,6 +54,10 @@ def get_spark(
         # equivalent — SURVEY.md §1.2).
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # spill-aware input sizing: ~128 MB splits keep a task's working set
+        # well under executor memory even with wide image rows; at 100 TB
+        # this bounds tasks at ~800k and AQE coalesces the small tail
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

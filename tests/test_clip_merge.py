@@ -63,11 +63,18 @@ def test_clip_invariants(seed):
     rng = np.random.default_rng(seed)
     pts = rng.uniform(-5, 15, size=(int(rng.integers(2, 30)), 2))
     out = clip_polyline(pts, RECT)
+    originals = {(p[0], p[1]) for p in pts}
     for sub in out:
         assert len(sub) >= 2
         # every output point is inside-or-on the rect
         assert (sub[:, 0] >= 0).all() and (sub[:, 0] <= 10).all()
         assert (sub[:, 1] >= 0).all() and (sub[:, 1] <= 10).all()
+        # F7 exactness: any endpoint that is NOT an original input vertex
+        # was produced by clipping and must lie EXACTLY on the boundary
+        # (required by the merge's exact-equality tests, OsmRender.m:368-371)
+        for p in (sub[0], sub[-1]):
+            if (p[0], p[1]) not in originals:
+                assert p[0] in (0.0, 10.0) or p[1] in (0.0, 10.0)
 
 
 # ---------------------------------------------------------------------------
