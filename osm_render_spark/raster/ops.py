@@ -265,18 +265,45 @@ def render_slippy_tiles(
         ).alias("ys"),
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        surf = render_map_kernel(pdf, tile_px, tile_px)
-        return pd.DataFrame(
-            {
-                "tile_key": [pdf["tile_key"].iloc[0]],
-                "tile_x": [pdf["tile_x"].iloc[0]],
-                "tile_y": [pdf["tile_y"].iloc[0]],
-                "bytes": [encode_png(surf)],
-            }
-        )
+    # Many tiles per Arrow batch: repartition on tile_key + sort within
+    # partitions, then iterate groups inside mapInPandas (buffering the
+    # group that spans a batch boundary). One applyInPandas group per tile
+    # costs ~4 ms of per-group overhead — at millions of tiles that
+    # dominates; this shape amortizes it across a whole batch.
+    n_part = max(local.sparkSession.sparkContext.defaultParallelism, 8)
+    arranged = local.repartition(n_part, "tile_key").sortWithinPartitions("tile_key")
 
-    return local.groupBy("tile_key").applyInPandas(
+    def kernel(batches):
+        pending: pd.DataFrame | None = None
+
+        def render_group(g: pd.DataFrame):
+            surf = render_map_kernel(g, tile_px, tile_px)
+            return (
+                int(g["tile_key"].iloc[0]),
+                int(g["tile_x"].iloc[0]),
+                int(g["tile_y"].iloc[0]),
+                encode_png(surf),
+            )
+
+        cols = ["tile_key", "tile_x", "tile_y", "bytes"]
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            last_key = pdf["tile_key"].iloc[-1]
+            tail = pdf[pdf["tile_key"] == last_key]
+            head = pdf[pdf["tile_key"] != last_key]
+            pending = tail
+            if len(head):
+                out = [render_group(g) for _k, g in head.groupby("tile_key", sort=True)]
+                yield pd.DataFrame(out, columns=cols)
+        if pending is not None and len(pending):
+            out = [render_group(g) for _k, g in pending.groupby("tile_key", sort=True)]
+            yield pd.DataFrame(out, columns=cols)
+
+    return arranged.mapInPandas(
         kernel, schema="tile_key long, tile_x long, tile_y long, bytes binary"
     )
 
