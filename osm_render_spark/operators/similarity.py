@@ -111,6 +111,47 @@ def ann_lsh_buckets(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return embeddings.withColumn("bucket", F.expr(hyperplane_bucket_expr()))
 
 
+def cosine_near_dups(
+    embeddings: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, then
+    exact cosine only WITHIN buckets (the near-dup scale path — candidate
+    pairs are bounded by bucket sizes, not n²). Returns (a, b, cos) with
+    a < b and cos ≥ threshold. Recall is bounded by the LSH (pairs in
+    different buckets are missed) — standard near-dup tradeoff; raise
+    recall with more bands/multiprobe."""
+    import numpy as np
+    import pandas as pd
+
+    bucketed = ann_lsh_buckets(embeddings, id_col).select(
+        "bucket", F.col(id_col).alias("vid"), "embedding"
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["a", "b", "cos"]).astype(
+                {"a": "int64", "b": "int64", "cos": "float64"}
+            )
+        pdf = pdf.sort_values("vid", kind="mergesort")
+        ids = pdf["vid"].to_numpy()
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        cos = (m @ m.T) / (norms[:, None] * norms[None, :])
+        iu = np.triu_indices(len(ids), k=1)
+        mask = cos[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "a": ids[iu[0][mask]],
+                "b": ids[iu[1][mask]],
+                "cos": cos[iu][mask],
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        kernel, schema="a long, b long, cos double"
+    )
+
+
 def ann_topk(
     embeddings: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id"
 ) -> DataFrame:

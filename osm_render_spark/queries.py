@@ -1083,6 +1083,56 @@ FROM embeddings ORDER BY vec_id
     return QueryDef(fn, duck)
 
 
+def _q_token_count_regex() -> QueryDef:
+    """BPE-ish regex tokenization: alpha runs, digit runs, and non-space
+    symbol runs counted separately. Simple character classes behave
+    identically in Java regex (Spark) and RE2 (DuckDB)."""
+    duck = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit,
+       CAST(len(regexp_extract_all(text, '[^a-z0-9 ]+')) AS BIGINT) AS n_symbol
+FROM documents ORDER BY doc_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(
+            """
+SELECT doc_id,
+       CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT) AS n_alpha,
+       CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT) AS n_digit,
+       CAST(size(regexp_extract_all(text, '[^a-z0-9 ]+', 0)) AS BIGINT) AS n_symbol
+FROM documents ORDER BY doc_id
+"""
+        )
+
+    return QueryDef(fn, duck)
+
+
+def _q_cosine_near_dups() -> QueryDef:
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only: double
+    cosine values; pair-set correctness is pinned by
+    tests/test_training_ops against numpy)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.similarity import cosine_near_dups
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # duplicate a slice so real near-dups exist (cos = 1 with itself)
+        dup = emb.where(F.expr("vec_id % 10 = 0")).withColumn(
+            "vec_id", F.col("vec_id") + 1000000
+        )
+        corpus = emb.unionAll(dup)
+        return (
+            cosine_near_dups(corpus, threshold=0.95)
+            .select("a", "b")
+            .orderBy("a", "b")
+        )
+
+    return QueryDef(fn, None)
+
+
 def _q_cosine_top3() -> QueryDef:
     """Brute-force cosine top-k via the similarity operator. Rows-only:
     double SQRT/division makes the score engine-dependent at ulp level, so
@@ -1242,6 +1292,8 @@ def build_queries() -> dict[str, QueryDef]:
         "embedding_l2_top3": _q_embedding_l2_top3(),
         "ann_lsh_bucket": _q_ann_lsh_bucket(),
         "cosine_top3": _q_cosine_top3(),
+        "token_count_regex": _q_token_count_regex(),
+        "cosine_near_dups": _q_cosine_near_dups(),
         "slippy_render": _q_slippy_render(),
     }
     return defs

@@ -61,6 +61,32 @@ def test_ann_topk_is_subset_ranked_consistently(emb):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_cosine_near_dups_within_buckets(emb):
+    """Every emitted pair is a true near-dup; every same-bucket true
+    near-dup is emitted (LSH recall boundary is the bucket)."""
+    import numpy as np
+
+    from osm_render_spark.operators.similarity import (
+        ann_lsh_buckets,
+        cosine_near_dups,
+    )
+
+    vecs, df = emb
+    thr = 0.6
+    got = {(r["a"], r["b"]) for r in cosine_near_dups(df, threshold=thr).collect()}
+    buckets = {r["vec_id"]: r["bucket"] for r in ann_lsh_buckets(df).collect()}
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    cos = (v @ v.T) / (norms[:, None] * norms[None, :])
+    want = {
+        (i, j)
+        for i in range(len(v))
+        for j in range(i + 1, len(v))
+        if buckets[i] == buckets[j] and cos[i, j] >= thr
+    }
+    assert got == want
+
+
 def test_exact_dedup_counts(spark):
     from osm_render_spark.operators.dedup import exact_dedup
 
