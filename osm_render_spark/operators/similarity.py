@@ -152,6 +152,94 @@ def cosine_near_dups(
     )
 
 
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat ANN: a deterministic coarse quantizer (centroids = the
+    ``n_centroids`` lowest-id vectors — sampling quantizer; swap in
+    k-means iterations at real scale without changing the plan shape)
+    partitions the corpus into inverted lists; each query probes its
+    ``n_probe`` nearest centroids and ranks exact cosine only within the
+    probed lists.
+
+    Plan: list assignment is one numpy-matmul Arrow pass (no shuffle of
+    the corpus beyond the list-id equi-join); probes fan each query to
+    n_probe rows (broadcast); the rank window sees only probed
+    candidates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = (
+        embeddings.orderBy(id_col).limit(n_centroids).select("embedding").collect()
+    )
+    c_mat = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    c_norm = np.linalg.norm(c_mat, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            cos = (m @ c_mat.T) / (norms[:, None] * c_norm[None, :])
+            yield pd.DataFrame(
+                {
+                    "list_id": cos.argmax(axis=1).astype(np.int64),
+                    id_col: pdf[id_col],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    lists = embeddings.mapInPandas(
+        assign, schema=f"list_id long, {id_col} long, embedding array<float>"
+    )
+
+    q_rows = queries.collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["q_embedding"], dtype=np.float64)
+        cos = (c_mat @ qv) / (c_norm * np.linalg.norm(qv))
+        for lid in np.argsort(-cos)[:n_probe]:
+            probe_rows.append((int(r["query_id"]), int(lid), r["q_embedding"]))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, list_id long, q_embedding array<float>"
+    )
+
+    joined = lists.join(F.broadcast(probes), "list_id")
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            b = np.array(list(pdf["q_embedding"]), dtype=np.float64)
+            cos = (a * b).sum(axis=1) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf[id_col],
+                    "cos": cos,
+                }
+            )
+
+    scored = joined.mapInPandas(score, schema="query_id long, cand_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
 def ann_topk(
     embeddings: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id"
 ) -> DataFrame:

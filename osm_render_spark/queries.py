@@ -1213,6 +1213,27 @@ def _q_image_pipeline() -> QueryDef:
     return QueryDef(fn, None)
 
 
+def _q_ann_ivf_top3() -> QueryDef:
+    """IVF-flat ANN (rows-only: double cosine; exactness at full probe is
+    pinned by tests/test_training_ops)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.similarity import ann_ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.expr("vec_id % 25 = 0")).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        c = emb.where(F.expr("vec_id % 25 <> 0"))
+        return (
+            ann_ivf_topk(c, q, 3, n_centroids=16, n_probe=4)
+            .select("query_id", "cand_id", "rank")
+            .orderBy("query_id", "rank")
+        )
+
+    return QueryDef(fn, None)
+
+
 def _q_slippy_render() -> QueryDef:
     """Multi-tile slippy render over testdata-derived polygon ways —
     rows-only (PNG bytes are engine-side; pixel parity is pinned by
@@ -1294,6 +1315,7 @@ def build_queries() -> dict[str, QueryDef]:
         "cosine_top3": _q_cosine_top3(),
         "token_count_regex": _q_token_count_regex(),
         "cosine_near_dups": _q_cosine_near_dups(),
+        "ann_ivf_top3": _q_ann_ivf_top3(),
         "slippy_render": _q_slippy_render(),
     }
     return defs

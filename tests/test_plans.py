@@ -118,6 +118,37 @@ def test_salted_counts_equal_unsalted(spark):
     assert a == b
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """The 100 TB co-location story (SURVEY J3 note): nodes and exploded
+    way-refs bucketed by id join WITHOUT exchanging the big sides."""
+    import uuid
+
+    # tables land in ./spark-warehouse (gitignored); unique names per run
+    suffix = uuid.uuid4().hex[:8]
+    nodes = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 360 - 180.0).alias("lon"), F.lit(1.0).alias("lat")
+    )
+    refs = spark.range(30000).select(
+        (F.col("id") % 10000).alias("id"), (F.col("id") % 97).alias("way_id")
+    )
+    nodes.write.bucketBy(8, "id").sortBy("id").saveAsTable(f"nodes_b_{suffix}")
+    refs.write.bucketBy(8, "id").sortBy("id").saveAsTable(f"refs_b_{suffix}")
+    # force the large-large strategy (broadcast would bypass bucketing here
+    # because the test tables are tiny; at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(f"refs_b_{suffix}").join(
+            spark.table(f"nodes_b_{suffix}"), "id"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 30000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 @pytest.mark.parametrize("zoom", [8])
 def test_tile_key_filter_prunes_parquet(spark, tmp_path, zoom):
     """The engine's S6 analog: data written partitioned by tile cell +

@@ -61,6 +61,38 @@ def test_ann_topk_is_subset_ranked_consistently(emb):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_ann_ivf_recall_and_ranking(emb):
+    """IVF probing: full-probe (n_probe = n_centroids) must equal brute
+    force exactly; narrow probe stays a correctly-ranked subset."""
+    import numpy as np
+
+    from osm_render_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    vecs, df = emb
+    queries = df.where(df.vec_id < 3).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("q_embedding")
+    )
+    cands = df.where(df.vec_id >= 3)
+    brute = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in cosine_topk(cands, queries, 5).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in ann_ivf_topk(cands, queries, 5, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == brute  # probing every list == exact search
+    narrow = ann_ivf_topk(cands, queries, 5, n_centroids=8, n_probe=2).collect()
+    by_q = {}
+    for r in narrow:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        cos_vals = [c for _r, c in rows]
+        assert cos_vals == sorted(cos_vals, reverse=True)  # correctly ranked
+        assert np.isfinite(cos_vals).all()
+
+
 def test_cosine_near_dups_within_buckets(emb):
     """Every emitted pair is a true near-dup; every same-bucket true
     near-dup is emitted (LSH recall boundary is the bucket)."""
