@@ -86,10 +86,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 
     # multimodal axis: decode+verify+feature throughput over synthetic
     # input_hint images generated on executors (no files involved)
-    from osm_render_spark.queries import build_queries as _bq  # noqa: F401
     from osm_render_spark.raster.ops import decode_features
-
-    import pandas as pd  # noqa: F401
 
     def _gen_images(it):
         import pandas as pd

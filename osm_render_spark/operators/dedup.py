@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import MINHASH_A, SPARK, minhash_sql, shingles_sql, word_keys_sql
+from .text import MINHASH_A, SPARK, shingles_sql, word_keys_sql
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -3,7 +3,6 @@ table, video frame sampling (stubbed decode), audio features."""
 
 from __future__ import annotations
 
-import numpy as np
 import pytest
 
 from osm_render_spark.fixtures.images import images_df

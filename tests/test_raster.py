@@ -109,7 +109,6 @@ def test_atlas_packs_in_order():
 
 @pytest.fixture(scope="module")
 def scene_tiles(spark):
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from osm_render_spark.fixtures.osm import ALL_SCENES

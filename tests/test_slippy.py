@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import functions as F
 
 from osm_render_spark.functions.cells import merc_xy
 from osm_render_spark.raster.codec import decode_png
