@@ -471,13 +471,10 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 h, w = img.shape[:2]
                 ys = (np.arange(out_h + 1) * h) // out_h
                 xs = (np.arange(out_w + 1) * w) // out_w
-                out = np.zeros((out_h, out_w, img.shape[2]))
-                for i in range(out_h):
-                    for j in range(out_w):
-                        out[i, j] = img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean(
-                            axis=(0, 1)
-                        )
-                thumb = np.floor(out + 0.5).astype(np.uint8)
+                # block means via reduceat on both axes (no python pixel loop)
+                sums = np.add.reduceat(np.add.reduceat(img, ys[:-1], axis=0), xs[:-1], axis=1)
+                counts = np.outer(np.diff(ys), np.diff(xs))[:, :, None]
+                thumb = np.floor(sums / counts + 0.5).astype(np.uint8)
                 recs.append((row.image_id, encode_png(thumb), out_w, out_h))
             yield pd.DataFrame(recs, columns=["image_id", "bytes", "w", "h"])
 
