@@ -67,6 +67,19 @@ def matching_way_ids(ways: DataFrame, mnodes: DataFrame) -> DataFrame:
     )
 
 
+def dedupe_nodes(nodes: DataFrame) -> DataFrame:
+    """E4 for nodes: the reference's id→point hash map makes the LAST
+    inserted node win on id collisions (insert at MapData.m:176-180, file
+    order). Distributed input has no file order, so the engine's
+    deterministic stand-in is max block_id, tie-broken by (lat, lon).
+    Real OSM ids are unique — this only matters for concatenated extracts.
+    """
+    order = F.struct(F.col("block_id"), F.col("lat"), F.col("lon"))
+    return nodes.groupBy("id").agg(
+        F.max_by(F.struct("lon", "lat"), order).alias("_p")
+    ).select("id", F.col("_p.lon").alias("lon"), F.col("_p.lat").alias("lat"))
+
+
 def assemble_geometry(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     """J2+J3+A1: ordered vertex arrays for each way, using ALL refs.
 
@@ -75,13 +88,16 @@ def assemble_geometry(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     sort-agg restores ref order (A1). The reference asserts every ref
     resolves (MapData.m:227-228) — we inner-join, so unresolvable refs
     drop the vertex; a lineage count check catches mismatches upstream.
+    Node-id duplicates are collapsed first (dedupe_nodes) — a plain join
+    would duplicate vertices where the reference's hash map overwrites.
     """
     exploded = ways.select(
         F.col("id").alias("way_id"),
         F.posexplode("refs").alias("pos", "ref"),
     )
+    unique_nodes = dedupe_nodes(nodes) if "block_id" in nodes.columns else nodes
     joined = exploded.join(
-        nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref", "inner"
+        unique_nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref", "inner"
     )
     return joined.groupBy("way_id").agg(
         F.transform(

@@ -44,6 +44,26 @@ def test_relation_collision_last_wins(spark):
     assert rows[30]["src"] == "rel"  # relation value wins over way value
 
 
+def test_duplicate_node_ids_last_wins(spark):
+    """E4 for nodes (MapData.m:176-180: hash insert overwrites): a
+    duplicated node id must yield ONE vertex — the one from the highest
+    block — not two."""
+    from osm_render_spark.fixtures.osm import NODE_SCHEMA, WAY_SCHEMA
+
+    nodes = spark.createDataFrame(
+        [
+            (1, 10.0, 20.0, {}, 0),
+            (1, 11.0, 21.0, {}, 1),  # same id, later block → wins
+            (2, 10.5, 20.5, {}, 0),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame([(7, [1, 2], {"natural": "water"})], WAY_SCHEMA)
+    rows = ways_in_rect(nodes, ways, None, (9.0, 19.0, 12.0, 22.0)).collect()
+    geom = [(p["lon"], p["lat"]) for p in rows[0]["geometry"]]
+    assert geom == [(21.0, 11.0), (20.5, 10.5)]
+
+
 def test_sparse_scene_full_geometry(spark):
     """Way 40 has 3 of 4 vertices outside the bbox — all 4 must be present
     (extraNodes back-join J2, MapData.m:129-137)."""
