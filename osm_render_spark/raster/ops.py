@@ -329,12 +329,15 @@ def park_icon(size: int = 16) -> np.ndarray:
 def annotate_tiles(
     tiles: DataFrame, marks: DataFrame, bullet_radius: float = 3.0
 ) -> DataFrame:
-    """tiles(scene_id, bytes, w, h) × marks(scene_id, mark_id, x, y, kind)
-    → tiles with landmark bullets (kind='bullet') and park icons
-    (kind='park', J11) composited. Marks are broadcast-joined (dimension-
-    sized); one Arrow kernel pass over the tiles."""
+    """tiles(scene_id, bytes, w, h) × marks(scene_id, mark_id, x, y, kind
+    [, label]) → tiles with landmark bullets (kind='bullet'), park icons
+    (kind='park', J11) and text labels with rounded-rect backgrounds
+    (kind='label', R7/R8 — engine bitmap font) composited. One cogroup
+    pass; marks are dimension-sized."""
 
     def kernel(key, tiles_pdf: pd.DataFrame, marks_pdf: pd.DataFrame) -> pd.DataFrame:
+        from .font import draw_label
+
         marks_pdf = marks_pdf.sort_values("mark_id", kind="mergesort")
         icon = park_icon()
         out = []
@@ -352,6 +355,8 @@ def annotate_tiles(
                     bx = int(np.floor(m.x - icon.shape[1] / 2 + 0.5))
                     by = int(np.floor(m.y - icon.shape[0] / 2 + 0.5))
                     blit(surf, icon, bx, by)
+                elif m.kind == "label":
+                    draw_label(surf, getattr(m, "label", "") or "", m.x, m.y)
             out.append((key[0], encode_png(surf), row.w, row.h))
         return pd.DataFrame(out, columns=["scene_id", "bytes", "w", "h"])
 

@@ -41,22 +41,40 @@ def test_overlay_cogroup_renders_per_tile(spark):
     assert (out[2] == (200, 200, 200, 255)).all()
 
 
-def test_annotate_bullets_and_park_icon(spark):
+def test_annotate_bullets_park_icon_and_label(spark):
     tiles = spark.createDataFrame(
-        [(0, bytearray(encode_png(new_surface(64, 64, (255, 255, 255, 255)))), 64, 64)],
+        [(0, bytearray(encode_png(new_surface(96, 96, (255, 255, 255, 255)))), 96, 96)],
         "scene_id long, bytes binary, w int, h int",
     )
     marks = spark.createDataFrame(
-        [(0, 0, 16.0, 16.0, "bullet"), (0, 1, 44.0, 44.0, "park")],
-        "scene_id long, mark_id long, x double, y double, kind string",
+        [
+            (0, 0, 16.0, 16.0, "bullet", None),
+            (0, 1, 44.0, 44.0, "park", None),
+            (0, 2, 48.0, 80.0, "label", "OLD TOWN"),
+        ],
+        "scene_id long, mark_id long, x double, y double, kind string, label string",
     )
     out = decode_png(annotate_tiles(tiles, marks).collect()[0]["bytes"])
     assert (out[16, 16] == (200, 30, 30, 255)).all()  # bullet disc
     # park icon: green crown pixels near the blit center
     crown_region = out[38:46, 38:52, :3]
     assert (crown_region == np.array([34, 139, 34])).all(axis=2).any()
+    # label: dark glyph pixels near its center (R7 engine font)
+    label_region = out[72:90, 20:76, :3]
+    assert (label_region == np.array([20, 20, 20])).all(axis=2).any()
     # corners untouched
     assert (out[0, 0] == (255, 255, 255, 255)).all()
+
+
+def test_font_glyphs_and_rounded_rect():
+    from osm_render_spark.raster.font import glyph_mask, rounded_rect_mask, text_mask
+
+    a = glyph_mask("A")
+    assert a.shape == (7, 5) and a[0, 2] == 255 and a[0, 0] == 0
+    multi = text_mask("AB\nC")
+    assert multi.shape[0] == 16  # two lines + spacing
+    rr = rounded_rect_mask(20, 12, 4)
+    assert rr[0, 0] == 0 and rr[6, 10] == 255 and rr[0, 10] == 255
 
 
 def test_pipeline_callouts(spark, tmp_path):
