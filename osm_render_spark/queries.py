@@ -1213,6 +1213,75 @@ def _q_image_pipeline() -> QueryDef:
     return QueryDef(fn, None)
 
 
+def _q_way_tile_fanout() -> QueryDef:
+    """The slippy fan-out's tile-assignment core as an exact oracle check:
+    per 'way' (order), the bbox of its vertices (lineitem-derived points)
+    expands to every covered z6 tile — (way_id, tile_x, tile_y) rows.
+    Same arithmetic as raster/ops.render_slippy_tiles steps 1-2."""
+    zoom = 6
+    n = 1 << zoom
+
+    def tx(e: str) -> str:
+        from .functions.projection import merc_x_sql
+
+        return f"CAST(LEAST(GREATEST(FLOOR({merc_x_sql(e, zoom)}), 0), {n - 1}) AS BIGINT)"
+
+    def ty(e: str) -> str:
+        from .functions.projection import merc_y_sql
+
+        return f"CAST(LEAST(GREATEST(FLOOR({merc_y_sql(e, zoom)}), 0), {n - 1}) AS BIGINT)"
+
+    # compact coordinate band (36°×17°) and a way subset keep the fan-out
+    # a few thousand rows — the driver value-hashes every row
+    lon_local = "CAST(((l_orderkey * 7 + l_linenumber) * 7919) % 3600 AS DOUBLE) / 100.0"
+    lat_local = "CAST(((l_orderkey * 11 + l_linenumber) * 104729) % 1700 AS DOUBLE) / 100.0"
+    base = f"""
+WITH v AS (
+  SELECT l_orderkey AS way_id, {lon_local} AS lon, {lat_local} AS lat
+  FROM lineitem WHERE l_orderkey % 50 = 0
+),
+bbox AS (
+  SELECT way_id, MIN(lon) AS lon_min, MAX(lon) AS lon_max,
+         MIN(lat) AS lat_min, MAX(lat) AS lat_max
+  FROM v GROUP BY way_id
+),
+ranges AS (
+  SELECT way_id,
+         {tx('lon_min')} AS tx0, {tx('lon_max')} AS tx1,
+         {ty('lat_max')} AS ty0, {ty('lat_min')} AS ty1
+  FROM bbox
+)
+"""
+    duck = (
+        base
+        + """
+SELECT way_id, unnest(generate_series(tx0, tx1)) AS tile_x, ty0, ty1
+FROM ranges
+"""
+    )
+    duck = f"""
+WITH fan AS ({duck.strip()})
+SELECT way_id, tile_x, unnest(generate_series(ty0, ty1)) AS tile_y
+FROM fan
+ORDER BY way_id, tile_x, tile_y
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(
+            base
+            + """
+SELECT way_id, tile_x, tile_y
+FROM ranges
+LATERAL VIEW explode(sequence(tx0, tx1)) AS tile_x
+LATERAL VIEW explode(sequence(ty0, ty1)) AS tile_y
+ORDER BY way_id, tile_x, tile_y
+"""
+        )
+
+    return QueryDef(fn, duck)
+
+
 def _q_ann_ivf_top3() -> QueryDef:
     """IVF-flat ANN (rows-only: double cosine; exactness at full probe is
     pinned by tests/test_training_ops)."""
@@ -1316,6 +1385,7 @@ def build_queries() -> dict[str, QueryDef]:
         "token_count_regex": _q_token_count_regex(),
         "cosine_near_dups": _q_cosine_near_dups(),
         "ann_ivf_top3": _q_ann_ivf_top3(),
+        "way_tile_fanout": _q_way_tile_fanout(),
         "slippy_render": _q_slippy_render(),
     }
     return defs
