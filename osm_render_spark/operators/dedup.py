@@ -49,6 +49,9 @@ def _word_keys_batch(text: str) -> "np.ndarray":
 
     raw = text.encode("ascii")  # raises on non-ASCII by design
     b = np.frombuffer(raw, dtype=np.uint8)
+    if len(b) == 0:
+        # SQL split('', ' ') yields [''] — one empty word with key 0
+        return np.zeros(1, dtype=np.int64)
     is_sep = b == 32  # ' '
     # word boundaries of a sep-split INCLUDING empty words (SQL split
     # semantics: 'a  b' -> ['a', '', 'b'])

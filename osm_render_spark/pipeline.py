@@ -73,8 +73,15 @@ def render_scene_pipeline(
 ) -> dict[str, DataFrame]:
     """Full pipeline with per-stage checkpoints. Returns the stage outputs
     {ways, tiles, sprites, atlas}."""
+    from .plans.checkpoint import dataframe_token
+
     nodes, ways, rels = scene.to_spark(spark)
     params = {"scene": scene.name, "bbox": list(scene.bbox), "w": w, "h": h}
+    # input snapshot tokens (S10: a stage key must cover its INPUTS, not
+    # just its parameters — the reference's stale-cache hazard). Scene
+    # tables are a pure function of scene.name (fixtures contract), so
+    # params covers them; areas is external input and gets a content token.
+    areas_token = dataframe_token(areas)
 
     joined = store.run_stage(
         spark,
@@ -95,9 +102,15 @@ def render_scene_pipeline(
         params,
         lambda: sprite_variants(tiles, px_areas),
         partition_col="area_id",
+        input_token=areas_token,
     )
     atlas = store.run_stage(
-        spark, "atlas", params, lambda: pack_atlas(sprites), partition_col="scene_id"
+        spark,
+        "atlas",
+        params,
+        lambda: pack_atlas(sprites),
+        partition_col="scene_id",
+        input_token=areas_token,
     )
 
     # second-resolution callout pass (OsmRender.m:1261-1291: globals mutate
@@ -119,6 +132,7 @@ def render_scene_pipeline(
             ctiles, project_areas(areas, scene.bbox, cw, ch), modes=("active",)
         ).withColumn("mode", F.lit("callout")),
         partition_col="area_id",
+        input_token=areas_token,
     )
     return {
         "ways": joined,

@@ -50,6 +50,16 @@ def _hashable_cols(df: DataFrame) -> list:
     return cols
 
 
+def dataframe_token(df: DataFrame) -> str:
+    """Content token for a DIMENSION-SIZED input DataFrame (collects!):
+    sha256 over sorted canonical row strings. For big inputs use a table
+    snapshot id instead — this exists so small config-like inputs (areas,
+    landmarks) participate in stage keys and can never serve stale
+    caches."""
+    rows = sorted(repr(r) for r in df.collect())
+    return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()
+
+
 def stage_key(stage: str, params: dict, input_token: str = "") -> str:
     """SHA-256 over stage name + canonicalized params + input snapshot."""
     payload = json.dumps(

@@ -185,8 +185,20 @@ def blit(surface: np.ndarray, src: np.ndarray, x: int, y: int) -> None:
 
 def diff_sprite(variant: np.ndarray, base: np.ndarray) -> np.ndarray:
     """R9/J10 (surfaceWithDifferencesFromSurface, OsmRender.m:1255-1256):
-    keep variant pixels that differ from base; transparent elsewhere."""
+    keep variant pixels that differ from base; transparent elsewhere.
+
+    Format limitation (inherent to diff sprites composited OVER the base,
+    reference included): a pixel that changed TO fully-transparent black
+    is indistinguishable from 'unchanged' in the diff. Such variants
+    can't be produced by the engine's tint/label/blit variant kernels
+    (they only add paint); this guard turns silent corruption into an
+    error if an erase-style variant is ever diffed."""
     differs = (variant != base).any(axis=2)
+    if bool((differs & (variant == 0).all(axis=2)).any()):
+        raise ValueError(
+            "variant contains fully-zero pixels that differ from base — "
+            "not representable in a diff sprite (see docstring)"
+        )
     out = np.zeros_like(variant)
     out[differs] = variant[differs]
     return out

@@ -78,8 +78,11 @@ def render_map_kernel(
     coast_polys = merge_coast_paths(coast_subpaths, rect)
     if coast_polys:
         fill_polygon(surf, coast_polys, WATER_COLOR)
-    if water_rings:
-        fill_polygon(surf, water_rings, WATER_COLOR)
+    # water bodies fill PER WAY (the reference fills each water path
+    # separately, OsmRender.m:508-517) — accumulating them into one
+    # even-odd fill would cancel overlapping water bodies back to land
+    for ring in water_rings:
+        fill_polygon(surf, [ring], WATER_COLOR)
     for b in bridges:
         stroke_polyline(surf, b, 2.0, (0, 0, 0, 255), erase=True)
     return surf
@@ -189,6 +192,10 @@ def pack_atlas(sprites: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _merc_x(lon, zoom: int):
+    """Column-lambda copy of functions.projection.merc_x_sql — needed
+    because transform() lambda variables can't be spliced into F.expr
+    SQL text. tests/test_properties pins 3-way bitwise agreement
+    (SQL text / this Column form / cells.merc_xy numpy)."""
     n = 1 << zoom
     return (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))
 
@@ -196,8 +203,10 @@ def _merc_x(lon, zoom: int):
 def _merc_y(lat, zoom: int):
     import math
 
+    from ..functions.projection import MERC_MAX_LAT
+
     n = 1 << zoom
-    lat_c = F.least(F.greatest(lat, F.lit(-85.05112878)), F.lit(85.05112878))
+    lat_c = F.least(F.greatest(lat, F.lit(-MERC_MAX_LAT)), F.lit(MERC_MAX_LAT))
     rad = F.radians(lat_c)
     return (
         (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
@@ -375,7 +384,8 @@ def overlay_tiles(tiles: DataFrame, features: DataFrame) -> DataFrame:
     """Co-partition decoded image tiles with vector features on tile_key
     and composite the features onto each tile (the north rule's
     raster↔vector join): ``tiles(tile_key, bytes, fmt)`` cogrouped with
-    ``features(tile_key, kind, xs, ys)`` → rendered (tile_key, bytes).
+    ``features(tile_key, feature_id, kind, xs, ys)`` → rendered
+    (tile_key, bytes); feature_id fixes the draw order within a tile.
 
     Both sides shuffle ONCE on tile_key (cogroup); the kernel is Arrow-
     batched per tile group. At 10^12 images the tile side is written
@@ -396,14 +406,12 @@ def overlay_tiles(tiles: DataFrame, features: DataFrame) -> DataFrame:
                 )
             surf = img.copy()
             # render order mirrors the reference: polygon fills first
-            # (water), strokes over them, erases last (bridge DEST_OUT)
-            polys = [
-                np.column_stack([np.asarray(f.xs), np.asarray(f.ys)])
-                for f in feats_pdf.itertuples(index=False)
-                if f.kind == "poly"
-            ]
-            if polys:
-                fill_polygon(surf, polys, WATER_COLOR)
+            # (water, PER feature — see render_map_kernel note on
+            # overlapping water bodies), strokes, erases last (DEST_OUT)
+            for f in feats_pdf.itertuples(index=False):
+                if f.kind == "poly":
+                    poly = np.column_stack([np.asarray(f.xs), np.asarray(f.ys)])
+                    fill_polygon(surf, [poly], WATER_COLOR)
             for f in feats_pdf.itertuples(index=False):
                 if f.kind == "line":
                     path = np.column_stack([np.asarray(f.xs), np.asarray(f.ys)])
@@ -465,8 +473,10 @@ def decode_features(images: DataFrame) -> DataFrame:
 
 
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Block-mean resize (training-pipeline thumbnailing) — numpy kernel,
-    deterministic (no interpolation library)."""
+    """Deterministic resize (training-pipeline thumbnailing): block means
+    when downscaling, nearest-neighbor when an axis upscales (block
+    boundaries degenerate to zero-width there — reduceat would divide by
+    zero)."""
 
     def kernel(batches):
         for pdf in batches:
@@ -474,12 +484,19 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 img = decode_image(row.bytes, row.fmt).astype(np.float64)
                 h, w = img.shape[:2]
-                ys = (np.arange(out_h + 1) * h) // out_h
-                xs = (np.arange(out_w + 1) * w) // out_w
-                # block means via reduceat on both axes (no python pixel loop)
-                sums = np.add.reduceat(np.add.reduceat(img, ys[:-1], axis=0), xs[:-1], axis=1)
-                counts = np.outer(np.diff(ys), np.diff(xs))[:, :, None]
-                thumb = np.floor(sums / counts + 0.5).astype(np.uint8)
+                if out_h <= h and out_w <= w:
+                    ys = (np.arange(out_h + 1) * h) // out_h
+                    xs = (np.arange(out_w + 1) * w) // out_w
+                    # block means via reduceat (no python pixel loop)
+                    sums = np.add.reduceat(
+                        np.add.reduceat(img, ys[:-1], axis=0), xs[:-1], axis=1
+                    )
+                    counts = np.outer(np.diff(ys), np.diff(xs))[:, :, None]
+                    thumb = np.floor(sums / counts + 0.5).astype(np.uint8)
+                else:
+                    yi = (np.arange(out_h) * h) // out_h
+                    xi = (np.arange(out_w) * w) // out_w
+                    thumb = img[yi][:, xi].astype(np.uint8)
                 recs.append((row.image_id, encode_png(thumb), out_w, out_h))
             yield pd.DataFrame(recs, columns=["image_id", "bytes", "w", "h"])
 

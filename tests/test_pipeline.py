@@ -60,3 +60,17 @@ def test_pipeline_end_to_end_and_resume(spark, store):
     out2 = render_scene_pipeline(spark, scene, _areas(spark), store)
     assert tree_mtimes(store.root) == before
     assert out2["atlas"].collect()[0]["n_sprites"] == 4
+
+
+def test_pipeline_changed_areas_recompute(spark, store):
+    """S10 stale-cache hazard: a changed AREAS input must change the
+    sprite stage key — never serve the old sprites."""
+    scene = ALL_SCENES["bridges"]()
+    out1 = render_scene_pipeline(spark, scene, _areas(spark), store)
+    assert out1["sprites"].count() == 4
+    other_areas = spark.createDataFrame(
+        [(0, 0, [(8.02, 50.02), (8.04, 50.02), (8.03, 50.04)])],
+        "scene_id long, area_id long, polygon array<struct<lon:double,lat:double>>",
+    )
+    out2 = render_scene_pipeline(spark, scene, other_areas, store)
+    assert out2["sprites"].count() == 2  # one area × two modes, recomputed

@@ -58,6 +58,39 @@ def test_delta_decode_inverse(start, deltas):
     assert (decoded == xs).all()
 
 
+def test_mercator_three_way_bitwise_agreement(spark):
+    """The three mercator encodings (shared SQL text, Column-lambda in
+    raster/ops, numpy in functions/cells) must agree BITWISE — a drift in
+    any copy silently misassigns tiles."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_render_spark.functions.projection import merc_x_sql, merc_y_sql
+    from osm_render_spark.raster.ops import _merc_x, _merc_y
+
+    zoom = 11
+    lons = np.linspace(-179.9, 179.9, 41)
+    lats = np.linspace(-88.0, 88.0, 41)
+    pdf = pd.DataFrame({"lon": lons, "lat": lats})
+    df = spark.createDataFrame(pdf)
+    rows = df.select(
+        F.expr(merc_x_sql("lon", zoom)).alias("sx"),
+        F.expr(merc_y_sql("lat", zoom)).alias("sy"),
+        _merc_x(F.col("lon"), zoom).alias("cx"),
+        _merc_y(F.col("lat"), zoom).alias("cy"),
+    ).collect()
+    nx, ny = merc_xy(lons, lats, zoom)
+    for i, r in enumerate(rows):
+        # the two JVM encodings must agree BITWISE; numpy's libm differs
+        # from JVM Math by a few ulps on tan/log, so the numpy mirror is
+        # held to a tight relative tolerance instead (tile assignment is
+        # insensitive: floor boundaries are measure-zero)
+        assert r["sx"] == r["cx"]
+        assert r["sy"] == r["cy"]
+        assert nx[i] == r["sx"]  # pure arithmetic: exact everywhere
+        assert abs(ny[i] - r["sy"]) <= 1e-11 * max(1.0, abs(r["sy"]))
+
+
 @given(lat=st.floats(-90, 90, allow_nan=False))
 @settings(max_examples=100, deadline=None)
 def test_latitude_clamp_monotonic(lat):
