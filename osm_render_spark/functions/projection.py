@@ -21,6 +21,16 @@ Rounding convention (F6): C ``round()`` on non-negative pixel coords is
 ``floor(x + 0.5)``; we use that literal form everywhere (Spark ``round``
 is HALF_UP which matches for positives, but numpy is HALF_EVEN — pinning
 ``floor(x+0.5)`` keeps SQL, Column, and numpy kernels in agreement).
+
+DOCUMENTED DIVERGENCE (COVERAGE.md): the reference rounds BEFORE clipping
+(OsmRenderTransformPoint), so off-scene vertices can project to negative
+pixel coords, where exact .5 halves differ: C round(-2.5) = -3
+(half-away-from-zero) vs floor(-2.5 + 0.5) = -2. Only off-canvas vertices
+are affected — they are clipped before any pixel is touched, and the clip
+intersection math runs on UNrounded doubles — so no rendered pixel can
+differ; we keep the single floor(x+0.5) form because three independent
+implementations (SQL text, Column, numpy kernels) must stay bit-identical
+and sign-aware rounding would triple the divergence surface.
 """
 
 from __future__ import annotations

@@ -52,7 +52,19 @@ def clockwise_box_position(x: float, y: float, rect: Rect) -> float:
 def _corners_between(pos_a: float, pos_b: float, rect: Rect) -> list[tuple[float, float]]:
     """Box corners strictly between two clockwise perimeter positions
     (pos_a exclusive → pos_b exclusive), in clockwise order
-    (ConnectClockwise, OsmRender.m:162-187)."""
+    (ConnectClockwise, OsmRender.m:162-187).
+
+    DOCUMENTED DIVERGENCE (COVERAGE.md): the reference SKIPS corner
+    insertion when from/to share an edge (fromEdge == toEdge) or share an
+    x/y with endAngle < startAngle, so a same-edge wrap-around (leave the
+    edge clockwise, come back to a point BEHIND the start on the same
+    edge) closes with a straight chord through the box interior. This
+    engine always inserts the corners actually crossed by the clockwise
+    walk, which is the geometrically consistent closure (the polygon
+    follows the box perimeter in every case). The two forms differ only
+    on degenerate same-edge wrap-arounds and axis-aligned cross-box
+    connections — not exercised by any golden scene — and the engine form
+    is intentionally kept."""
     x0, y0, x1, y1 = rect
     w = x1 - x0
     h = y1 - y0

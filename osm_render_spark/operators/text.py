@@ -8,13 +8,20 @@ the exact engine semantics (same rationale as functions/projection.py).
 
 Hashing scheme (SQL-expressible by construction — no engine-specific
 hash() builtins, which differ across engines):
-  word_key(w)  = ascii(w[0])*65536 + ascii(w[1])*256 + (len(w) % 256)
+  word_key(w)  = (ascii(w[0]) % 256)*65536 + (ascii(w[1]) % 256)*256
+                 + (len(w) % 256)
   shingle(i)   = (k[i]*2654435761 + k[i+1]*40503 + k[i+2]) % 1000003
   minhash_j    = min_i (A_j * shingle(i) + B_j) % 1000003
   simhash bit b: sign of Σ_words (2*bit_b(word_key) - 1)
   fingerprint  = Σ_i ((k[i] + i*31) * 2654435761 % 1000003) % 1000003
                  (positional yet commutative — exact under any agg order)
-All intermediates fit int64 (k ≤ 8.03e6, so k*2654435761 ≤ 2.14e16).
+The ``% 256`` clamp on the code points is load-bearing: ascii() returns
+full Unicode code points (≤ 1114111), so without it k*2654435761 would
+overflow BIGINT and RAISE under Spark ANSI mode for non-ASCII text. With
+the clamp every k ≤ 16,777,215, so k*2654435761 ≤ 4.46e16 — all
+intermediates fit int64 for any input. ASCII text hashes identically
+with or without the clamp (code points < 256), so golden values are
+unchanged.
 """
 
 from __future__ import annotations
@@ -70,12 +77,15 @@ class Dialect:
 
 def word_keys_sql(d: Dialect, text: str) -> str:
     words = d.split(text)
-    # CAST AS BIGINT is load-bearing: Spark runs ANSI mode where int*int
-    # overflow (e.g. unicode codepoints * 65536, or key * 40503 in the
-    # shingle) raises instead of promoting.
+    # CAST AS BIGINT + % 256 are load-bearing: Spark runs ANSI mode where
+    # int*int overflow raises instead of promoting, and ascii() returns
+    # full Unicode code points (≤ 1114111) — unclamped, a non-ASCII
+    # document would overflow the shingle product at scale. Clamping to a
+    # byte keeps every intermediate within int64 for ANY input while
+    # hashing ASCII text identically (module docstring).
     lam = (
-        "w -> CAST(ascii(substr(w, 1, 1)) AS BIGINT) * 65536 "
-        "+ CAST(ascii(substr(w, 2, 1)) AS BIGINT) * 256 "
+        "w -> (CAST(ascii(substr(w, 1, 1)) AS BIGINT) % 256) * 65536 "
+        "+ (CAST(ascii(substr(w, 2, 1)) AS BIGINT) % 256) * 256 "
         "+ (length(w) % 256)"
     )
     return d.transform(words, lam)

@@ -31,17 +31,32 @@ def project_ways(
 ) -> DataFrame:
     """Way rows → pixel-space (scene_id, way_id, kind, xs, ys). Pure
     Column HOFs (P8/P9); kind classification mirrors the render order of
-    OsmRenderMap (bridges erase, coastline merges, water fills)."""
+    OsmRenderMap (bridges erase, coastline merges, water fills).
+
+    A way tagged BOTH bridge and water emits TWO rows (kind='water' and
+    kind='bridge'): the reference's water-fill loop re-scans ALL ways with
+    OsmIsWater (OsmRender.m:508-517) independently of the bridge pass, so
+    such a way is water-filled then bridge-erased — one exclusive kind
+    would drop the fill."""
+    from .functions.predicates import has_bridge, is_coastline, is_water
+
     lat_min, lon_min, lat_max, lon_max = bbox
     sx = w / (lon_max - lon_min)
     sy = h / (lat_min - lat_max)
+    tags = F.col("tags")
+    kinds = (
+        F.when(
+            has_bridge(tags) & F.coalesce(is_water(tags), F.lit(False)),
+            F.array(F.lit("water"), F.lit("bridge")),
+        )
+        .when(has_bridge(tags), F.array(F.lit("bridge")))
+        .when(F.coalesce(is_coastline(tags), F.lit(False)), F.array(F.lit("coast")))
+        .otherwise(F.array(F.lit("water")))
+    )
     return result.select(
         F.lit(scene_id).cast("long").alias("scene_id"),
         "way_id",
-        F.when(F.map_contains_key("tags", "bridge"), F.lit("bridge"))
-        .when(F.element_at("tags", "natural") == "coastline", F.lit("coast"))
-        .otherwise(F.lit("water"))
-        .alias("kind"),
+        F.explode(kinds).alias("kind"),
         F.transform("geometry", lambda p: (p["lon"] - F.lit(lon_min)) * F.lit(sx)).alias("xs"),
         F.transform("geometry", lambda p: (p["lat"] - F.lit(lat_max)) * F.lit(sy)).alias("ys"),
     )

@@ -122,14 +122,9 @@ class CheckpointStore:
         partitioned by `partition_col`."""
         key = stage_key(stage, params, input_token)
         path = self._path(stage, key)
-        if os.path.exists(path):
-            existing = (
-                spark.read.option("basePath", path)
-                .parquet(path)
-                .select(partition_col)
-                .distinct()
-            )
-            missing = expected_partitions.join(existing, partition_col, "left_anti")
+        trusted = self._restartable_partitions(spark, stage, key, partition_col)
+        if trusted is not None:
+            missing = expected_partitions.join(trusted, partition_col, "left_anti")
         else:
             missing = expected_partitions
         if not missing.isEmpty():
@@ -141,6 +136,89 @@ class CheckpointStore:
             )
         self._write_lineage(spark, stage, key, params, partition_col)
         return spark.read.parquet(path)
+
+    def _restartable_partitions(
+        self, spark: SparkSession, stage: str, key: str, partition_col: str
+    ):
+        """Validate on-disk state before a partition-level resume trusts it
+        (a job killed mid-append leaves either an unreadable dir or a
+        partially-written partition that would otherwise be silently
+        skipped). Returns a one-column DataFrame of partition keys that are
+        PROVABLY complete, or None if nothing on disk can be trusted
+        (corrupt/uncommitted partitions are deleted so the recompute's
+        append cannot double-count them):
+
+        * dir absent or without committed data files → None
+        * ``_SUCCESS`` present and no ``_temporary`` leftover → the last
+          job committed cleanly; trust all partitions WITHOUT the checksum
+          scan (the cheap common case — a full-output verify per resume
+          would be a 100 TB read)
+        * otherwise (killed mid-append: task-commit committers can leave a
+          partially-written partition) → per-partition count+checksum
+          compare against lineage; only matching partitions are trusted,
+          mismatching/extra partition dirs are removed from disk
+        """
+        import shutil
+
+        path = self._path(stage, key)
+        if not os.path.exists(path):
+            return None
+        if self._done(path) and not os.path.exists(os.path.join(path, "_temporary")):
+            try:
+                return (
+                    spark.read.option("basePath", path)
+                    .parquet(path)
+                    .select(partition_col)
+                    .distinct()
+                )
+            except Exception:
+                shutil.rmtree(path, ignore_errors=True)
+                return None
+        try:
+            df = spark.read.option("basePath", path).parquet(path)
+            recomputed = (
+                df.groupBy(F.col(partition_col).cast("string").alias("partition_key"))
+                .agg(
+                    F.count("*").alias("row_count"),
+                    F.sum(F.xxhash64(*_hashable_cols(df)).cast("decimal(38,0)"))
+                    .cast("string")
+                    .alias("checksum"),
+                )
+                .collect()
+            )
+        except Exception:
+            # no committed data files (killed before the first task commit)
+            shutil.rmtree(path, ignore_errors=True)
+            return None
+        lineage_path = self._lineage_path(stage, key)
+        have_lineage = os.path.exists(os.path.join(lineage_path, "_SUCCESS"))
+        if not have_lineage:
+            if not self._done(path):
+                shutil.rmtree(path, ignore_errors=True)
+                return None
+            committed = {r["partition_key"] for r in recomputed}
+        else:
+            stored = {
+                r["partition_key"]: (r["row_count"], r["checksum"])
+                for r in self.lineage_by_key(spark, stage, key).collect()
+            }
+            committed = set()
+            for r in recomputed:
+                pk = r["partition_key"]
+                if stored.get(pk) == (r["row_count"], r["checksum"]):
+                    committed.add(pk)
+                else:
+                    shutil.rmtree(
+                        os.path.join(path, f"{partition_col}={pk}"),
+                        ignore_errors=True,
+                    )
+            if not committed:
+                shutil.rmtree(path, ignore_errors=True)
+                return None
+        sample = spark.read.option("basePath", path).parquet(path).schema[partition_col]
+        return spark.createDataFrame(
+            [(k,) for k in sorted(committed)], "partition_key string"
+        ).select(F.col("partition_key").cast(sample.dataType).alias(partition_col))
 
     # -- lineage ------------------------------------------------------------
 
@@ -176,6 +254,9 @@ class CheckpointStore:
 
     def lineage(self, spark: SparkSession, stage: str, params: dict, input_token: str = "") -> DataFrame:
         key = stage_key(stage, params, input_token)
+        return self.lineage_by_key(spark, stage, key)
+
+    def lineage_by_key(self, spark: SparkSession, stage: str, key: str) -> DataFrame:
         return spark.read.parquet(self._lineage_path(stage, key))
 
     def verify_lineage(

@@ -100,6 +100,60 @@ def test_partitioned_resume_recomputes_only_missing(spark, store):
     assert len(computed_batches) == n_before
 
 
+def test_partitioned_resume_salvages_killed_append(spark, store):
+    """A job killed mid-append (task-commit committers) leaves a
+    partially-written partition that WOULD pass the naive distinct()
+    anti-join; the resume path must checksum-verify against lineage, drop
+    the partial partition, and recompute it (ADVICE r1, medium)."""
+    import os
+
+    def compute(missing):
+        return _tiles(spark).join(missing, "tile")
+
+    expected = spark.range(10).select(F.col("id").alias("tile"))
+    p = {"stage": "salvage"}
+    full = store.run_stage_partitioned(spark, "salvage", p, "tile", expected, compute)
+    a = {(r["id"], r["v"]) for r in full.collect()}
+
+    key = stage_key("salvage", p, "")
+    path = store._path("salvage", key)
+    # simulate a killed append: partition 3 half-written (drop one file →
+    # checksum mismatch), partition 8 has an EXTRA committed-but-orphaned
+    # file (duplicate rows), plus a _temporary leftover marking the kill
+    t3 = os.path.join(path, "tile=3")
+    files3 = sorted(f for f in os.listdir(t3) if f.endswith(".parquet"))
+    os.remove(os.path.join(t3, files3[0]))
+    t8 = os.path.join(path, "tile=8")
+    files8 = sorted(f for f in os.listdir(t8) if f.endswith(".parquet"))
+    shutil.copy(
+        os.path.join(t8, files8[0]), os.path.join(t8, "part-extra.c000.parquet")
+    )
+    os.makedirs(os.path.join(path, "_temporary"), exist_ok=True)
+
+    resumed = store.run_stage_partitioned(spark, "salvage", p, "tile", expected, compute)
+    b = {(r["id"], r["v"]) for r in resumed.collect()}
+    assert a == b  # partials dropped + recomputed, no duplicates
+    assert resumed.count() == 1000
+
+
+def test_partitioned_resume_uncommitted_dir_recomputes(spark, store):
+    """A dir with no committed data files (killed before first commit)
+    must be treated as absent, not raise 'unable to infer schema'."""
+    import os
+
+    def compute(missing):
+        return _tiles(spark).join(missing, "tile")
+
+    expected = spark.range(10).select(F.col("id").alias("tile"))
+    p = {"stage": "fresh"}
+    key = stage_key("fresh", p, "")
+    path = store._path("fresh", key)
+    os.makedirs(os.path.join(path, "_temporary"), exist_ok=True)  # no data
+
+    out = store.run_stage_partitioned(spark, "fresh", p, "tile", expected, compute)
+    assert out.count() == 1000
+
+
 def test_lineage_detects_corruption(spark, store):
     import os
 
