@@ -1,4 +1,4 @@
-"""Indexed broadcast kNN join (SURVEY.md J7/W3, milestone M4).
+"""Indexed kNN join (SURVEY.md J7/W3, milestone M4).
 
 Generalizes the reference's nearest-clockwise-successor search
 (``ConnectEdgePaths``, OsmRender.m:236-253 — a k=1 NN under a circular
@@ -6,26 +6,84 @@ metric) to k≥1 under a pluggable distance expression.
 
 Physical strategy, in preference order:
 
-* **broadcast kNN** — when one side is small (the usual case: query
-  points, tile boundaries, sprite anchors), broadcast it and rank with a
-  window. The cross join is BroadcastNestedLoopJoin; no shuffle of the
-  big side beyond the final per-query rank (which partitions by query id).
-* **cell-pruned kNN** — at 100 TB neither side may be broadcastable; then
+* **map-side-pruned broadcast kNN** (default squared-L2 metric) — the
+  query set (small by contract) ships inside an Arrow kernel closure;
+  each candidate batch is scored with one vectorized numpy pass and
+  pruned to the per-query LOCAL top-k BEFORE any shuffle, so the global
+  rank window sees ≤ k × |queries| × n_batches rows instead of
+  |candidates| × |queries|. At 10^12 candidates the per-query reducer
+  sorts thousands of rows, not 10^12 (same pattern as
+  similarity.cosine_topk).
+* **expression kNN** (``dist=`` any Column) — crossJoin against the
+  broadcast query side + rank window. Supports arbitrary metrics (the
+  reference's clockwise gap) but ships every candidate row for a query
+  to one reducer; use only when one side is genuinely dimension-sized.
+* **cell-pruned kNN** — at 100 TB neither side may be broadcastable;
   candidates are pre-bucketed by spatial cell (functions.cells) and each
-  query only crosses its own + neighboring cells. Provided by
-  ``knn_join_celled``.
+  query only joins its own + neighboring cells, with an exactness
+  fallback pass for the rare queries whose k-th neighbor may lie outside
+  the 3×3 ring. Provided by ``knn_join_celled``.
 
 Determinism: ties broken by candidate id ascending (FIXTURES.md
-golden_knn convention).
+golden_knn convention) — the LOCAL prune is tie-aware (lexsort by
+(d2, cand_id)) so a tied candidate with the smaller id always survives
+to the global rank, keeping kernel and oracle bit-identical.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+
 def squared_l2(qlon: Column, qlat: Column, lon: Column, lat: Column) -> Column:
     return (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)
+
+
+def _local_topk_scored(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+    """Map-side pruning stage: (query_id, cand_id, d2) with at most
+    k × |queries| rows emitted PER ARROW BATCH — the numpy arithmetic is
+    dx*dx + dy*dy in float64, bit-identical to the squared_l2 Column
+    expression, so ranks match the SQL oracle exactly."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("query_id", "qlon", "qlat").collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_lon = np.array([r["qlon"] for r in q_rows], dtype=np.float64)
+    q_lat = np.array([r["qlat"] for r in q_rows], dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or len(q_ids) == 0:
+                continue
+            ids = pdf["cand_id"].to_numpy()
+            dx = pdf["lon"].to_numpy()[:, None] - q_lon[None, :]
+            dy = pdf["lat"].to_numpy()[:, None] - q_lat[None, :]
+            d2 = dx * dx + dy * dy
+            kk = min(k, n)
+            out_q, out_c, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                col = d2[:, qi]
+                # tie-aware local top-k: (d2 asc, cand_id asc)
+                order = np.lexsort((ids, col))[:kk]
+                out_q.append(np.full(kk, q_ids[qi], dtype=np.int64))
+                out_c.append(ids[order])
+                out_d.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "d2": np.concatenate(out_d),
+                }
+            )
+
+    return candidates.select("cand_id", "lon", "lat").mapInPandas(
+        kernel, schema="query_id long, cand_id long, d2 double"
+    )
 
 
 def knn_join(
@@ -34,17 +92,29 @@ def knn_join(
     k: int,
     dist: Column | None = None,
 ) -> DataFrame:
-    """Broadcast kNN: queries(query_id, qlon, qlat) × candidates(cand_id,
-    lon, lat) → (query_id, cand_id, rank, d2), rank 1..k.
+    """queries(query_id, qlon, qlat) × candidates(cand_id, lon, lat) →
+    (query_id, cand_id, rank, d2), rank 1..k.
 
-    The QUERY side is broadcast (it is the small side by contract); the
-    candidate table streams through unshuffled, and the only wide exchange
-    is the rank window partitioned by query_id — k rows per query survive.
+    Default metric (squared L2): map-side local top-k prune (module
+    docstring) — the candidate table streams through unshuffled and only
+    ≤ k·|queries| rows per batch reach the rank window.
+
+    Custom ``dist``: arbitrary Column metric via crossJoin against the
+    broadcast query side; every candidate row for a query reaches its
+    reducer — reserve for dimension-sized inputs (the reference's own
+    use: one query against a handful of edge paths).
     """
-    d = dist if dist is not None else squared_l2(
-        F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")
-    )
-    crossed = candidates.crossJoin(F.broadcast(queries)).withColumn("d2", d)
+    if dist is None:
+        scored = _local_topk_scored(queries, candidates, k)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("cand_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "rank", "d2")
+        )
+    crossed = candidates.crossJoin(F.broadcast(queries)).withColumn("d2", dist)
     w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cand_id").asc())
     return (
         crossed.withColumn("rank", F.row_number().over(w))
@@ -58,15 +128,24 @@ def knn_join_celled(
     candidates: DataFrame,
     k: int,
     zoom: int = 7,
+    exact: bool = True,
 ) -> DataFrame:
     """Cell-pruned kNN for the large×large case: candidates bucketed by
     tile cell; each query joins its own cell and the 8 neighbors (3×3
-    ring), then ranks. Exact as long as the true k-th neighbor lies within
-    the ring — callers pick ``zoom`` so a cell is ≥ the max search radius;
-    for unbounded exactness compose with a fallback pass for queries whose
-    k-th distance exceeds the ring (not needed for the engine's tile-local
-    workloads).
+    ring), then ranks.
+
+    Exactness: a query's ring-local result is provably correct when it
+    found ≥ k candidates AND its k-th distance is ≤ the distance from the
+    query point to the nearest ring boundary (any point outside the ring
+    is at least that far away). With ``exact=True`` (default) the queries
+    that fail this certificate — plus queries with no ring candidates at
+    all — get a second brute-force pass (map-side-pruned ``knn_join``);
+    at sane zooms that is a vanishing fraction, so the fallback's query
+    side stays dimension-sized. Ring edges beyond the map boundary count
+    as infinitely far: out-of-range longitudes cannot hold candidates and
+    out-of-range latitudes CLAMP into the covered edge row.
     """
+    n = 1 << zoom
     cand = candidates.withColumn(
         "cx", F.expr(f"CAST({_tx('lon', zoom)} AS BIGINT)")
     ).withColumn("cy", F.expr(f"CAST({_ty('lat', zoom)} AS BIGINT)"))
@@ -88,11 +167,51 @@ def knn_join_celled(
         squared_l2(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cand_id").asc())
-    return (
+    ranked = (
         joined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "d2")
     )
+    if not exact:
+        return ranked
+
+    # --- exactness certificate per query (degree-space safe radius) -------
+    # ring spans cells [qcx-1, qcx+2) × [qcy-1, qcy+2); its boundary in
+    # lon is exact (uniform 360/2^z), in lat via the inverse mercator of
+    # the tile rows. Directions past the map edge are infinitely safe.
+    lon_w = f"(CAST(qcx - 1 AS DOUBLE) * 360.0 / {n} - 180.0)"
+    lon_e = f"(CAST(qcx + 2 AS DOUBLE) * 360.0 / {n} - 180.0)"
+    lat_n_edge = _inv_merc_lat_sql("CAST(qcy - 1 AS DOUBLE)", zoom)
+    lat_s_edge = _inv_merc_lat_sql("CAST(qcy + 2 AS DOUBLE)", zoom)
+    r_safe = (
+        f"LEAST("
+        f"CASE WHEN qcx - 1 <= 0 THEN CAST('Infinity' AS DOUBLE) ELSE qlon - {lon_w} END, "
+        f"CASE WHEN qcx + 2 >= {n} THEN CAST('Infinity' AS DOUBLE) ELSE {lon_e} - qlon END, "
+        f"CASE WHEN qcy - 1 <= 0 THEN CAST('Infinity' AS DOUBLE) ELSE {lat_n_edge} - qlat END, "
+        f"CASE WHEN qcy + 2 >= {n} THEN CAST('Infinity' AS DOUBLE) ELSE qlat - {lat_s_edge} END"
+        f")"
+    )
+    cert = q.select("query_id", "qlon", "qlat", F.expr(r_safe).alias("r_safe"))
+    per_q = ranked.groupBy("query_id").agg(
+        F.count("*").alias("n_found"), F.max("d2").alias("d2k")
+    )
+    verdicts = cert.join(per_q, "query_id", "left")
+    unsafe = verdicts.where(
+        F.col("n_found").isNull()
+        | (F.col("n_found") < k)
+        | (F.col("d2k") > F.col("r_safe") * F.col("r_safe"))
+    ).select("query_id", "qlon", "qlat")
+    safe_ids = verdicts.join(unsafe, "query_id", "left_anti").select("query_id")
+    exact_part = ranked.join(safe_ids, "query_id", "left_semi")
+    fallback = knn_join(unsafe, candidates, k)
+    return exact_part.unionByName(fallback)
+
+
+def _inv_merc_lat_sql(y_tiles: str, zoom: int) -> str:
+    """Latitude of a mercator tile-row boundary: the inverse of
+    functions.projection.merc_y_sql."""
+    n = 1 << zoom
+    return f"DEGREES(ATAN(SINH({math.pi!r} * (1.0 - 2.0 * ({y_tiles}) / {n}))))"
 
 
 def _tx(lon: str, zoom: int) -> str:

@@ -41,6 +41,57 @@ def test_celled_knn_matches_broadcast_knn(spark):
     assert a == b
 
 
+def test_local_topk_prune_bounds_prewindow_rows(spark):
+    """The VERDICT r1 scale fix: rows reaching the rank window must be
+    bounded by k × |queries| × n_batches, never |candidates| × |queries|
+    (map-side prune inside the Arrow kernel)."""
+    from osm_render_spark.operators.knn import _local_topk_scored
+
+    q, c = _frames(spark)  # 6 queries × 180 candidates
+    c4 = c.repartition(4)
+    scored = _local_topk_scored(q, c4, 5)
+    n = scored.count()
+    # ≤ k(5) × queries(6) × batches(≤4 partitions, one batch each at this
+    # size) = 120, and strictly below the 1080-row cross product
+    assert n <= 5 * 6 * 4
+    assert n < 180 * 6
+
+
+def test_celled_fallback_makes_knn_exact_at_any_zoom(spark):
+    """Exactness fallback (VERDICT r1 #8): at zoom 10 a cell is ~0.35° so
+    the true k-th neighbor regularly falls outside the 3×3 ring; the
+    certificate + brute-force second pass must restore exactness on
+    random point sets."""
+    import numpy as np
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        qpts = [
+            (i, float(lon), float(lat))
+            for i, (lon, lat) in enumerate(
+                zip(rng.uniform(-179, 179, 8), rng.uniform(-80, 80, 8))
+            )
+        ]
+        # spread candidates widely so ring-local results are INcomplete
+        cands = [
+            (j, float(lon), float(lat))
+            for j, (lon, lat) in enumerate(
+                zip(rng.uniform(-179, 179, 120), rng.uniform(-80, 80, 120))
+            )
+        ]
+        q = spark.createDataFrame(qpts, "query_id long, qlon double, qlat double")
+        c = spark.createDataFrame(cands, "cand_id long, lon double, lat double")
+        brute = {
+            (r["query_id"], r["rank"]): r["cand_id"]
+            for r in knn_join(q, c, 3).collect()
+        }
+        celled = {
+            (r["query_id"], r["rank"]): r["cand_id"]
+            for r in knn_join_celled(q, c, 3, zoom=10).collect()
+        }
+        assert celled == brute, f"seed {seed}"
+
+
 def test_knn_circular_metric_plugs_in(spark):
     """J7's actual metric: clockwise perimeter gap (mod perimeter). The
     dist parameter accepts any Column expression."""
