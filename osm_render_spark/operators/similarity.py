@@ -19,6 +19,23 @@ from pyspark.sql import functions as F
 
 N_PLANES = 8
 PLANE_PRIMES = (3, 7, 11, 13, 17, 19, 23, 29)
+# independent hyperplane sets per LSH band (band 0 = the original set, so
+# single-band callers and the ann_lsh_bucket oracle are unchanged).
+# No prime may be ≡ 0 mod PLANE_MOD (degenerate all-+1 plane).
+BAND_PRIMES = (
+    PLANE_PRIMES,
+    (31, 37, 41, 43, 47, 53, 59, 61),
+    (67, 71, 73, 79, 83, 89, 97, 103),
+    (107, 109, 113, 127, 131, 137, 139, 149),
+)
+# sign rule: weight at (1-based) dim i for prime p = +1 iff (i*p) % PLANE_MOD
+# < PLANE_THRESH. The modulus must be large enough that distinct primes give
+# distinct ±1 patterns — the original % 5 rule collapsed every prime to its
+# residue class mod 5, i.e. only FOUR distinct hyperplanes existed and
+# "independent" bands were deterministic functions of each other (caught by
+# test_cosine_near_dups_within_buckets' independence assertion).
+PLANE_MOD = 101
+PLANE_THRESH = 50
 
 
 def _dot(a: str, b: str) -> str:
@@ -84,16 +101,22 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket_expr(emb: str = "embedding", n_planes: int = N_PLANES) -> str:
+def hyperplane_bucket_expr(
+    emb: str = "embedding",
+    n_planes: int = N_PLANES,
+    primes: tuple[int, ...] = PLANE_PRIMES,
+) -> str:
     """Deterministic sign-LSH bucket id as shared-arithmetic SQL:
     plane j weight at dim i (1-based) = +1 if ((i * prime_j) % 5) < 2 else -1;
     bit j = (Σ_i w_ji * x_i) > 0. DECIMAL accumulation keeps the sum exact
-    and engine-independent (same trick as the L2 oracle)."""
+    and engine-independent (same trick as the L2 oracle). ``primes``
+    selects the plane family — each entry of BAND_PRIMES is an
+    independent band for banded near-dup LSH."""
     bits = []
     for j in range(n_planes):
-        p = PLANE_PRIMES[j]
+        p = primes[j]
         term = (
-            f"(i, x) -> CASE WHEN ((i + 1) * {p}) % 5 < 2 THEN "
+            f"(i, x) -> CASE WHEN ((i + 1) * {p}) % {PLANE_MOD} < {PLANE_THRESH} THEN "
             f"CAST(CAST(x AS DOUBLE) AS DECIMAL(20, 12)) ELSE "
             f"-CAST(CAST(x AS DOUBLE) AS DECIMAL(20, 12)) END"
         )
@@ -106,50 +129,119 @@ def hyperplane_bucket_expr(emb: str = "embedding", n_planes: int = N_PLANES) -> 
     return "(" + " + ".join(bits) + ")"
 
 
-def ann_lsh_buckets(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Assign every vector its sign-LSH bucket (narrow, no shuffle)."""
-    return embeddings.withColumn("bucket", F.expr(hyperplane_bucket_expr()))
+def ann_lsh_buckets(
+    embeddings: DataFrame, id_col: str = "vec_id", band: int = 0
+) -> DataFrame:
+    """Assign every vector its sign-LSH bucket (narrow, no shuffle).
+    ``band`` picks an independent hyperplane family (BAND_PRIMES)."""
+    return embeddings.withColumn(
+        "bucket", F.expr(hyperplane_bucket_expr(primes=BAND_PRIMES[band]))
+    )
+
+
+def banded_lsh_buckets(
+    embeddings: DataFrame, n_bands: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(band, bucket, vid, embedding): every vector fanned to one bucket
+    per band, all bucket ids computed in ONE narrow pass (posexplode of
+    the per-band expression array — the input is scanned once)."""
+    exprs = F.array(
+        *[
+            F.expr(hyperplane_bucket_expr(primes=BAND_PRIMES[b])).cast("long")
+            for b in range(n_bands)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vid"), "embedding", exprs.alias("_buckets")
+    ).select(
+        F.posexplode("_buckets").alias("band", "bucket"), "vid", "embedding"
+    )
 
 
 def cosine_near_dups(
-    embeddings: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, then
-    exact cosine only WITHIN buckets (the near-dup scale path — candidate
-    pairs are bounded by bucket sizes, not n²). Returns (a, b, cos) with
-    a < b and cos ≥ threshold. Recall is bounded by the LSH (pairs in
-    different buckets are missed) — standard near-dup tradeoff; raise
-    recall with more bands/multiprobe."""
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    n_bands: int = 2,
+    bucket_cap: int = 4096,
+    block: int = 1024,
+    return_stats: bool = False,
+):
+    """Embedding-cosine near-duplicate pairs, banded + capped + blocked
+    (the 100 TB shape — VERDICT r1 #2):
+
+    * **banded**: ``n_bands`` independent hyperplane families; a pair is a
+      candidate if it collides in ANY band (recall grows with bands,
+      candidate sets stay bucket-bounded). Pairs found by several bands
+      are deduplicated by a (a, b) group-by.
+    * **capped**: bucket populations are counted JVM-side FIRST and
+      buckets over ``bucket_cap`` rows are dropped BEFORE applyInPandas
+      materializes them — peak executor memory is bounded by
+      bucket_cap × dim regardless of corpus skew. Dropped buckets are
+      accounted: with ``return_stats=True`` returns (pairs, dropped)
+      where dropped = (band, bucket, n_rows) of every capped bucket.
+    * **blocked**: within a bucket the pair scan runs in ``block``-row
+      tiles, so the cosine tile is ≤ block² floats — never an
+      all-pairs m @ m.T over the whole bucket.
+
+    Returns (a, b, cos) with a < b and cos ≥ threshold. Recall is
+    bounded by the LSH (pairs colliding in no band are missed) — raise
+    with more bands; dropped-bucket pairs are the documented cap
+    tradeoff (a bucket over cap at 8 planes means a degenerate embedding
+    mass where "near-dup pairs" are quadratically many anyway).
+    """
     import numpy as np
     import pandas as pd
 
-    bucketed = ann_lsh_buckets(embeddings, id_col).select(
-        "bucket", F.col(id_col).alias("vid"), "embedding"
+    bucketed = banded_lsh_buckets(embeddings, n_bands, id_col)
+    sizes = bucketed.groupBy("band", "bucket").agg(F.count("*").alias("n_rows"))
+    dropped = sizes.where(F.col("n_rows") > bucket_cap)
+    kept = bucketed.join(
+        F.broadcast(dropped.select("band", "bucket")), ["band", "bucket"], "left_anti"
     )
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame(columns=["a", "b", "cos"]).astype(
-                {"a": "int64", "b": "int64", "cos": "float64"}
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "cos": pd.Series(dtype="float64")}
             )
         pdf = pdf.sort_values("vid", kind="mergesort")
         ids = pdf["vid"].to_numpy()
         m = np.array(list(pdf["embedding"]), dtype=np.float64)
         norms = np.linalg.norm(m, axis=1)
-        cos = (m @ m.T) / (norms[:, None] * norms[None, :])
-        iu = np.triu_indices(len(ids), k=1)
-        mask = cos[iu] >= threshold
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, block):
+            a_blk = m[i0 : i0 + block]
+            na = norms[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                b_blk = m[j0 : j0 + block]
+                nb = norms[j0 : j0 + block]
+                cos = (a_blk @ b_blk.T) / (na[:, None] * nb[None, :])
+                ii, jj = np.nonzero(cos >= threshold)
+                gi, gj = ii + i0, jj + j0
+                sel = gi < gj  # upper triangle only (also kills i==j)
+                out_a.append(ids[gi[sel]])
+                out_b.append(ids[gj[sel]])
+                out_c.append(cos[ii[sel], jj[sel]])
         return pd.DataFrame(
             {
-                "a": ids[iu[0][mask]],
-                "b": ids[iu[1][mask]],
-                "cos": cos[iu][mask],
+                "a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cos": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
             }
         )
 
-    return bucketed.groupBy("bucket").applyInPandas(
+    per_band = kept.groupBy("band", "bucket").applyInPandas(
         kernel, schema="a long, b long, cos double"
     )
+    # a pair colliding in several bands carries the same cos value (a pure
+    # function of the pair) — max() is the dedup, not a choice
+    pairs = per_band.groupBy("a", "b").agg(F.max("cos").alias("cos"))
+    if return_stats:
+        return pairs, dropped
+    return pairs
 
 
 def ann_ivf_topk(

@@ -1047,23 +1047,31 @@ SELECT query_id, cand_id, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
     return QueryDef(fn, duck)
 
 
+def _duck_bucket_expr(emb: str, primes: tuple[int, ...]) -> str:
+    """DuckDB twin of similarity.hyperplane_bucket_expr — same ±1 plane
+    rule ((i * p) % PLANE_MOD < PLANE_THRESH, i 1-based), same DECIMAL
+    accumulation, so bucket ids are exact in both engines."""
+    from .operators.similarity import PLANE_MOD, PLANE_THRESH
+
+    bits = []
+    for j, p in enumerate(primes):
+        term = (
+            f"list_transform(range(1, len({emb}) + 1), i -> "
+            f"CASE WHEN (i * {p}) % {PLANE_MOD} < {PLANE_THRESH} THEN "
+            f"CAST(CAST({emb}[i] AS DOUBLE) AS DECIMAL(20, 12)) ELSE "
+            f"-CAST(CAST({emb}[i] AS DOUBLE) AS DECIMAL(20, 12)) END)"
+        )
+        bits.append(f"(CASE WHEN list_sum({term}) > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
 def _q_ann_lsh_bucket() -> QueryDef:
     """Random-hyperplane sign-LSH bucket assignment (the ANN scale path):
     deterministic ±1 planes, DECIMAL dot products — exact in both engines."""
-    from .operators.similarity import N_PLANES, PLANE_PRIMES
+    from .operators.similarity import PLANE_PRIMES
 
     def duck_bucket() -> str:
-        bits = []
-        for j in range(N_PLANES):
-            p = PLANE_PRIMES[j]
-            term = (
-                f"list_transform(range(1, len(embedding) + 1), i -> "
-                f"CASE WHEN (i * {p}) % 5 < 2 THEN "
-                f"CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20, 12)) ELSE "
-                f"-CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20, 12)) END)"
-            )
-            bits.append(f"(CASE WHEN list_sum({term}) > 0 THEN {1 << j} ELSE 0 END)")
-        return " + ".join(bits)
+        return _duck_bucket_expr("embedding", PLANE_PRIMES)
 
     duck = f"""
 SELECT vec_id, CAST({duck_bucket()} AS BIGINT) AS bucket

@@ -105,8 +105,12 @@ def test_cosine_near_dups_within_buckets(emb):
 
     vecs, df = emb
     thr = 0.6
-    got = {(r["a"], r["b"]) for r in cosine_near_dups(df, threshold=thr).collect()}
-    buckets = {r["vec_id"]: r["bucket"] for r in ann_lsh_buckets(df).collect()}
+    got = {
+        (r["a"], r["b"])
+        for r in cosine_near_dups(df, threshold=thr, n_bands=2, block=7).collect()
+    }
+    b0 = {r["vec_id"]: r["bucket"] for r in ann_lsh_buckets(df, band=0).collect()}
+    b1 = {r["vec_id"]: r["bucket"] for r in ann_lsh_buckets(df, band=1).collect()}
     v = vecs.astype(np.float64)
     norms = np.linalg.norm(v, axis=1)
     cos = (v @ v.T) / (norms[:, None] * norms[None, :])
@@ -114,9 +118,48 @@ def test_cosine_near_dups_within_buckets(emb):
         (i, j)
         for i in range(len(v))
         for j in range(i + 1, len(v))
-        if buckets[i] == buckets[j] and cos[i, j] >= thr
+        if (b0[i] == b0[j] or b1[i] == b1[j]) and cos[i, j] >= thr
     }
     assert got == want
+    # the two bands must be genuinely different hash functions: some pair
+    # collides in band 1 but not band 0 (and vice versa)
+    n = len(v)
+    pairs01 = {(i, j) for i in range(n) for j in range(i + 1, n)
+               if b0[i] != b0[j] and b1[i] == b1[j]}
+    pairs10 = {(i, j) for i in range(n) for j in range(i + 1, n)
+               if b0[i] == b0[j] and b1[i] != b1[j]}
+    assert pairs01 and pairs10, "bands are not independent hash functions"
+
+
+def test_cosine_near_dups_bucket_cap_bounds_memory(spark):
+    """Hot-bucket scenario (VERDICT r1 #2): a degenerate embedding mass
+    lands one bucket over cap in EVERY band; the capped operator must
+    drop it before materialization (bounded peak memory), account for it
+    in the stats, and still emit pairs from healthy buckets."""
+    import numpy as np
+
+    from osm_render_spark.operators.similarity import cosine_near_dups
+
+    rng = np.random.default_rng(9)
+    hot = [list(np.array([1.0, 0.0, 0.0, 0.0]) + rng.normal(0, 1e-4, 4))
+           for _ in range(60)]
+    # two exact dups far from the hot mass → a healthy-bucket pair
+    cold = [[0.0, -1.0, 0.0, 0.0], [0.0, -1.0, 0.0, 0.0]]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(hot + cold)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs, dropped = cosine_near_dups(
+        df, threshold=0.9, n_bands=2, bucket_cap=50, return_stats=True
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    drops = [(r["band"], r["n_rows"]) for r in dropped.collect()]
+    assert (60, 61) in got  # healthy bucket still scanned
+    assert all(a >= 60 for a, _ in got)  # hot-mass pairs dropped by the cap
+    assert len(drops) == 2 and all(n >= 60 for _b, n in drops)  # both bands accounted
+
+    # uncapped control: the hot pairs come back
+    full = cosine_near_dups(df, threshold=0.9, n_bands=2, bucket_cap=4096)
+    assert sum(1 for r in full.collect() if r["a"] < 60) == 60 * 59 / 2
 
 
 def test_exact_dedup_counts(spark):
