@@ -1118,10 +1118,76 @@ FROM documents ORDER BY doc_id
     return QueryDef(fn, duck)
 
 
+# exact DECIMAL accumulation fragments for embedding oracles: the only
+# order-dependent operation (summation) happens in DECIMAL, so the sums
+# are engine-independent; everything downstream is single deterministic
+# IEEE-double ops on those exact values
+_DEC_PROD = (
+    "SUM(CAST(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) AS DECIMAL(20, 12)))"
+)
+
+
+def _cos_rank_key(s_dot: str, s_norm: str) -> str:
+    """Monotone-in-cosine ranking key from exact DECIMAL dot/norm sums:
+    sign(dot) · dot² / ‖c‖² (the query norm is constant per partition).
+    sqrt is avoided entirely; the decimal→double casts and the single
+    multiply/divide are deterministic IEEE ops, so both engines compute
+    the IDENTICAL double — ranks match bitwise (same trick as
+    embedding_l2_top3, extended to cosine)."""
+    sq = f"CAST({s_dot} AS DOUBLE) * CAST({s_dot} AS DOUBLE) / CAST({s_norm} AS DOUBLE)"
+    return f"CASE WHEN {s_dot} >= 0 THEN {sq} ELSE -({sq}) END"
+
+
 def _q_cosine_near_dups() -> QueryDef:
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only: double
-    cosine values; pair-set correctness is pinned by
-    tests/test_training_ops against numpy)."""
+    """Embedding-cosine near-dup pairs via banded LSH buckets, fully
+    oracle-checked: DuckDB recomputes the two band-bucket assignments
+    (exact DECIMAL plane sums) and the threshold test as
+    dot ≥ 0 ∧ dot² ≥ t²·‖a‖²·‖b‖² on exact DECIMAL sums — sqrt-free, so
+    the pair set is engine-independent. bucket_cap is set above any
+    bucket population at test scales (the cap path is pinned by
+    test_training_ops' hot-bucket test instead — a cap drop is corpus-
+    dependent and not SQL-expressible)."""
+    from .operators.similarity import BAND_PRIMES
+
+    t2 = 0.95 * 0.95
+    b0 = _duck_bucket_expr("embedding", BAND_PRIMES[0])
+    b1 = _duck_bucket_expr("embedding", BAND_PRIMES[1])
+    duck = f"""
+WITH base AS (
+  SELECT vec_id AS vid, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vid, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+bb AS (
+  SELECT vid, 0 AS band, CAST({b0} AS BIGINT) AS bucket FROM base
+  UNION ALL
+  SELECT vid, 1 AS band, CAST({b1} AS BIGINT) AS bucket FROM base
+),
+cand AS (
+  SELECT DISTINCT x.vid AS a, y.vid AS b
+  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.vid < y.vid
+),
+xe AS (
+  SELECT vid, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM base
+),
+nrm AS (
+  SELECT vid, {_DEC_PROD.format(x='v', y='v')} AS s_n FROM xe GROUP BY vid
+),
+pd AS (
+  SELECT c.a, c.b, {_DEC_PROD.format(x='x.v', y='y.v')} AS s_dot
+  FROM cand c
+  JOIN xe x ON x.vid = c.a
+  JOIN xe y ON y.vid = c.b AND y.i = x.i
+  GROUP BY c.a, c.b
+)
+SELECT pd.a AS a, pd.b AS b
+FROM pd JOIN nrm na ON na.vid = pd.a JOIN nrm nb ON nb.vid = pd.b
+WHERE pd.s_dot >= 0
+  AND CAST(pd.s_dot AS DOUBLE) * CAST(pd.s_dot AS DOUBLE)
+      >= {t2!r} * (CAST(na.s_n AS DOUBLE) * CAST(nb.s_n AS DOUBLE))
+ORDER BY a, b
+"""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .operators.similarity import cosine_near_dups
@@ -1133,19 +1199,50 @@ def _q_cosine_near_dups() -> QueryDef:
         )
         corpus = emb.unionAll(dup)
         return (
-            cosine_near_dups(corpus, threshold=0.95)
+            cosine_near_dups(corpus, threshold=0.95, n_bands=2)
             .select("a", "b")
             .orderBy("a", "b")
         )
 
-    return QueryDef(fn, None)
+    return QueryDef(fn, duck)
 
 
 def _q_cosine_top3() -> QueryDef:
-    """Brute-force cosine top-k via the similarity operator. Rows-only:
-    double SQRT/division makes the score engine-dependent at ulp level, so
-    ranks near ties are not oracle-comparable (the L2 query covers exact
-    kNN parity; cosine correctness is covered in tests/test_similarity)."""
+    """Brute-force cosine top-k via the similarity operator's numpy
+    kernel, oracle-checked: the DuckDB side ranks by the sqrt-free
+    sign(dot)·dot²/‖c‖² key over exact DECIMAL sums (_cos_rank_key) —
+    monotone in true cosine, so ranks agree with the kernel's float64
+    cosine whenever adjacent candidates aren't within float error of a
+    tie (verified at sf 0.001/0.01/0.1)."""
+    duck = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, unnest(embedding) AS qv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (
+  SELECT vec_id AS cand_id, unnest(embedding) AS cv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id % 25 <> 0
+),
+dots AS (
+  SELECT query_id, cand_id, {_DEC_PROD.format(x='qv', y='cv')} AS s_dot
+  FROM q JOIN c USING (i) GROUP BY query_id, cand_id
+),
+nc AS (
+  SELECT cand_id, {_DEC_PROD.format(x='cv', y='cv')} AS s_nc FROM c GROUP BY cand_id
+),
+keyed AS (
+  SELECT query_id, cand_id, {_cos_rank_key('s_dot', 's_nc')} AS key
+  FROM dots JOIN nc USING (cand_id)
+),
+r AS (
+  SELECT query_id, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY key DESC, cand_id) AS rank
+  FROM keyed
+)
+SELECT query_id, cand_id, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .operators.similarity import cosine_topk
@@ -1159,7 +1256,7 @@ def _q_cosine_top3() -> QueryDef:
             "query_id", "rank"
         )
 
-    return QueryDef(fn, None)
+    return QueryDef(fn, duck)
 
 
 # ---------------------------------------------------------------------------
@@ -1170,7 +1267,20 @@ def _q_cosine_top3() -> QueryDef:
 def _q_image_pipeline() -> QueryDef:
     """Synthesize input_hint-shaped images from testdata keys on the
     EXECUTORS (mapInPandas), then run the decode/verify/feature kernel
-    (raster.ops.decode_features). Deterministic; rows-only check."""
+    (raster.ops.decode_features). Oracle-checked: DuckDB predicts the
+    engine-independent verification outcome per key — recovered
+    dimensions, format routing, dims_ok/phash_ok verdicts (phash_ok is
+    N/A→true for the lossy 'jpeg' rows, whose phash is checked against
+    the PRE-encode pixels by construction). A decode or verify bug
+    flips a verdict or a dimension and hash-mismatches."""
+    duck = """
+SELECT 'img' || lpad(CAST(n_nationkey AS VARCHAR), 10, '0') AS image_id,
+       64 AS w, 64 AS h,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       TRUE AS phash_ok,
+       TRUE AS dims_ok
+FROM nation ORDER BY image_id
+"""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
@@ -1214,11 +1324,20 @@ def _q_image_pipeline() -> QueryDef:
         )
         return (
             decode_features(images)
-            .select("image_id", "w", "h", "fmt", "phash_ok", "dims_ok")
+            .select(
+                "image_id",
+                "w",
+                "h",
+                "fmt",
+                # N/A (lossy fmt) → true, so the column is non-null for the
+                # value hash; png rows still carry the real verdict
+                F.coalesce("phash_ok", F.lit(True)).alias("phash_ok"),
+                "dims_ok",
+            )
             .orderBy("image_id")
         )
 
-    return QueryDef(fn, None)
+    return QueryDef(fn, duck)
 
 
 def _q_way_tile_fanout() -> QueryDef:
@@ -1291,8 +1410,89 @@ ORDER BY way_id, tile_x, tile_y
 
 
 def _q_ann_ivf_top3() -> QueryDef:
-    """IVF-flat ANN (rows-only: double cosine; exactness at full probe is
-    pinned by tests/test_training_ops)."""
+    """IVF-flat ANN, oracle-checked end-to-end with the deterministic
+    'head' quantizer (centroids = 16 lowest-id candidates — the
+    SQL-expressible quantizer; the k-means quantizer is the operator's
+    scale default, pinned by the recall test instead): DuckDB replicates
+    list assignment (argmax over the sqrt-free cosine key, ties to the
+    lowest list), probe selection (top-4 lists per query, same key),
+    and the final within-list exact-cosine rank."""
+    duck = f"""
+WITH c AS (
+  SELECT vec_id AS cand_id, embedding FROM embeddings WHERE vec_id % 25 <> 0
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cand_id) - 1 AS list_id, embedding
+  FROM c ORDER BY cand_id LIMIT 16
+),
+ce AS (
+  SELECT list_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM cent
+),
+cnorm AS (
+  SELECT list_id, {_DEC_PROD.format(x='v', y='v')} AS s_nc FROM ce GROUP BY list_id
+),
+xe AS (
+  SELECT cand_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM c
+),
+xnorm AS (
+  SELECT cand_id, {_DEC_PROD.format(x='v', y='v')} AS s_nx FROM xe GROUP BY cand_id
+),
+adot AS (
+  SELECT x.cand_id, e.list_id, {_DEC_PROD.format(x='x.v', y='e.v')} AS s_dot
+  FROM xe x JOIN ce e USING (i) GROUP BY x.cand_id, e.list_id
+),
+akey AS (
+  SELECT cand_id, list_id, {_cos_rank_key('s_dot', 's_nc')} AS key
+  FROM adot JOIN cnorm USING (list_id)
+),
+assign AS (
+  SELECT cand_id, list_id FROM (
+    SELECT cand_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY cand_id ORDER BY key DESC, list_id) AS rn
+    FROM akey
+  ) t WHERE rn = 1
+),
+qe AS (
+  SELECT vec_id AS query_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+qdot AS (
+  SELECT q.query_id, e.list_id, {_DEC_PROD.format(x='q.v', y='e.v')} AS s_dot
+  FROM qe q JOIN ce e USING (i) GROUP BY q.query_id, e.list_id
+),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT query_id, list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY {_cos_rank_key('s_dot', 's_nc')} DESC, list_id
+           ) AS rn
+    FROM qdot JOIN cnorm USING (list_id)
+  ) t WHERE rn <= 4
+),
+pair AS (
+  SELECT p.query_id, a.cand_id FROM probes p JOIN assign a USING (list_id)
+),
+pdot AS (
+  SELECT pr.query_id, pr.cand_id, {_DEC_PROD.format(x='q.v', y='x.v')} AS s_dot
+  FROM pair pr
+  JOIN qe q ON q.query_id = pr.query_id
+  JOIN xe x ON x.cand_id = pr.cand_id AND x.i = q.i
+  GROUP BY pr.query_id, pr.cand_id
+),
+r AS (
+  SELECT pd.query_id, pd.cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY pd.query_id
+           ORDER BY {_cos_rank_key('pd.s_dot', 'xn.s_nx')} DESC, pd.cand_id
+         ) AS rank
+  FROM pdot pd JOIN xnorm xn ON xn.cand_id = pd.cand_id
+)
+SELECT query_id, cand_id, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .operators.similarity import ann_ivf_topk
@@ -1303,18 +1503,58 @@ def _q_ann_ivf_top3() -> QueryDef:
         )
         c = emb.where(F.expr("vec_id % 25 <> 0"))
         return (
-            ann_ivf_topk(c, q, 3, n_centroids=16, n_probe=4)
+            ann_ivf_topk(c, q, 3, n_centroids=16, n_probe=4, quantizer="head")
             .select("query_id", "cand_id", "rank")
             .orderBy("query_id", "rank")
         )
 
-    return QueryDef(fn, None)
+    return QueryDef(fn, duck)
 
 
 def _q_slippy_render() -> QueryDef:
-    """Multi-tile slippy render over testdata-derived polygon ways —
-    rows-only (PNG bytes are engine-side; pixel parity is pinned by
-    tests/test_slippy + golden tiles)."""
+    """Multi-tile slippy render over testdata-derived polygon ways,
+    oracle-checked on the per-tile MANIFEST (which tiles exist, how many
+    ways landed in each, and the way-id sum per tile — n_ways/way_sum
+    are computed by the render kernel itself from the groups it actually
+    rendered, so a fan-out or grouping bug hash-mismatches). Pixel
+    parity of the PNG bytes stays pinned by tests/test_slippy goldens —
+    bytes are engine-specific and excluded from the oracle projection."""
+    zoom, d = 6, 0.05
+    n = 1 << zoom
+
+    def tx(e: str) -> str:
+        from .functions.projection import merc_x_sql
+
+        return f"CAST(LEAST(GREATEST(FLOOR({merc_x_sql(e, zoom)}), 0), {n - 1}) AS BIGINT)"
+
+    def ty(e: str) -> str:
+        from .functions.projection import merc_y_sql
+
+        return f"CAST(LEAST(GREATEST(FLOOR({merc_y_sql(e, zoom)}), 0), {n - 1}) AS BIGINT)"
+
+    duck = f"""
+WITH w AS (
+  SELECT o_orderkey AS way_id,
+         {LON_ORD} AS lon0, ({LON_ORD} + {d!r}) AS lon1,
+         {LAT_ORD} AS lat0, ({LAT_ORD} + {d!r}) AS lat1
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+ranges AS (
+  SELECT way_id,
+         {tx('lon0')} AS tx0, {tx('lon1')} AS tx1,
+         {ty('lat1')} AS ty0, {ty('lat0')} AS ty1
+  FROM w
+),
+fan1 AS (
+  SELECT way_id, unnest(generate_series(tx0, tx1)) AS tile_x, ty0, ty1 FROM ranges
+),
+fan AS (
+  SELECT way_id, tile_x, unnest(generate_series(ty0, ty1)) AS tile_y FROM fan1
+)
+SELECT tile_x * {n} + tile_y AS tile_key, tile_x, tile_y,
+       COUNT(*) AS n_ways, CAST(SUM(way_id) AS BIGINT) AS way_sum
+FROM fan GROUP BY 1, 2, 3 ORDER BY tile_key
+"""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .raster.ops import render_slippy_tiles
@@ -1322,7 +1562,6 @@ def _q_slippy_render() -> QueryDef:
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
             F.expr("o_orderkey % 100 = 0")
         )
-        d = 0.05
         ways = orders.select(
             F.col("o_orderkey").alias("way_id"),
             F.lit("water").alias("kind"),
@@ -1336,12 +1575,12 @@ def _q_slippy_render() -> QueryDef:
                 )"""
             ).alias("geometry"),
         )
-        tiles = render_slippy_tiles(ways, zoom=6, tile_px=128)
+        tiles = render_slippy_tiles(ways, zoom=zoom, tile_px=128)
         return tiles.select(
-            "tile_key", "tile_x", "tile_y", F.length("bytes").alias("png_bytes")
+            "tile_key", "tile_x", "tile_y", "n_ways", "way_sum"
         ).orderBy("tile_key")
 
-    return QueryDef(fn, None)
+    return QueryDef(fn, duck)
 
 
 # ---------------------------------------------------------------------------

@@ -287,14 +287,20 @@ def render_slippy_tiles(
 
         def render_group(g: pd.DataFrame):
             surf = render_map_kernel(g, tile_px, tile_px)
+            # n_ways/way_sum: engine-independent per-tile manifest digests
+            # (each way appears exactly once per covered tile) — the
+            # slippy_render oracle recomputes them from the fan-out
+            # arithmetic in DuckDB
             return (
                 int(g["tile_key"].iloc[0]),
                 int(g["tile_x"].iloc[0]),
                 int(g["tile_y"].iloc[0]),
                 encode_png(surf),
+                len(g),
+                int(g["way_id"].sum()),
             )
 
-        cols = ["tile_key", "tile_x", "tile_y", "bytes"]
+        cols = ["tile_key", "tile_x", "tile_y", "bytes", "n_ways", "way_sum"]
         for pdf in batches:
             if pending is not None:
                 pdf = pd.concat([pending, pdf], ignore_index=True)
@@ -313,7 +319,11 @@ def render_slippy_tiles(
             yield pd.DataFrame(out, columns=cols)
 
     return arranged.mapInPandas(
-        kernel, schema="tile_key long, tile_x long, tile_y long, bytes binary"
+        kernel,
+        schema=(
+            "tile_key long, tile_x long, tile_y long, bytes binary, "
+            "n_ways long, way_sum long"
+        ),
     )
 
 

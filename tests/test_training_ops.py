@@ -93,6 +93,41 @@ def test_ann_ivf_recall_and_ranking(emb):
         assert np.isfinite(cos_vals).all()
 
 
+def test_ann_ivf_kmeans_recall_on_clustered_corpus(spark):
+    """k-means quantizer (VERDICT r1 #6): on a corpus with real cluster
+    structure, probing 4 of 16 learned lists must reach recall@3 ≥ 0.9
+    vs brute force."""
+    import numpy as np
+
+    from osm_render_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(16, 16))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    vecs = np.concatenate(
+        [c + rng.normal(0, 0.08, size=(50, 16)) for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where(df.vec_id % 100 == 0).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("q_embedding")
+    )
+    cands = df.where(df.vec_id % 100 != 0)
+    brute = {}
+    for r in cosine_topk(cands, queries, 3).collect():
+        brute.setdefault(r["query_id"], set()).add(r["cand_id"])
+    ivf = {}
+    for r in ann_ivf_topk(
+        cands, queries, 3, n_centroids=16, n_probe=4, quantizer="kmeans"
+    ).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["cand_id"])
+    hits = sum(len(brute[q] & ivf.get(q, set())) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
 def test_cosine_near_dups_within_buckets(emb):
     """Every emitted pair is a true near-dup; every same-bucket true
     near-dup is emitted (LSH recall boundary is the bucket)."""
