@@ -10,8 +10,12 @@ Scale notes (10^12 docs): exact dedup is one hash-agg shuffle on a
 fixed-width key (sha256 of text — never shuffle raw text). MinHash
 signatures are a narrow map (HOF transforms, JVM codegen). LSH banding
 shuffles once per band on (band, h...) — candidate pairs only surface
-within buckets, so the quadratic blowup is bounded by bucket size; a
-bucket-size cap (drop degenerate buckets) keeps the worst case linear.
+within buckets, so the quadratic blowup is bounded by bucket size;
+lsh_candidate_pairs enforces the bucket-size cap (oversized buckets
+dropped before pair fan-out, with drop accounting), keeping the worst
+case linear. Signature width and banding are parameters
+(n_perms / n_bands / rows_per_band); the defaults reproduce the
+original 4-perm, 2×2 form byte-for-byte.
 """
 
 from __future__ import annotations
@@ -19,7 +23,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import MINHASH_A, SPARK, shingles_sql, word_keys_sql
+from .text import MINHASH_A, MINHASH_B, P, SPARK, shingles_sql, word_keys_sql
+
+
+def minhash_params(n_perms: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) permutation parameters for j = 0..n-1.
+    The first four are the original MINHASH_A/B constants (oracle-checked
+    queries and goldens stay byte-stable); beyond that an LCG-style
+    formula extends the family to any width (a_j forced nonzero mod P so
+    every permutation is a bijection of Z_P)."""
+    a = list(MINHASH_A[:n_perms])
+    b = list(MINHASH_B[:n_perms])
+    for j in range(len(a), n_perms):
+        aj = (1013904223 + j * 1664525) % P
+        a.append(aj if aj != 0 else 1)
+        b.append((69069 * j + 12345) % P)
+    return a, b
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -66,19 +85,23 @@ def _word_keys_batch(text: str) -> "np.ndarray":
 
 
 def minhash_signatures_kernel(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_perms: int = 4,
 ) -> DataFrame:
     """Vectorized Arrow-kernel form of minhash_signatures — identical
     integer arithmetic (tests assert bitwise equality with the SQL/HOF
-    form), byte-level numpy instead of interpreted HOF lambdas. This is
-    the 10^12-document scale path."""
+    form at 4 AND 128 perms), byte-level numpy instead of interpreted
+    HOF lambdas. This is the 10^12-document scale path: all n_perms
+    hashes of a document's shingles are one (n_perms × n_shingles)
+    broadcast min, no per-perm Python."""
     import numpy as np
     import pandas as pd
 
-    from .text import MINHASH_B, P
-
-    a = list(MINHASH_A)
-    bb = list(MINHASH_B)
+    a_list, b_list = minhash_params(n_perms)
+    a = np.array(a_list, dtype=np.int64)[:, None]
+    bb = np.array(b_list, dtype=np.int64)[:, None]
+    cols = [f"mh{j}" for j in range(n_perms)]
+    empty = [-1] * n_perms
 
     def kernel(batches):
         for pdf in batches:
@@ -87,25 +110,25 @@ def minhash_signatures_kernel(
                 k = _word_keys_batch(text)
                 if len(k) >= 3:
                     sh = (k[:-2] * 2654435761 + k[1:-1] * 40503 + k[2:]) % P
-                    mh = [int(((aj * sh + bj) % P).min()) for aj, bj in zip(a, bb)]
+                    mh = ((a * sh[None, :] + bb) % P).min(axis=1).tolist()
                 else:
-                    mh = [-1, -1, -1, -1]
+                    mh = empty
                 rows.append((doc_id, *mh))
-            yield pd.DataFrame(rows, columns=[id_col, "mh0", "mh1", "mh2", "mh3"])
+            yield pd.DataFrame(rows, columns=[id_col, *cols])
 
-    return df.select(id_col, text_col).mapInPandas(
-        kernel, schema=f"{id_col} long, mh0 long, mh1 long, mh2 long, mh3 long"
-    )
+    schema = f"{id_col} long, " + ", ".join(f"{c} long" for c in cols)
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_perms: int = 4,
 ) -> DataFrame:
-    """(id, mh0..mh3) minhash signature per document (word-trigram
-    shingles). Shingles explode once, the 4 hash mins aggregate in one
-    hash-agg — pure HOF + codegen arithmetic, no UDF, O(total shingles)."""
-    from .text import MINHASH_B, P
-
+    """(id, mh0..mh{n-1}) minhash signature per document (word-trigram
+    shingles). Shingles explode once, the n_perms hash mins aggregate in
+    one hash-agg — pure HOF + codegen arithmetic, no UDF,
+    O(total shingles)."""
+    a, b = minhash_params(n_perms)
     keys = word_keys_sql(SPARK, text_col)
     sh = shingles_sql(SPARK, f"({keys})")
     exploded = df.select(
@@ -113,29 +136,46 @@ def minhash_signatures(
     )
     aggs = [
         F.coalesce(
-            F.min(F.expr(f"({MINHASH_A[j]} * s + {MINHASH_B[j]}) % {P}")), F.lit(-1)
+            F.min(F.expr(f"({a[j]} * s + {b[j]}) % {P}")), F.lit(-1)
         )
         .cast("long")
         .alias(f"mh{j}")
-        for j in range(len(MINHASH_A))
+        for j in range(n_perms)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def lsh_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the 4-hash signature into 2 bands of 2; emit non-trivial
-    buckets (n>1) — the candidate groups for near-dup verification."""
+def lsh_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band an n_bands × rows_per_band signature; emit non-trivial
+    buckets (n>1) — the candidate groups for near-dup verification.
+    Output keeps the historical 2×2 column shape (band, h1, h2, …) by
+    hashing each band's rows into two 64-bit halves when
+    rows_per_band > 2 (xxhash64 with distinct seeds via a salt column)."""
     bands = []
-    for band, (h1, h2) in enumerate((("mh0", "mh1"), ("mh2", "mh3"))):
+    for band in range(n_bands):
+        hs = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        if rows_per_band <= 2:
+            h1 = F.col(hs[0])
+            h2 = F.col(hs[1]) if len(hs) > 1 else F.lit(0).cast("long")
+        else:
+            h1 = F.xxhash64(F.lit(0), *[F.col(h) for h in hs])
+            h2 = F.xxhash64(F.lit(1), *[F.col(h) for h in hs])
         bands.append(
             signatures.select(
                 F.lit(band).alias("band"),
-                F.col(h1).alias("h1"),
-                F.col(h2).alias("h2"),
+                h1.alias("h1"),
+                h2.alias("h2"),
                 F.col(id_col),
             )
         )
-    allb = bands[0].unionAll(bands[1])
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionAll(b)
     return (
         allb.groupBy("band", "h1", "h2")
         .agg(
@@ -145,3 +185,49 @@ def lsh_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    bucket_cap: int = 4096,
+    return_stats: bool = False,
+):
+    """Candidate near-dup pairs from MinHash-LSH banding — the bucket-cap
+    path the r1 docstring promised: buckets over ``bucket_cap`` docs are
+    dropped JVM-side BEFORE pair fan-out (a bucket of m docs yields
+    m(m-1)/2 pairs, so uncapped skew is quadratic), with the dropped
+    buckets returned for accounting when ``return_stats=True``. Pairs
+    colliding in several bands are deduplicated by a (a, b) group-by;
+    output (a, b, n_bands_hit) with a < b."""
+    bands = []
+    for band in range(n_bands):
+        hs = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            signatures.select(
+                F.lit(band).alias("band"),
+                F.xxhash64(*[F.col(h) for h in hs]).alias("bkey"),
+                F.col(id_col).alias("_id"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionAll(b)
+    sizes = allb.groupBy("band", "bkey").agg(F.count("*").alias("n_docs"))
+    dropped = sizes.where(F.col("n_docs") > bucket_cap)
+    kept = allb.join(
+        F.broadcast(dropped.select("band", "bkey")), ["band", "bkey"], "left_anti"
+    )
+    left = kept.select("band", "bkey", F.col("_id").alias("a"))
+    right = kept.select("band", "bkey", F.col("_id").alias("b"))
+    pairs = (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+    if return_stats:
+        return pairs, dropped
+    return pairs
