@@ -1,0 +1,559 @@
+"""OpenStreetMap PBF source (SURVEY.md S1) — a real ``.osm.pbf``
+reader/writer built from the PUBLIC format definition (the OSM PBF wire
+format: fileformat.proto / osmformat.proto), matching the reference's
+ingest semantics:
+
+* framed-blob scan: 4-byte big-endian BlobHeader length, BlobHeader,
+  Blob (reference framing loop MapData.m:361-482; BE length decode
+  MapData.m:303,404 — operator F10)
+* zlib inflate of Blob.zlib_data (MapData.m:335 — F9/S3)
+* DenseNodes / way-ref delta decode as a numpy cumsum (MapData.m:96-100
+  — the W1 prefix-sum operator), zigzag sint decoding
+* string-table tag resolution (MapData.m:198-211 — J4)
+* nanodegree → degree scaling lat = 1e-9 · (offset + granularity·v)
+  (MapData.m:178 — P7)
+
+No protobuf library exists in this container, so the wire format is
+decoded directly: field headers with a tiny python scanner (messages have
+a handful of fields), and the BULK payloads — packed varint arrays, the
+actual data volume — with a vectorized numpy varint decoder
+(``decode_varints``), keeping the hot path out of per-byte Python.
+
+Spark plumbing (``read_pbf``): ``binaryFile`` scan → blob-framing
+explode (cheap, framing only) → repartition on blob → per-blob Arrow
+decode kernel. The unit of parallelism is the ~1 MB compressed blob,
+exactly the reference's own work unit. At planet scale (one ~80 GB
+file) the same framing pass yields a (offset, length) blob index for
+range reads instead of shipping file contents; the per-blob decode
+kernel is unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+
+def decode_varints(buf: np.ndarray) -> np.ndarray:
+    """Vectorized decode of a packed varint byte buffer → uint64 array.
+    Group boundaries are bytes without the continuation bit; each byte
+    contributes its low 7 bits shifted by 7·(position in group)."""
+    if len(buf) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero((buf & 0x80) == 0)
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    lengths = ends - starts + 1
+    pos = np.arange(len(buf)) - np.repeat(starts, lengths)
+    vals = (buf.astype(np.uint64) & 0x7F) << (7 * pos.astype(np.uint64))
+    return np.add.reduceat(vals, starts)
+
+
+def zigzag_decode(u: np.ndarray) -> np.ndarray:
+    """sint64 zigzag: (u >> 1) ^ -(u & 1), on the uint64 bit pattern."""
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)) ^ (~(u & np.uint64(1)) + np.uint64(1))).astype(
+        np.int64
+    )
+
+
+def _encode_varint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_encode(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _field(num: int, wire: int) -> bytes:
+    return _encode_varint((num << 3) | wire)
+
+
+def _len_field(num: int, payload: bytes) -> bytes:
+    return _field(num, 2) + _encode_varint(len(payload)) + payload
+
+
+def _varint_field(num: int, v: int) -> bytes:
+    return _field(num, 0) + _encode_varint(v)
+
+
+def _packed(nums) -> bytes:
+    return b"".join(_encode_varint(int(v)) for v in nums)
+
+
+def _packed_zz(nums) -> bytes:
+    return b"".join(_encode_varint(_zigzag_encode(int(v))) for v in nums)
+
+
+def scan_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) for one protobuf message.
+    value is an int for varint fields, a memoryview for length-delimited
+    fields. Fixed32/64 returned as raw ints. Message field COUNTS are
+    small by construction — the heavy payloads are inside
+    length-delimited packed arrays handled by decode_varints."""
+    view = memoryview(buf)
+    i, n = 0, len(view)
+    while i < n:
+        tag = 0
+        shift = 0
+        while True:
+            b = view[i]
+            i += 1
+            tag |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        num, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v = 0
+            shift = 0
+            while True:
+                b = view[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield num, wire, v
+        elif wire == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = view[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield num, wire, view[i : i + ln]
+            i += ln
+        elif wire == 5:
+            yield num, wire, int.from_bytes(view[i : i + 4], "little")
+            i += 4
+        elif wire == 1:
+            yield num, wire, int.from_bytes(view[i : i + 8], "little")
+            i += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+# ---------------------------------------------------------------------------
+# blob framing (fileformat.proto)
+# ---------------------------------------------------------------------------
+
+
+def iter_blobs(data: bytes):
+    """Yield (blob_type, raw_payload) for each framed blob: 4-byte BE
+    BlobHeader length → BlobHeader{1:type, 3:datasize} → Blob{1:raw |
+    2:raw_size + 3:zlib_data}, inflated."""
+    pos, n = 0, len(data)
+    while pos + 4 <= n:
+        (hlen,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 4
+        btype, dsize = None, None
+        for num, _w, v in scan_fields(data[pos : pos + hlen]):
+            if num == 1:
+                btype = bytes(v).decode()
+            elif num == 3:
+                dsize = v
+        pos += hlen
+        raw, zdata, raw_size = None, None, None
+        for num, _w, v in scan_fields(data[pos : pos + dsize]):
+            if num == 1:
+                raw = bytes(v)
+            elif num == 2:
+                raw_size = v
+            elif num == 3:
+                zdata = bytes(v)
+        pos += dsize
+        if raw is None:
+            raw = zlib.decompress(zdata)
+            if raw_size is not None and len(raw) != raw_size:
+                raise ValueError("blob raw_size mismatch")
+        yield btype, raw
+
+
+def blob_index(data: bytes) -> list[tuple[int, int, str]]:
+    """(offset, length, type) of every framed blob WITHOUT inflating —
+    the planet-scale range-read index (header scan only)."""
+    out = []
+    pos, n = 0, len(data)
+    while pos + 4 <= n:
+        start = pos
+        (hlen,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 4
+        btype, dsize = None, None
+        for num, _w, v in scan_fields(data[pos : pos + hlen]):
+            if num == 1:
+                btype = bytes(v).decode()
+            elif num == 3:
+                dsize = v
+        pos += hlen + dsize
+        out.append((start, pos - start, btype))
+    return out
+
+
+def header_bbox(data: bytes) -> tuple[float, float, float, float] | None:
+    """S4 header probe: (lat_min, lon_min, lat_max, lon_max) from the
+    OSMHeader blob's HeaderBBox (nanodegrees), or None."""
+    for btype, raw in iter_blobs(data):
+        if btype != "OSMHeader":
+            continue
+        for num, _w, v in scan_fields(raw):
+            if num == 1:  # HeaderBBox{1:left 2:right 3:top 4:bottom} sint64
+                vals = {}
+                for fn, _w2, fv in scan_fields(v):
+                    vals[fn] = zigzag_decode(np.array([fv], dtype=np.uint64))[0]
+                return (
+                    float(vals[4]) * 1e-9,
+                    float(vals[1]) * 1e-9,
+                    float(vals[3]) * 1e-9,
+                    float(vals[2]) * 1e-9,
+                )
+        return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PrimitiveBlock decode (osmformat.proto)
+# ---------------------------------------------------------------------------
+
+
+def decode_primitive_block(raw: bytes) -> dict:
+    """One OSMData payload → {'nodes': [...], 'ways': [...],
+    'relations': [...]} python rows matching fixtures.osm schemas."""
+    strings: list[str] = []
+    groups = []
+    granularity, lat_off, lon_off = 100, 0, 0
+    for num, _w, v in scan_fields(raw):
+        if num == 1:  # StringTable{repeated 1: bytes}
+            strings = [bytes(s).decode() for n2, _x, s in scan_fields(v) if n2 == 1]
+        elif num == 2:
+            groups.append(bytes(v))
+        elif num == 17:
+            granularity = v
+        elif num == 19:
+            lat_off = v
+        elif num == 20:
+            lon_off = v
+
+    def coord(vals: np.ndarray, off: int) -> np.ndarray:
+        return 1e-9 * (off + granularity * vals.astype(np.float64))
+
+    nodes, ways, rels = [], [], []
+    for g in groups:
+        for num, _w, v in scan_fields(g):
+            if num == 2:  # DenseNodes
+                dense = {}
+                for fn, _w2, fv in scan_fields(v):
+                    dense[fn] = fv
+                ids = np.cumsum(
+                    zigzag_decode(decode_varints(np.frombuffer(dense[1], np.uint8)))
+                )  # W1 prefix sum
+                lat = np.cumsum(
+                    zigzag_decode(decode_varints(np.frombuffer(dense[8], np.uint8)))
+                )
+                lon = np.cumsum(
+                    zigzag_decode(decode_varints(np.frombuffer(dense[9], np.uint8)))
+                )
+                kv = (
+                    decode_varints(np.frombuffer(dense[10], np.uint8)).astype(np.int64)
+                    if 10 in dense and len(dense[10])
+                    else np.zeros(len(ids), dtype=np.int64)
+                )
+                lats = coord(lat, lat_off)
+                lons = coord(lon, lon_off)
+                ki = 0
+                for j in range(len(ids)):
+                    tags = {}
+                    while ki < len(kv) and kv[ki] != 0:
+                        tags[strings[kv[ki]]] = strings[kv[ki + 1]]
+                        ki += 2
+                    ki += 1  # the 0 terminator
+                    nodes.append(
+                        (int(ids[j]), float(lats[j]), float(lons[j]), tags)
+                    )
+            elif num == 3:  # Way
+                wid, keys, vals_, refs = None, (), (), ()
+                for fn, _w2, fv in scan_fields(v):
+                    if fn == 1:
+                        wid = fv
+                    elif fn == 2:
+                        keys = decode_varints(np.frombuffer(fv, np.uint8))
+                    elif fn == 3:
+                        vals_ = decode_varints(np.frombuffer(fv, np.uint8))
+                    elif fn == 8:
+                        refs = np.cumsum(
+                            zigzag_decode(
+                                decode_varints(np.frombuffer(fv, np.uint8))
+                            )
+                        )
+                tags = {strings[int(k)]: strings[int(x)] for k, x in zip(keys, vals_)}
+                ways.append((int(wid), [int(r) for r in refs], tags))
+            elif num == 4:  # Relation
+                rid, keys, vals_, roles, memids, types = None, (), (), (), (), ()
+                for fn, _w2, fv in scan_fields(v):
+                    if fn == 1:
+                        rid = fv
+                    elif fn == 2:
+                        keys = decode_varints(np.frombuffer(fv, np.uint8))
+                    elif fn == 3:
+                        vals_ = decode_varints(np.frombuffer(fv, np.uint8))
+                    elif fn == 8:
+                        roles = decode_varints(np.frombuffer(fv, np.uint8))
+                    elif fn == 9:
+                        memids = np.cumsum(
+                            zigzag_decode(
+                                decode_varints(np.frombuffer(fv, np.uint8))
+                            )
+                        )
+                    elif fn == 10:
+                        types = decode_varints(np.frombuffer(fv, np.uint8))
+                tags = {strings[int(k)]: strings[int(x)] for k, x in zip(keys, vals_)}
+                # engine member-type convention is the fixtures' uppercase
+                # (relation merge filters on type == 'WAY')
+                tnames = ("NODE", "WAY", "RELATION")
+                members = [
+                    (tnames[int(t)], int(m), strings[int(r)])
+                    for t, m, r in zip(types, memids, roles)
+                ]
+                rels.append((int(rid), members, tags))
+    return {"nodes": nodes, "ways": ways, "relations": rels}
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture generation + PBF sink)
+# ---------------------------------------------------------------------------
+
+
+def _string_table(tag_dicts, extra: list[str] = ()) -> tuple[bytes, dict[str, int]]:
+    idx = {"": 0}
+    for d in tag_dicts:
+        for k, v in d.items():
+            idx.setdefault(k, len(idx))
+            idx.setdefault(v, len(idx))
+    for s in extra:
+        idx.setdefault(s, len(idx))
+    payload = b"".join(
+        _len_field(1, s.encode()) for s in sorted(idx, key=idx.__getitem__)
+    )
+    return _len_field(1, payload), idx
+
+
+def _blob(btype: str, raw: bytes) -> bytes:
+    blob = _varint_field(2, len(raw)) + _len_field(3, zlib.compress(raw, 6))
+    header = _len_field(1, btype.encode()) + _varint_field(3, len(blob))
+    return struct.pack(">I", len(header)) + header + blob
+
+
+def write_pbf(
+    path: str,
+    nodes: list[tuple],
+    ways: list[tuple],
+    relations: list[tuple],
+    bbox: tuple[float, float, float, float] | None = None,
+    block_size: int = 4000,
+) -> None:
+    """Write a real .osm.pbf: OSMHeader (+HeaderBBox) then OSMData blobs
+    of DenseNodes / Ways / Relations, granularity 1 (coords are integer
+    nanodegrees, exact round-trip). nodes = (id, lat, lon, tags),
+    ways = (id, refs, tags), relations = (id, members, tags) with
+    members = (type, ref, role)."""
+    out = bytearray()
+    header = _len_field(4, b"OsmSchema-V0.6") + _len_field(4, b"DenseNodes")
+    if bbox is not None:
+        lat_min, lon_min, lat_max, lon_max = bbox
+        hb = (
+            _varint_field(1, _zigzag_encode(int(round(lon_min * 1e9))))
+            + _varint_field(2, _zigzag_encode(int(round(lon_max * 1e9))))
+            + _varint_field(3, _zigzag_encode(int(round(lat_max * 1e9))))
+            + _varint_field(4, _zigzag_encode(int(round(lat_min * 1e9))))
+        )
+        header = _len_field(1, hb) + header
+    out += _blob("OSMHeader", header)
+
+    for start in range(0, max(len(nodes), 1), block_size):
+        chunk = nodes[start : start + block_size]
+        if not chunk:
+            break
+        st, idx = _string_table([t for _i, _la, _lo, t in chunk])
+        ids = [n[0] for n in chunk]
+        lats = [int(round(n[1] * 1e9)) for n in chunk]
+        lons = [int(round(n[2] * 1e9)) for n in chunk]
+        kv = []
+        for _i, _la, _lo, tags in chunk:
+            for k, v in tags.items():
+                kv += [idx[k], idx[v]]
+            kv.append(0)
+        dense = (
+            _len_field(1, _packed_zz(np.diff(ids, prepend=0)))
+            + _len_field(8, _packed_zz(np.diff(lats, prepend=0)))
+            + _len_field(9, _packed_zz(np.diff(lons, prepend=0)))
+            + _len_field(10, _packed(kv))
+        )
+        block = st + _len_field(2, _len_field(2, dense)) + _varint_field(17, 1)
+        out += _blob("OSMData", block)
+
+    for start in range(0, max(len(ways), 1), block_size):
+        chunk = ways[start : start + block_size]
+        if not chunk:
+            break
+        st, idx = _string_table([t for _i, _r, t in chunk])
+        group = b""
+        for wid, refs, tags in chunk:
+            msg = _varint_field(1, wid)
+            if tags:
+                msg += _len_field(2, _packed(idx[k] for k in tags))
+                msg += _len_field(3, _packed(idx[v] for v in tags.values()))
+            msg += _len_field(8, _packed_zz(np.diff(refs, prepend=0)))
+            group += _len_field(3, msg)
+        out += _blob("OSMData", st + _len_field(2, group) + _varint_field(17, 1))
+
+    tcode = {"NODE": 0, "WAY": 1, "RELATION": 2}
+    for start in range(0, max(len(relations), 1), block_size):
+        chunk = relations[start : start + block_size]
+        if not chunk:
+            break
+        norm = [
+            (
+                rid,
+                [
+                    (m["type"].upper(), m["ref"], m.get("role") or "")
+                    if isinstance(m, dict)
+                    else (m[0].upper(), m[1], m[2] or "")
+                    for m in members
+                ],
+                tags,
+            )
+            for rid, members, tags in chunk
+        ]
+        st, idx = _string_table(
+            [t for _i, _m, t in norm],
+            extra=[m[2] for _i, ms, _t in norm for m in ms],
+        )
+        group = b""
+        for rid, members, tags in norm:
+            msg = _varint_field(1, rid)
+            if tags:
+                msg += _len_field(2, _packed(idx[k] for k in tags))
+                msg += _len_field(3, _packed(idx[v] for v in tags.values()))
+            if members:
+                msg += _len_field(8, _packed(idx[m[2]] for m in members))
+                msg += _len_field(
+                    9, _packed_zz(np.diff([m[1] for m in members], prepend=0))
+                )
+                msg += _len_field(10, _packed(tcode[m[0]] for m in members))
+            group += _len_field(4, msg)
+        out += _blob("OSMData", st + _len_field(2, group) + _varint_field(17, 1))
+
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# Spark reader
+# ---------------------------------------------------------------------------
+
+
+def read_pbf(spark, path: str):
+    """``.osm.pbf`` → (nodes, ways, relations) DataFrames in the
+    fixtures.osm schemas. Parallelism unit = one compressed blob
+    (framing explode → repartition → per-blob decode kernel); node
+    block_id = the blob index (the engine's stand-in for the
+    reference's per-file grouping)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def explode_blobs(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for i, (btype, raw) in enumerate(iter_blobs(bytes(content))):
+                    if btype == "OSMData":
+                        rows.append((p, i, raw))
+            yield pd.DataFrame(rows, columns=["path", "blob_idx", "raw"])
+
+    blobs = files.mapInPandas(
+        explode_blobs, schema="path string, blob_idx int, raw binary"
+    ).repartition("path", "blob_idx")
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for blob_idx, raw in zip(pdf["blob_idx"], pdf["raw"]):
+                d = decode_primitive_block(bytes(raw))
+                for nid, lat, lon, tags in d["nodes"]:
+                    rows.append(
+                        (
+                            "node", nid, lat, lon,
+                            [(k, v) for k, v in tags.items()],
+                            int(blob_idx), None, None, None, None,
+                        )
+                    )
+                for wid, refs, tags in d["ways"]:
+                    rows.append(
+                        (
+                            "way", wid, None, None,
+                            [(k, v) for k, v in tags.items()],
+                            int(blob_idx), refs, None, None, None,
+                        )
+                    )
+                for rid, members, tags in d["relations"]:
+                    rows.append(
+                        (
+                            "relation", rid, None, None,
+                            [(k, v) for k, v in tags.items()],
+                            int(blob_idx), None,
+                            [m[0] for m in members],
+                            [m[1] for m in members],
+                            [m[2] for m in members],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "entity", "id", "lat", "lon", "tags_kv", "block_id",
+                    "refs", "mtypes", "mrefs", "mroles",
+                ],
+            )
+
+    schema = (
+        "entity string, id long, lat double, lon double, "
+        "tags_kv array<struct<key: string, value: string>>, block_id int, "
+        "refs array<long>, mtypes array<string>, mrefs array<long>, "
+        "mroles array<string>"
+    )
+    decoded = blobs.mapInPandas(decode, schema=schema)
+
+    tags = F.map_from_entries(F.col("tags_kv"))
+    nodes = decoded.where(F.col("entity") == "node").select(
+        "id", "lat", "lon", tags.alias("tags"), "block_id"
+    )
+    ways = decoded.where(F.col("entity") == "way").select(
+        "id", "refs", tags.alias("tags")
+    )
+    rels = decoded.where(F.col("entity") == "relation").select(
+        "id",
+        F.expr(
+            "transform(arrays_zip(mtypes, mrefs, mroles), "
+            "m -> struct(m.mtypes AS type, m.mrefs AS ref, m.mroles AS role))"
+        ).alias("members"),
+        tags.alias("tags"),
+    )
+    return nodes, ways, rels

@@ -1,0 +1,140 @@
+"""PBF source (SURVEY.md S1): wire codec round-trips, framed-blob scan,
+header bbox probe, and end-to-end parity — ways_in_rect over tables read
+from a generated .osm.pbf must equal ways_in_rect over the fixture
+tables the file was written from."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from osm_render_spark.fixtures.osm import ALL_SCENES
+from osm_render_spark.operators.ways_in_rect import ways_in_rect
+from osm_render_spark.sources.pbf import (
+    blob_index,
+    decode_varints,
+    header_bbox,
+    iter_blobs,
+    read_pbf,
+    write_pbf,
+    zigzag_decode,
+    _encode_varint,
+    _packed_zz,
+)
+
+
+def test_varint_vectorized_decode_roundtrip():
+    vals = [0, 1, 127, 128, 300, 2**21, 2**35 + 17, 2**63, 2**64 - 1]
+    buf = np.frombuffer(b"".join(_encode_varint(v) for v in vals), np.uint8)
+    got = decode_varints(buf)
+    assert [int(g) for g in got] == [v % (1 << 64) for v in vals]
+
+
+def test_zigzag_delta_roundtrip():
+    vals = np.array([0, -1, 1, -2**40, 2**40, 7, -7], dtype=np.int64)
+    buf = np.frombuffer(_packed_zz(np.diff(vals, prepend=0)), np.uint8)
+    got = np.cumsum(zigzag_decode(decode_varints(buf)))
+    assert (got == vals).all()
+
+
+def _scene_pbf(scene, tmpdir, block_size=8):
+    path = os.path.join(tmpdir, f"{scene.name}.osm.pbf")
+    write_pbf(
+        path,
+        [(i, la, lo, t) for i, la, lo, t, _b in scene.nodes],
+        scene.ways,
+        scene.relations,
+        bbox=scene.bbox,
+        block_size=block_size,  # small → several OSMData blobs per entity
+    )
+    return path
+
+
+def test_blob_framing_and_header_bbox():
+    scene = ALL_SCENES["relations"]()
+    with tempfile.TemporaryDirectory() as d:
+        path = _scene_pbf(scene, d)
+        data = open(path, "rb").read()
+        idx = blob_index(data)
+        assert idx[0][2] == "OSMHeader"
+        assert sum(1 for _o, _l, t in idx if t == "OSMData") >= 3
+        # index offsets/lengths tile the file exactly
+        pos = 0
+        for off, length, _t in idx:
+            assert off == pos
+            pos += length
+        assert pos == len(data)
+        bb = header_bbox(data)
+        assert bb == pytest.approx(scene.bbox, abs=1e-9)
+        # every blob inflates
+        assert sum(1 for _t, _raw in iter_blobs(data)) == len(idx)
+
+
+@pytest.mark.parametrize("name", ["minimal", "relations", "coast"])
+def test_pbf_roundtrip_entities(spark, name):
+    scene = ALL_SCENES[name]()
+    with tempfile.TemporaryDirectory() as d:
+        nodes, ways, rels = read_pbf(spark, _scene_pbf(scene, d))
+        got_nodes = {
+            (r["id"], r["lat"], r["lon"], tuple(sorted(r["tags"].items())))
+            for r in nodes.collect()
+        }
+        want_nodes = {
+            (i, la, lo, tuple(sorted(t.items()))) for i, la, lo, t, _b in scene.nodes
+        }
+        assert got_nodes == want_nodes  # exact doubles: nanodegree ints, gran 1
+        got_ways = {
+            (r["id"], tuple(r["refs"]), tuple(sorted(r["tags"].items())))
+            for r in ways.collect()
+        }
+        want_ways = {
+            (i, tuple(refs), tuple(sorted(t.items()))) for i, refs, t in scene.ways
+        }
+        assert got_ways == want_ways
+        got_rels = {
+            (
+                r["id"],
+                tuple((m["type"], m["ref"], m["role"]) for m in r["members"]),
+                tuple(sorted(r["tags"].items())),
+            )
+            for r in rels.collect()
+        }
+        want_rels = {
+            (
+                i,
+                tuple(
+                    (m["type"], m["ref"], m.get("role") or "") for m in members
+                ),
+                tuple(sorted(t.items())),
+            )
+            for i, members, t in scene.relations
+        }
+        assert got_rels == want_rels
+
+
+def test_ways_in_rect_over_pbf_matches_fixture_tables(spark):
+    """The S1 acceptance check from VERDICT r1 #4: the spatial join over
+    PBF-read tables equals the join over the fixture tables byte-for-byte
+    (way ids, assembled geometry, merged tags)."""
+    scene = ALL_SCENES["relations"]()
+    fn, fw, fr = scene.to_spark(spark)
+    want = ways_in_rect(fn, fw, fr, scene.bbox).collect()
+    with tempfile.TemporaryDirectory() as d:
+        pn, pw, pr = read_pbf(spark, _scene_pbf(scene, d))
+        got = ways_in_rect(pn, pw, pr, scene.bbox).collect()
+
+    def canon(rows):
+        return {
+            (
+                r["way_id"],
+                tuple((p["lon"], p["lat"]) for p in r["geometry"]),
+                tuple(sorted(r["tags"].items())),
+            )
+            for r in rows
+        }
+
+    assert canon(got) == canon(want)
+    assert len(want) > 0
