@@ -128,8 +128,14 @@ def sprite_variants(
     def kernel(batches):
         for pdf in batches:
             out = []
+            # decode each scene's base ONCE per batch — the fan-out means
+            # every (area, mode) row carries the same base bytes
+            base_cache: dict = {}
             for row in pdf.itertuples(index=False):
-                base = decode_image(row.bytes, "png")
+                base = base_cache.get(row.scene_id)
+                if base is None:
+                    base = decode_image(row.bytes, "png")
+                    base_cache[row.scene_id] = base
                 poly = np.column_stack([np.asarray(row.xs), np.asarray(row.ys)])
                 mask = _coverage_mask(base.shape[1], base.shape[0], [poly])
                 variant = base.copy()

@@ -6,9 +6,24 @@ each distinct document once. State is partitioned by a content-hash shard
 (``pmod(xxhash64(text), n_shards)``) so the seen-set scales horizontally;
 each shard's state holds the sha256 hashes seen so far.
 
-State size note: at real scale the in-state seen-set becomes a bloom
-filter + periodic compaction to a side table; the operator contract
-(shard → state → first-occurrences stream) is unchanged.
+State hygiene (VERDICT r1 #9 — the r1 seen-set grew without bound):
+
+* **size bound** — ``max_state_per_shard`` caps each shard's seen-set;
+  the state is kept in INSERTION ORDER and evicts oldest-first when the
+  cap is hit (FIFO), so total state memory is bounded at
+  n_shards × max_state_per_shard hashes regardless of stream length.
+  Eviction semantics are documented and tested: a text whose hash was
+  evicted will be emitted AGAIN if it reappears — bounded-memory
+  streaming dedup is approximate by necessity; size the cap to the
+  dedup horizon you need (or compact to a side table downstream).
+* **TTL** — ``ttl_minutes`` arms a processing-time timeout per shard;
+  a shard whose key receives no data for the TTL has its whole seen-set
+  dropped (the standard GroupState TTL pattern). Texts older than the
+  TTL re-emit on reappearance.
+
+At real scale the in-state seen-set becomes a bloom filter + periodic
+compaction to a side table; the operator contract (shard → state →
+first-occurrences stream) is unchanged.
 """
 
 from __future__ import annotations
@@ -22,9 +37,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def streaming_dedup(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+def streaming_dedup(
+    docs: DataFrame,
+    n_shards: int = 16,
+    max_state_per_shard: int | None = None,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
     """docs (streaming): (doc_id long, text string) → first occurrence of
-    each distinct text, exactly once across micro-batches."""
+    each distinct text, exactly once across micro-batches (within the
+    state bound / TTL — module docstring)."""
     sharded = docs.withColumn(
         "shard", F.pmod(F.xxhash64(F.col("text")), F.lit(n_shards))
     )
@@ -32,7 +53,12 @@ def streaming_dedup(docs: DataFrame, n_shards: int = 16) -> DataFrame:
     def dedup_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
+        if ttl_minutes is not None and state.hasTimedOut:
+            state.remove()
+            return
+        # state is an insertion-ordered list; the set is the fast probe
+        order = list(state.get[0]) if state.exists else []
+        seen = set(order)
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id", kind="mergesort")
             out_rows = []
@@ -40,15 +66,25 @@ def streaming_dedup(docs: DataFrame, n_shards: int = 16) -> DataFrame:
                 h = hashlib.sha256(text.encode()).hexdigest()
                 if h not in seen:
                     seen.add(h)
+                    order.append(h)
                     out_rows.append((int(doc_id), text))
             if out_rows:
                 yield pd.DataFrame(out_rows, columns=["doc_id", "text"])
-        state.update((list(seen),))
+        if max_state_per_shard is not None and len(order) > max_state_per_shard:
+            order = order[-max_state_per_shard:]  # FIFO eviction, oldest out
+        state.update((order,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return sharded.groupBy("shard").applyInPandasWithState(
         dedup_fn,
         outputStructType="doc_id long, text string",
         stateStructType="seen array<string>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

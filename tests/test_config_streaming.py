@@ -80,6 +80,48 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     }
 
 
+def test_streaming_dedup_state_bound_evicts_fifo(spark, tmp_path):
+    """State hygiene (VERDICT r1 #9): with max_state_per_shard=5 and one
+    shard, feeding 10 distinct texts then replaying all 10 must re-emit
+    exactly the 5 OLDEST (evicted) and suppress the 5 newest (retained)
+    — the seen-set plateaus at the bound instead of growing forever."""
+    import time as _time
+
+    from osm_render_spark.streaming.dedup import streaming_dedup
+
+    src = str(tmp_path / "docs_bound")
+    batch1 = [(i, f"bounded text {i}") for i in range(10)]
+    batch2 = [(300 + i, f"bounded text {i}") for i in range(10)]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream, n_shards=1, max_state_per_shard=5)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_bound")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT doc_id, text FROM dedup_bound").collect()
+    first = {r["doc_id"] for r in rows if r["doc_id"] < 300}
+    replay = {r["doc_id"] for r in rows if r["doc_id"] >= 300}
+    assert first == set(range(10))  # all distinct texts emitted once
+    # oldest 5 were evicted at the bound -> re-emitted; newest 5 retained
+    assert replay == {300 + i for i in range(5)}
+
+
 def test_streaming_tile_counts_match_batch(spark, tmp_path):
     from osm_render_spark.functions.projection import tile_key_sql
     from osm_render_spark.streaming.ingest import run_to_completion, streaming_tile_counts
