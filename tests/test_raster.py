@@ -181,3 +181,58 @@ def test_sprites_and_atlas(spark, scene_tiles):
     assert len(packed) == 1 and packed[0]["n_sprites"] == 4
     atlas_img = decode_png(packed[0]["atlas"])
     assert atlas_img.shape[1] == 4 * 396
+
+
+def test_glyph_atlas_fixture_matches_generator():
+    """The shipped pre-rendered atlas (tools/make_goldens.py) must be
+    byte-identical to the deterministic generator (R7 AA fixture pin)."""
+    import numpy as np
+
+    from osm_render_spark.raster.font import _ATLAS_PATH, build_atlas
+
+    gen = build_atlas()
+    with np.load(_ATLAS_PATH) as z:
+        assert set(z.files) == set(gen)
+        for k in gen:
+            assert (z[k] == gen[k]).all(), k
+
+
+def test_aa_glyphs_are_proportional_and_antialiased():
+    import numpy as np
+
+    from osm_render_spark.raster.font import AA_SIZES, aa_glyph, text_mask_aa
+
+    assert AA_SIZES == (8, 10, 11)  # OsmRender.m:611-622 label sizes
+    for size in AA_SIZES:
+        m = aa_glyph("M", size)
+        i = aa_glyph("I", size)
+        assert m.shape[0] == size and i.shape[0] == size
+        assert m.shape[1] > i.shape[1], "widths must be proportional"
+        # true anti-aliasing at the fractional scale size/7: fully-opaque
+        # interiors AND fractional edge coverage
+        assert (m == 255).any()
+        assert ((m > 0) & (m < 255)).any()
+    # proportional advance: 'III' narrower than 'MMM'
+    assert text_mask_aa("III", 10).shape[1] < text_mask_aa("MMM", 10).shape[1]
+
+
+def test_draw_label_aa_and_legacy_paths():
+    import numpy as np
+
+    from osm_render_spark.raster.font import draw_label
+    from osm_render_spark.raster.kernels import new_surface
+
+    aa = new_surface(120, 120, (255, 255, 255, 255))
+    draw_label(aa, "AV-8", 60, 60, bg=None, size=11)
+    legacy = new_surface(120, 120, (255, 255, 255, 255))
+    draw_label(legacy, "AV-8", 60, 60, bg=None, size=None)
+    # AA path blends edge pixels (gray levels strictly between ink and bg)
+    ink = np.array([20, 20, 20])
+    aa_lum = aa[:, :, :3]
+    assert (aa_lum == ink).all(axis=2).any()  # opaque cores
+    mid = ((aa_lum > 30) & (aa_lum < 220)).all(axis=2)
+    assert mid.any(), "no anti-aliased edge pixels"
+    # legacy bitmap path is pure two-level
+    lg = legacy[:, :, :3]
+    lev = {tuple(px) for px in lg.reshape(-1, 3)}
+    assert lev == {(255, 255, 255), (20, 20, 20)}

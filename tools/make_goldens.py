@@ -130,7 +130,20 @@ def main() -> None:
     with open(os.path.join(GOLDEN_DIR, "pip.json"), "w") as f:
         json.dump(golden_pip(), f, indent=1)
     golden_tiles()
+    glyph_atlas_fixture()
     print("goldens written to", GOLDEN_DIR)
+
+
+def glyph_atlas_fixture() -> None:
+    """Pre-render the AA proportional glyph atlas (R7, sizes 8/10/11 —
+    OsmRender.m:611-622) into the package so the label path loads fixed
+    bits; test_raster pins fixture == build_atlas()."""
+    import numpy as np
+
+    from osm_render_spark.raster.font import _ATLAS_PATH, build_atlas
+
+    np.savez_compressed(_ATLAS_PATH, **build_atlas())
+    print("glyph atlas written to", _ATLAS_PATH)
 
 
 if __name__ == "__main__":
