@@ -1583,6 +1583,72 @@ FROM fan GROUP BY 1, 2, 3 ORDER BY tile_key
     return QueryDef(fn, duck)
 
 
+def _q_pbf_roundtrip() -> QueryDef:
+    """S1 end-to-end under the driver's oracle: synthesize a deterministic
+    node/way set from the nation table, WRITE a real .osm.pbf (framed
+    blobs, DenseNodes deltas, string table — sources/pbf.py), READ it
+    back through the binaryFile → blob-explode → Arrow-decode pipeline,
+    and emit per-node rows. DuckDB predicts the exact output: coords
+    round-trip through integer nanodegrees (granularity 1), and both
+    engines compute round(x·1e9)·1e-9 on the same doubles."""
+    lon = derived_lon_sql("n_nationkey * 13 + 5")
+    lat = derived_lat_sql("n_nationkey * 17 + 3")
+    duck = f"""
+SELECT n_nationkey AS node_id,
+       ROUND(({lat}) * 1000000000.0) * 0.000000001 AS lat,
+       ROUND(({lon}) * 1000000000.0) * 0.000000001 AS lon,
+       CAST(n_nationkey % 7 AS VARCHAR) AS tag_k,
+       (CAST(n_nationkey AS BIGINT) + 1) * 3 AS n_way_refs
+FROM nation ORDER BY node_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from .sources.pbf import read_pbf, write_pbf
+
+        rows = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(
+                F.col("n_nationkey").cast("long").alias("k"),
+                F.expr(lat).alias("lat"),
+                F.expr(lon).alias("lon"),
+            )
+            .orderBy("k")
+            .collect()
+        )
+        nodes = [
+            (int(r["k"]), float(r["lat"]), float(r["lon"]), {"k": str(r["k"] % 7)})
+            for r in rows
+        ]
+        # one way per node chain prefix: way i references nodes 0..i thrice
+        ways = [
+            (int(r["k"]) + 10_000, [n[0] for n in nodes[: i + 1]] * 3, {"w": "x"})
+            for i, r in enumerate(rows)
+        ]
+        d = tempfile.mkdtemp(prefix="pbfq_")
+        path = os.path.join(d, "q.osm.pbf")
+        write_pbf(path, nodes, ways, [], block_size=7)
+        pn, pw, _pr = read_pbf(spark, path)
+        refs = pw.select(
+            (F.col("id") - 10_000).alias("node_id"),
+            F.size("refs").alias("n_way_refs"),
+        )
+        return (
+            pn.select(
+                F.col("id").alias("node_id"),
+                "lat",
+                "lon",
+                F.element_at("tags", "k").alias("tag_k"),
+            )
+            .join(refs, "node_id")
+            .orderBy("node_id")
+        )
+
+    return QueryDef(fn, duck)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1634,5 +1700,6 @@ def build_queries() -> dict[str, QueryDef]:
         "ann_ivf_top3": _q_ann_ivf_top3(),
         "way_tile_fanout": _q_way_tile_fanout(),
         "slippy_render": _q_slippy_render(),
+        "pbf_roundtrip": _q_pbf_roundtrip(),
     }
     return defs
