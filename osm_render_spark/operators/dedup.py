@@ -145,6 +145,19 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _band_cols(band: int, rows_per_band: int) -> list[str]:
+    """Signature columns belonging to one band (shared by lsh_buckets and
+    lsh_candidate_pairs so the banding layout has a single definition)."""
+    return [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+
+
+def _union_bands(parts: list[DataFrame]) -> DataFrame:
+    allb = parts[0]
+    for b in parts[1:]:
+        allb = allb.unionAll(b)
+    return allb
+
+
 def lsh_buckets(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -158,7 +171,7 @@ def lsh_buckets(
     rows_per_band > 2 (xxhash64 with distinct seeds via a salt column)."""
     bands = []
     for band in range(n_bands):
-        hs = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        hs = _band_cols(band, rows_per_band)
         if rows_per_band <= 2:
             h1 = F.col(hs[0])
             h2 = F.col(hs[1]) if len(hs) > 1 else F.lit(0).cast("long")
@@ -173,11 +186,8 @@ def lsh_buckets(
                 F.col(id_col),
             )
         )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionAll(b)
     return (
-        allb.groupBy("band", "h1", "h2")
+        _union_bands(bands).groupBy("band", "h1", "h2")
         .agg(
             F.count("*").alias("n_docs"),
             F.min(id_col).alias("min_doc"),
@@ -204,7 +214,7 @@ def lsh_candidate_pairs(
     output (a, b, n_bands_hit) with a < b."""
     bands = []
     for band in range(n_bands):
-        hs = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        hs = _band_cols(band, rows_per_band)
         bands.append(
             signatures.select(
                 F.lit(band).alias("band"),
@@ -212,9 +222,7 @@ def lsh_candidate_pairs(
                 F.col(id_col).alias("_id"),
             )
         )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionAll(b)
+    allb = _union_bands(bands)
     sizes = allb.groupBy("band", "bkey").agg(F.count("*").alias("n_docs"))
     dropped = sizes.where(F.col("n_docs") > bucket_cap)
     kept = allb.join(

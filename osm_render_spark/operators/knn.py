@@ -191,6 +191,9 @@ def knn_join_celled(
         f"CASE WHEN qcy + 2 >= {n} THEN CAST('Infinity' AS DOUBLE) ELSE qlat - {lat_s_edge} END"
         f")"
     )
+    # persist: ranked feeds BOTH the certificate aggregate and the safe
+    # output — without it the ring join would recompute per consumer
+    ranked = ranked.persist()
     cert = q.select("query_id", "qlon", "qlat", F.expr(r_safe).alias("r_safe"))
     per_q = ranked.groupBy("query_id").agg(
         F.count("*").alias("n_found"), F.max("d2").alias("d2k")
@@ -203,7 +206,16 @@ def knn_join_celled(
     ).select("query_id", "qlon", "qlat")
     safe_ids = verdicts.join(unsafe, "query_id", "left_anti").select("query_id")
     exact_part = ranked.join(safe_ids, "query_id", "left_semi")
-    fallback = knn_join(unsafe, candidates, k)
+    # fallback via the EXPRESSION kNN form (broadcast of the few unsafe
+    # queries), not the kernel form — the kernel collects its query side
+    # at build time, which would eagerly execute the whole ring join just
+    # to CONSTRUCT this DataFrame (laziness contract for callers)
+    fallback = knn_join(
+        unsafe,
+        candidates,
+        k,
+        dist=squared_l2(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")),
+    )
     return exact_part.unionByName(fallback)
 
 

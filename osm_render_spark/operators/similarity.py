@@ -38,6 +38,36 @@ PLANE_MOD = 101
 PLANE_THRESH = 50
 
 
+def band_primes(band: int) -> tuple[int, ...]:
+    """Hyperplane prime family for any band index: the static table for
+    bands 0-3, then a deterministic continuation (next primes by trial
+    division, skipping multiples of PLANE_MOD, 8 per band) — so callers
+    can raise recall with arbitrarily many bands, as the near-dup
+    docstring advises, without an IndexError at band 4."""
+    if band < len(BAND_PRIMES):
+        return BAND_PRIMES[band]
+
+    def _is_prime(n: int) -> bool:
+        if n % 2 == 0:
+            return n == 2
+        f = 3
+        while f * f <= n:
+            if n % f == 0:
+                return False
+            f += 2
+        return True
+
+    needed = (band + 1 - len(BAND_PRIMES)) * N_PLANES
+    out: list[int] = []
+    p = BAND_PRIMES[-1][-1] + 2
+    while len(out) < needed:
+        if p % PLANE_MOD != 0 and _is_prime(p):
+            out.append(p)
+        p += 2
+    start = (band - len(BAND_PRIMES)) * N_PLANES
+    return tuple(out[start : start + N_PLANES])
+
+
 def _dot(a: str, b: str) -> str:
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -133,9 +163,9 @@ def ann_lsh_buckets(
     embeddings: DataFrame, id_col: str = "vec_id", band: int = 0
 ) -> DataFrame:
     """Assign every vector its sign-LSH bucket (narrow, no shuffle).
-    ``band`` picks an independent hyperplane family (BAND_PRIMES)."""
+    ``band`` picks an independent hyperplane family (band_primes)."""
     return embeddings.withColumn(
-        "bucket", F.expr(hyperplane_bucket_expr(primes=BAND_PRIMES[band]))
+        "bucket", F.expr(hyperplane_bucket_expr(primes=band_primes(band)))
     )
 
 
@@ -147,7 +177,7 @@ def banded_lsh_buckets(
     the per-band expression array — the input is scanned once)."""
     exprs = F.array(
         *[
-            F.expr(hyperplane_bucket_expr(primes=BAND_PRIMES[b])).cast("long")
+            F.expr(hyperplane_bucket_expr(primes=band_primes(b))).cast("long")
             for b in range(n_bands)
         ]
     )

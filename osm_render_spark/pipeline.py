@@ -33,25 +33,30 @@ def project_ways(
     Column HOFs (P8/P9); kind classification mirrors the render order of
     OsmRenderMap (bridges erase, coastline merges, water fills).
 
-    A way tagged BOTH bridge and water emits TWO rows (kind='water' and
-    kind='bridge'): the reference's water-fill loop re-scans ALL ways with
-    OsmIsWater (OsmRender.m:508-517) independently of the bridge pass, so
-    such a way is water-filled then bridge-erased — one exclusive kind
-    would drop the fill."""
+    Kinds are ADDITIVE, mirroring the reference's independent render
+    passes (coastline collect, water-fill re-scan of ALL ways with
+    OsmIsWater at OsmRender.m:508-517, bridge erase): a way tagged both
+    bridge and water emits kind='water' AND kind='bridge' rows
+    (water-filled then bridge-erased); a coastline way that is ALSO
+    OsmIsWater (e.g. natural=coastline + waterway=riverbank) emits
+    'coast' AND 'water'. Ways matching none of the passes keep the
+    legacy default kind='water' (ways_in_rect has already tag-filtered,
+    so this branch only serves custom tag_filter callers)."""
     from .functions.predicates import has_bridge, is_coastline, is_water
 
     lat_min, lon_min, lat_max, lon_max = bbox
     sx = w / (lon_max - lon_min)
     sy = h / (lat_min - lat_max)
     tags = F.col("tags")
-    kinds = (
-        F.when(
-            has_bridge(tags) & F.coalesce(is_water(tags), F.lit(False)),
-            F.array(F.lit("water"), F.lit("bridge")),
+    is_b = has_bridge(tags)
+    is_c = F.coalesce(is_coastline(tags), F.lit(False))
+    is_w = F.coalesce(is_water(tags), F.lit(False))
+    kinds = F.array_compact(
+        F.array(
+            F.when(is_w | (~is_b & ~is_c), F.lit("water")),
+            F.when(is_c, F.lit("coast")),
+            F.when(is_b, F.lit("bridge")),
         )
-        .when(has_bridge(tags), F.array(F.lit("bridge")))
-        .when(F.coalesce(is_coastline(tags), F.lit(False)), F.array(F.lit("coast")))
-        .otherwise(F.array(F.lit("water")))
     )
     return result.select(
         F.lit(scene_id).cast("long").alias("scene_id"),

@@ -202,6 +202,18 @@ class CheckpointStore:
                 r["partition_key"]: (r["row_count"], r["checksum"])
                 for r in self.lineage_by_key(spark, stage, key).collect()
             }
+            # map partition VALUES back to their on-disk dir names via the
+            # actual listing (Hive %-escapes special chars in dir names —
+            # constructing f"{col}={value}" would miss those and leave
+            # partial data behind to be double-counted after recompute)
+            from urllib.parse import unquote
+
+            prefix = f"{partition_col}="
+            dirs = {
+                unquote(d[len(prefix):]): d
+                for d in os.listdir(path)
+                if d.startswith(prefix)
+            }
             committed = set()
             for r in recomputed:
                 pk = r["partition_key"]
@@ -209,7 +221,7 @@ class CheckpointStore:
                     committed.add(pk)
                 else:
                     shutil.rmtree(
-                        os.path.join(path, f"{partition_col}={pk}"),
+                        os.path.join(path, dirs.get(pk, prefix + pk)),
                         ignore_errors=True,
                     )
             if not committed:

@@ -1142,11 +1142,14 @@ def _q_cosine_near_dups() -> QueryDef:
     """Embedding-cosine near-dup pairs via banded LSH buckets, fully
     oracle-checked: DuckDB recomputes the two band-bucket assignments
     (exact DECIMAL plane sums) and the threshold test as
-    dot ≥ 0 ∧ dot² ≥ t²·‖a‖²·‖b‖² on exact DECIMAL sums — sqrt-free, so
-    the pair set is engine-independent. bucket_cap is set above any
-    bucket population at test scales (the cap path is pinned by
-    test_training_ops' hot-bucket test instead — a cap drop is corpus-
-    dependent and not SQL-expressible)."""
+    dot ≥ 0 ∧ dot² ≥ t²·‖a‖²·‖b‖² on exact DECIMAL sums. The BUCKETS are
+    engine-independent by construction; the threshold decision matches
+    the kernel's float64 cosine whenever no pair sits within float error
+    of exactly 0.95 (same caveat as _q_cosine_top3 — verified at
+    sf 0.001/0.01/0.1: dup pairs score ≈1, everything else is far
+    below). bucket_cap is set above any bucket population at test scales
+    (the cap path is pinned by test_training_ops' hot-bucket test
+    instead — a cap drop is corpus-dependent and not SQL-expressible)."""
     from .operators.similarity import BAND_PRIMES
 
     t2 = 0.95 * 0.95
@@ -1590,13 +1593,14 @@ def _q_pbf_roundtrip() -> QueryDef:
     back through the binaryFile → blob-explode → Arrow-decode pipeline,
     and emit per-node rows. DuckDB predicts the exact output: coords
     round-trip through integer nanodegrees (granularity 1), and both
-    engines compute round(x·1e9)·1e-9 on the same doubles."""
+    engines compute floor(x·1e9 + 0.5)·1e-9 — the repo-wide F6 rounding —
+    on the same doubles."""
     lon = derived_lon_sql("n_nationkey * 13 + 5")
     lat = derived_lat_sql("n_nationkey * 17 + 3")
     duck = f"""
 SELECT n_nationkey AS node_id,
-       ROUND(({lat}) * 1000000000.0) * 0.000000001 AS lat,
-       ROUND(({lon}) * 1000000000.0) * 0.000000001 AS lon,
+       FLOOR(({lat}) * 1000000000.0 + 0.5) * 0.000000001 AS lat,
+       FLOOR(({lon}) * 1000000000.0 + 0.5) * 0.000000001 AS lon,
        CAST(n_nationkey % 7 AS VARCHAR) AS tag_k,
        (CAST(n_nationkey AS BIGINT) + 1) * 3 AS n_way_refs
 FROM nation ORDER BY node_id

@@ -280,20 +280,27 @@ def decode_primitive_block(raw: bytes) -> dict:
                     )
                 )
             elif num == 2:  # DenseNodes
-                dense = {}
+                # protobuf allows a packed repeated field to arrive as
+                # SEVERAL length-delimited chunks — accumulate raw bytes
+                # before decoding (varints are self-delimiting, and the
+                # delta stream continues across chunk boundaries, so one
+                # concatenated decode+cumsum is the correct semantics;
+                # keeping only the last chunk would silently truncate)
+                dense: dict[int, bytearray] = {}
                 for fn, _w2, fv in scan_fields(v):
-                    dense[fn] = fv
-                ids = np.cumsum(
-                    zigzag_decode(decode_varints(np.frombuffer(dense[1], np.uint8)))
-                )  # W1 prefix sum
-                lat = np.cumsum(
-                    zigzag_decode(decode_varints(np.frombuffer(dense[8], np.uint8)))
-                )
-                lon = np.cumsum(
-                    zigzag_decode(decode_varints(np.frombuffer(dense[9], np.uint8)))
-                )
+                    dense.setdefault(fn, bytearray()).extend(bytes(fv))
+
+                def _zz_cumsum(fn: int) -> np.ndarray:
+                    buf = np.frombuffer(bytes(dense.get(fn, b"")), np.uint8)
+                    return np.cumsum(zigzag_decode(decode_varints(buf)))
+
+                ids = _zz_cumsum(1)  # W1 prefix sum
+                lat = _zz_cumsum(8)
+                lon = _zz_cumsum(9)
                 kv = (
-                    decode_varints(np.frombuffer(dense[10], np.uint8)).astype(np.int64)
+                    decode_varints(
+                        np.frombuffer(bytes(dense[10]), np.uint8)
+                    ).astype(np.int64)
                     if 10 in dense and len(dense[10])
                     else np.zeros(len(ids), dtype=np.int64)
                 )
@@ -310,41 +317,40 @@ def decode_primitive_block(raw: bytes) -> dict:
                         (int(ids[j]), float(lats[j]), float(lons[j]), tags)
                     )
             elif num == 3:  # Way
-                wid, keys, vals_, refs = None, (), (), ()
+                wid = None
+                packed: dict[int, bytearray] = {}
                 for fn, _w2, fv in scan_fields(v):
                     if fn == 1:
                         wid = fv
-                    elif fn == 2:
-                        keys = decode_varints(np.frombuffer(fv, np.uint8))
-                    elif fn == 3:
-                        vals_ = decode_varints(np.frombuffer(fv, np.uint8))
-                    elif fn == 8:
-                        refs = np.cumsum(
-                            zigzag_decode(
-                                decode_varints(np.frombuffer(fv, np.uint8))
-                            )
-                        )
+                    elif fn in (2, 3, 8):  # chunk-accumulate (see DenseNodes)
+                        packed.setdefault(fn, bytearray()).extend(bytes(fv))
+
+                def _vals(fn: int) -> np.ndarray:
+                    return decode_varints(
+                        np.frombuffer(bytes(packed.get(fn, b"")), np.uint8)
+                    )
+
+                keys, vals_ = _vals(2), _vals(3)
+                refs = np.cumsum(zigzag_decode(_vals(8)))
                 tags = {strings[int(k)]: strings[int(x)] for k, x in zip(keys, vals_)}
                 ways.append((int(wid), [int(r) for r in refs], tags))
             elif num == 4:  # Relation
-                rid, keys, vals_, roles, memids, types = None, (), (), (), (), ()
+                rid = None
+                packed = {}
                 for fn, _w2, fv in scan_fields(v):
                     if fn == 1:
                         rid = fv
-                    elif fn == 2:
-                        keys = decode_varints(np.frombuffer(fv, np.uint8))
-                    elif fn == 3:
-                        vals_ = decode_varints(np.frombuffer(fv, np.uint8))
-                    elif fn == 8:
-                        roles = decode_varints(np.frombuffer(fv, np.uint8))
-                    elif fn == 9:
-                        memids = np.cumsum(
-                            zigzag_decode(
-                                decode_varints(np.frombuffer(fv, np.uint8))
-                            )
-                        )
-                    elif fn == 10:
-                        types = decode_varints(np.frombuffer(fv, np.uint8))
+                    elif fn in (2, 3, 8, 9, 10):  # chunk-accumulate
+                        packed.setdefault(fn, bytearray()).extend(bytes(fv))
+
+                def _rvals(fn: int) -> np.ndarray:
+                    return decode_varints(
+                        np.frombuffer(bytes(packed.get(fn, b"")), np.uint8)
+                    )
+
+                keys, vals_, roles = _rvals(2), _rvals(3), _rvals(8)
+                memids = np.cumsum(zigzag_decode(_rvals(9)))
+                types = _rvals(10)
                 tags = {strings[int(k)]: strings[int(x)] for k, x in zip(keys, vals_)}
                 # engine member-type convention is the fixtures' uppercase
                 # (relation merge filters on type == 'WAY')
@@ -360,6 +366,17 @@ def decode_primitive_block(raw: bytes) -> dict:
 # ---------------------------------------------------------------------------
 # writer (fixture generation + PBF sink)
 # ---------------------------------------------------------------------------
+
+
+def _nano_px(deg: float) -> int:
+    """Degrees -> integer nanodegrees with the repo-wide floor(x+0.5)
+    rounding (F6) — python round() is half-EVEN and DuckDB ROUND is
+    half-away, so both would diverge from the pbf_roundtrip oracle at
+    exact .5 nanodegree ties; floor(x+0.5) is the one convention every
+    engine expression already pins."""
+    import math
+
+    return int(math.floor(deg * 1e9 + 0.5))
 
 
 def _string_table(tag_dicts, extra: list[str] = ()) -> tuple[bytes, dict[str, int]]:
@@ -402,10 +419,10 @@ def write_pbf(
     if bbox is not None:
         lat_min, lon_min, lat_max, lon_max = bbox
         hb = (
-            _varint_field(1, _zigzag_encode(int(round(lon_min * 1e9))))
-            + _varint_field(2, _zigzag_encode(int(round(lon_max * 1e9))))
-            + _varint_field(3, _zigzag_encode(int(round(lat_max * 1e9))))
-            + _varint_field(4, _zigzag_encode(int(round(lat_min * 1e9))))
+            _varint_field(1, _zigzag_encode(_nano_px(lon_min)))
+            + _varint_field(2, _zigzag_encode(_nano_px(lon_max)))
+            + _varint_field(3, _zigzag_encode(_nano_px(lat_max)))
+            + _varint_field(4, _zigzag_encode(_nano_px(lat_min)))
         )
         header = _len_field(1, hb) + header
     out += _blob("OSMHeader", header)
@@ -416,8 +433,8 @@ def write_pbf(
             break
         st, idx = _string_table([t for _i, _la, _lo, t in chunk])
         ids = [n[0] for n in chunk]
-        lats = [int(round(n[1] * 1e9)) for n in chunk]
-        lons = [int(round(n[2] * 1e9)) for n in chunk]
+        lats = [_nano_px(n[1]) for n in chunk]
+        lons = [_nano_px(n[2]) for n in chunk]
         if dense:
             kv = []
             for _i, _la, _lo, tags in chunk:

@@ -74,3 +74,36 @@ def test_pipeline_changed_areas_recompute(spark, store):
     )
     out2 = render_scene_pipeline(spark, scene, other_areas, store)
     assert out2["sprites"].count() == 2  # one area × two modes, recomputed
+
+
+def test_project_ways_additive_kinds(spark):
+    """Kind classification mirrors the reference's INDEPENDENT render
+    passes: bridge∧water and coast∧water ways emit one row per matching
+    pass (OsmRender.m:508-517 re-scans ALL ways with OsmIsWater)."""
+    from pyspark.sql import functions as F
+
+    from osm_render_spark.pipeline import project_ways
+
+    rows = [
+        (1, {"bridge": "yes", "natural": "water"}),     # water + bridge
+        (2, {"natural": "coastline", "waterway": "riverbank"}),  # coast + water
+        (3, {"bridge": "yes"}),                          # bridge only
+        (4, {"natural": "coastline"}),                   # coast only
+        (5, {"highway": "x"}),                           # legacy default water
+    ]
+    df = spark.createDataFrame(
+        [(i, t, [{"lon": 0.5, "lat": 0.5}]) for i, t in rows],
+        "way_id long, tags map<string,string>, "
+        "geometry array<struct<lon: double, lat: double>>",
+    )
+    out = project_ways(df, (0.0, 0.0, 1.0, 1.0), 10, 10)
+    kinds = {}
+    for r in out.collect():
+        kinds.setdefault(r["way_id"], set()).add(r["kind"])
+    assert kinds == {
+        1: {"water", "bridge"},
+        2: {"water", "coast"},
+        3: {"bridge"},
+        4: {"coast"},
+        5: {"water"},
+    }

@@ -283,3 +283,25 @@ def test_minhash_identical_docs_collide(spark):
     buckets = lsh_buckets(sig).collect()
     pairs = [(b["min_doc"], b["max_doc"]) for b in buckets]
     assert all(p == (1, 2) for p in pairs) and len(pairs) == 2  # both bands
+
+
+def test_band_primes_extend_past_static_table(spark):
+    """'Raise recall with more bands' must actually work: band indices
+    past the static table get a deterministic prime continuation, no
+    multiples of PLANE_MOD, and n_bands=5 runs end to end."""
+    from osm_render_spark.operators.similarity import (
+        BAND_PRIMES,
+        PLANE_MOD,
+        band_primes,
+        cosine_near_dups,
+    )
+
+    p4, p5 = band_primes(4), band_primes(5)
+    assert len(p4) == len(p5) == 8 and not (set(p4) & set(p5))
+    assert min(p4) > BAND_PRIMES[-1][-1]
+    assert all(p % PLANE_MOD != 0 for p in p4 + p5)
+    assert band_primes(4) == p4  # deterministic
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, -1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["a"], r["b"]) for r in cosine_near_dups(df, 0.9, n_bands=5).collect()}
+    assert got == {(0, 1)}
