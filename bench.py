@@ -133,6 +133,32 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     n_tiles_rendered = render_slippy_tiles(ways, 6, 128).count()
     render_sec = time.time() - t0
 
+    # PBF ingest throughput (S1): decode a generated .osm.pbf through the
+    # binaryFile → blob-explode → Arrow-decode pipeline. The fixture file
+    # is cached in /tmp across bench runs (generation is writer-side and
+    # not what's being measured).
+    from osm_render_spark.sources.pbf import read_pbf, write_pbf
+
+    n_pbf_nodes = 120_000
+    pbf_path = f"/tmp/spark_graft_bench_{n_pbf_nodes}.osm.pbf"
+    if not os.path.exists(pbf_path):
+        nodes_fx = [
+            (i, (i * 104729 % 17000) / 100.0 - 85.0, (i * 7919 % 36000) / 100.0 - 180.0,
+             {"k": str(i % 5)} if i % 10 == 0 else {})
+            for i in range(n_pbf_nodes)
+        ]
+        ways_fx = [
+            (w, list(range(w * 6, w * 6 + 6)), {"natural": "water"})
+            for w in range(n_pbf_nodes // 6)
+        ]
+        write_pbf(pbf_path + ".tmp", nodes_fx, ways_fx, [], block_size=8000)
+        os.replace(pbf_path + ".tmp", pbf_path)
+    pbf_mb = os.path.getsize(pbf_path) / 1e6
+    read_pbf(spark, pbf_path)[0].limit(1).count()  # warm
+    t0 = time.time()
+    n_pbf = read_pbf(spark, pbf_path)[0].count()
+    pbf_sec = time.time() - t0
+
     n_img = 2000
     imgs = spark.range(n_img).mapInPandas(
         _gen_images,
@@ -159,6 +185,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "images_decoded_per_sec": round(n_img / img_sec, 1),
         "tiles_rendered_per_sec": round(n_tiles_rendered / render_sec, 1),
         "n_tiles_rendered": n_tiles_rendered,
+        "pbf_nodes_per_sec": round(n_pbf / pbf_sec, 1),
+        "pbf_mb_per_sec": round(pbf_mb / pbf_sec, 2),
     }
 
 
