@@ -164,3 +164,60 @@ def test_streaming_tile_counts_match_batch(spark, tmp_path):
     horizon = max_ts - dt.timedelta(minutes=90)  # window + watermark
     must_emit = {k for k in batch_rows if k[0] < horizon}
     assert must_emit <= set(got_rows)
+
+
+def test_incremental_tile_render_matches_batch(spark, tmp_path):
+    """Streaming incremental view maintenance over the raster view: after
+    two micro-batches of ways, every PNG in the maintained tile tree must
+    be BIT-IDENTICAL to a from-scratch batch render of all ways — and
+    only tiles whose way set changed are rewritten per batch."""
+    import os
+    import time as _time
+
+    from osm_render_spark.raster.ops import render_slippy_tiles
+    from osm_render_spark.streaming.render import incremental_tile_render
+
+    zoom, px = 6, 64
+    sq = "way_id long, kind string, geometry array<struct<lon: double, lat: double>>"
+
+    def square(wid, lon, lat, d=0.2):
+        return (
+            wid,
+            "water",
+            [{"lon": lon, "lat": lat}, {"lon": lon + d, "lat": lat},
+             {"lon": lon + d, "lat": lat + d}, {"lon": lon, "lat": lat + d},
+             {"lon": lon, "lat": lat}],
+        )
+
+    batch1 = [square(1, 0.1, 0.1), square(2, 40.0, 20.0)]
+    batch2 = [square(3, 0.15, 0.15), square(4, -120.0, -40.0)]
+    src = str(tmp_path / "ways_src")
+    spark.createDataFrame(batch1, sq).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(batch2, sq).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "maintained")
+    stream = (
+        spark.readStream.schema(sq).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = incremental_tile_render(
+        stream, out, zoom, tile_px=px,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    want = {
+        (r["tile_x"], r["tile_y"]): bytes(r["bytes"])
+        for r in render_slippy_tiles(
+            spark.createDataFrame(batch1 + batch2, sq), zoom, px
+        ).collect()
+    }
+    tree = os.path.join(out, "tiles", f"z{zoom}")
+    got = {}
+    for xdir in os.listdir(tree):
+        for yfile in os.listdir(os.path.join(tree, xdir)):
+            x = int(xdir[1:])
+            y = int(yfile[1:-4])
+            got[(x, y)] = open(os.path.join(tree, xdir, yfile), "rb").read()
+    assert set(got) == set(want)
+    assert all(got[k] == want[k] for k in want), "maintained tile != batch render"
