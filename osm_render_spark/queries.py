@@ -940,6 +940,58 @@ ORDER BY band, h1, h2
     return _dual_sql_query(make)
 
 
+def _q_minhash_candidate_pairs() -> QueryDef:
+    """MinHash-LSH candidate PAIRS (operators.dedup.lsh_candidate_pairs):
+    the driver-checked form of the banded pair fan-out — (a, b,
+    n_bands_hit) over a doubled corpus so true duplicate pairs exist.
+    The oracle recomputes the signature arithmetic from the shared SQL
+    text and bands by the raw (mh, mh) tuples; the operator's xxhash64
+    band key is a pure regrouping of the same tuples (collision-free at
+    any realistic scale), so the pair sets agree."""
+
+    def duck() -> str:
+        from .operators.text import DUCK, MINHASH_A, minhash_sql, shingles_sql, word_keys_sql
+
+        keys = word_keys_sql(DUCK, "text")
+        sh = shingles_sql(DUCK, f"({keys})")
+        mh = [minhash_sql(DUCK, f"({sh})", j) for j in range(len(MINHASH_A))]
+        return f"""
+WITH {_DOUBLED},
+sig AS (
+  SELECT doc_id, {mh[0]} AS mh0, {mh[1]} AS mh1, {mh[2]} AS mh2, {mh[3]} AS mh3
+  FROM corpus
+),
+b AS (
+  SELECT 0 AS band, mh0 AS h1, mh1 AS h2, doc_id FROM sig
+  UNION ALL
+  SELECT 1 AS band, mh2 AS h1, mh3 AS h2, doc_id FROM sig
+)
+SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands_hit
+FROM b x JOIN b y ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+                 AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+ORDER BY a, b
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = docs.unionAll(
+            docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        sig = minhash_signatures(corpus)
+        return (
+            lsh_candidate_pairs(sig, n_bands=2, rows_per_band=2)
+            .select("a", "b", "n_bands_hit")
+            .orderBy("a", "b")
+        )
+
+    return QueryDef(fn, duck())
+
+
 def _q_simhash() -> QueryDef:
     def make(d) -> str:
         from .operators.text import simhash_bit_terms, word_keys_sql
@@ -1694,6 +1746,7 @@ def build_queries() -> dict[str, QueryDef]:
         "doc_fingerprint": _q_fingerprint(),
         "minhash_sig": _q_minhash(),
         "minhash_lsh_buckets": _q_lsh_buckets(),
+        "minhash_candidate_pairs": _q_minhash_candidate_pairs(),
         "simhash16": _q_simhash(),
         "ngram_jaccard": _q_ngram_jaccard(),
         "embedding_l2_top3": _q_embedding_l2_top3(),
