@@ -205,3 +205,26 @@ def test_cosine_near_dups_plan_shape(spark):
     # re-reads the Range source for the sizes agg + kept side, but the
     # band buckets themselves come from the single exploded projection
     assert plan.count("CartesianProduct") == 0
+
+
+def test_ann_ivf_plan_shuffles_corpus_only_on_list_join(spark):
+    """IVF plan shape: the corpus passes through Arrow assignment and the
+    probe join — probes are BROADCAST (the corpus never shuffles for
+    them) and nothing cross-joins."""
+    from osm_render_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), i -> CAST(id * i % 97 AS FLOAT))").alias(
+            "embedding"
+        ),
+    )
+    q = spark.range(3).select(
+        F.col("id").alias("query_id"),
+        F.expr("transform(sequence(1, 8), i -> CAST(id + i AS FLOAT))").alias(
+            "q_embedding"
+        ),
+    )
+    plan = _plan(ann_ivf_topk(emb, q, 3, n_centroids=4, n_probe=2, quantizer="head"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
