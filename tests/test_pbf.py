@@ -169,3 +169,29 @@ def test_ways_in_rect_over_pbf_matches_fixture_tables(spark):
 
     assert canon(got) == canon(want)
     assert len(want) > 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=60))
+@settings(max_examples=150, deadline=None)
+def test_varint_roundtrip_property(vals):
+    buf = np.frombuffer(b"".join(_encode_varint(v) for v in vals), np.uint8)
+    assert [int(g) for g in decode_varints(buf)] == vals
+
+
+@given(vals=st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=60))
+@settings(max_examples=150, deadline=None)
+def test_zz_cumsum_property(vals):
+    from osm_render_spark.sources.pbf import zz_cumsum
+
+    arr = np.array(vals, dtype=np.int64)
+    buf = _packed_zz(np.diff(arr, prepend=np.int64(0)))
+    got = zz_cumsum(buf)
+    assert got.tolist() == vals
+    # both code paths (python small-buffer fast path + vectorized) agree
+    if len(buf):
+        vec = np.cumsum(zigzag_decode(decode_varints(np.frombuffer(buf, np.uint8))))
+        assert vec.tolist() == vals

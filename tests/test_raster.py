@@ -236,3 +236,19 @@ def test_draw_label_aa_and_legacy_paths():
     lg = legacy[:, :, :3]
     lev = {tuple(px) for px in lg.reshape(-1, 3)}
     assert lev == {(255, 255, 255), (20, 20, 20)}
+
+
+def test_hinted_text_is_bilevel_with_same_metrics():
+    """The reference's hinting switch (OsmRender.m:763-765): hinted masks
+    are bi-level (no gray) but keep the proportional AA metrics."""
+    import numpy as np
+
+    from osm_render_spark.raster.font import text_mask_aa
+
+    aa = text_mask_aa("AV-8", 10)
+    hinted = text_mask_aa("AV-8", 10, hinted=True)
+    assert aa.shape == hinted.shape  # same proportional layout
+    assert set(np.unique(hinted)) <= {0, 255}
+    assert ((aa > 0) & (aa < 255)).any()  # unhinted keeps gray edges
+    # hinting is the 50% coverage threshold of the AA mask
+    assert (hinted == np.where(aa >= 128, 255, 0)).all()
