@@ -1638,6 +1638,34 @@ FROM fan GROUP BY 1, 2, 3 ORDER BY tile_key
     return QueryDef(fn, duck)
 
 
+def _q_quantize_int8() -> QueryDef:
+    """Symmetric int8 embedding quantization (operators.quantize) —
+    exploded (vec_id, i, q) form so the driver hashes scalar ints. Both
+    engines compute scale = list_max(|x|)/127 and q = floor(x/scale+0.5)
+    on identical doubles (one max, one divide, one floor — all
+    deterministic IEEE ops on exactly-widened float32 inputs)."""
+    from .operators.quantize import DUCK_SCALE, Q_SQL
+
+    s = DUCK_SCALE.format(emb="embedding")
+    q = Q_SQL.format(x="CAST(embedding[i] AS DOUBLE)", s="scale")
+    duck = f"""
+WITH scaled AS (
+  SELECT vec_id, embedding, {s} AS scale FROM embeddings
+)
+SELECT vec_id, i, {q} AS q
+FROM scaled, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+ORDER BY vec_id, i
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.quantize import quantize_int8_flat
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return quantize_int8_flat(emb).orderBy("vec_id", "i")
+
+    return QueryDef(fn, duck)
+
+
 def _q_pbf_roundtrip() -> QueryDef:
     """S1 end-to-end under the driver's oracle: synthesize a deterministic
     node/way set from the nation table, WRITE a real .osm.pbf (framed
@@ -1758,5 +1786,6 @@ def build_queries() -> dict[str, QueryDef]:
         "way_tile_fanout": _q_way_tile_fanout(),
         "slippy_render": _q_slippy_render(),
         "pbf_roundtrip": _q_pbf_roundtrip(),
+        "quantize_int8": _q_quantize_int8(),
     }
     return defs

@@ -305,3 +305,33 @@ def test_band_primes_extend_past_static_table(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {(r["a"], r["b"]) for r in cosine_near_dups(df, 0.9, n_bands=5).collect()}
     assert got == {(0, 1)}
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Symmetric int8 quantization: |x - dequant(x)| <= scale/2 per
+    element, codes within [-127, 127], zero vectors -> zero codes, and
+    quantized cosine stays within the O(1/127) noise bound."""
+    import numpy as np
+
+    from osm_render_spark.operators.quantize import dequantize, quantize_int8
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    rows = [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))]
+    rows.append((99, [0.0] * 16))  # zero vector edge
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    qdf = quantize_int8(df)
+    got = {r["vec_id"]: (list(r["codes"]), r["scale"]) for r in qdf.collect()}
+    assert got[99] == ([0] * 16, 0.0)
+    deq = {r["vec_id"]: np.array(r["embedding"])
+           for r in dequantize(qdf).collect()}
+    for i in range(len(vecs)):
+        codes, scale = got[i]
+        assert max(abs(c) for c in codes) <= 127
+        err = np.abs(vecs[i].astype(np.float64) - deq[i])
+        assert (err <= scale / 2 + 1e-12).all()
+        # cosine preserved within quantization noise
+        a, b = vecs[i].astype(np.float64), deq[i]
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.999
