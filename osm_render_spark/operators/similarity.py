@@ -429,14 +429,30 @@ def ann_ivf_topk(
 
 
 def ann_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """ANN: score only candidates sharing the query's bucket, then exact
-    cosine rank within the bucket."""
+    cosine rank within the bucket. ``multiprobe=1`` additionally probes
+    every bucket at Hamming distance 1 from the query's (each sign bit
+    flipped once): the query side fans out ×(1+n_planes) — still
+    broadcast-sized — while the CORPUS side is untouched, so recall rises
+    (a near-neighbor differs in at most a few plane signs) at probe
+    cost, never at shuffle cost."""
     cand = ann_lsh_buckets(embeddings, id_col)
     q = ann_lsh_buckets(
         queries.withColumnRenamed("q_embedding", "embedding"), "query_id"
     ).withColumnRenamed("embedding", "q_embedding")
+    if multiprobe >= 1:
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << j) for j in range(N_PLANES)]
+        )
+        q = q.withColumn("_flip", F.explode(flips)).withColumn(
+            "bucket", F.expr("CAST(bucket AS BIGINT) ^ _flip")
+        ).drop("_flip")
     joined = cand.join(F.broadcast(q), "bucket")
     scored = joined.withColumn(
         "cos",

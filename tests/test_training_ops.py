@@ -335,3 +335,38 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         a, b = vecs[i].astype(np.float64), deq[i]
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.999
+
+
+def test_ann_multiprobe_improves_recall(emb):
+    """Hamming-1 multiprobe: strictly more candidates reachable, recall
+    vs brute force never lower, and every returned candidate's bucket is
+    within Hamming distance 1 of its query's bucket."""
+    from osm_render_spark.operators.similarity import (
+        ann_lsh_buckets,
+        ann_topk,
+        cosine_topk,
+    )
+
+    vecs, df = emb
+    queries = df.where(df.vec_id < 5).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("q_embedding")
+    )
+    cands = df.where(df.vec_id >= 5)
+    brute = {}
+    for r in cosine_topk(cands, queries, 5).collect():
+        brute.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    def recall(res):
+        hit = sum(len(brute[q] & s) for q, s in res.items())
+        return hit / sum(len(v) for v in brute.values())
+
+    r0, r1 = {}, {}
+    for r in ann_topk(cands, queries, 5).collect():
+        r0.setdefault(r["query_id"], set()).add(r["cand_id"])
+    for r in ann_topk(cands, queries, 5, multiprobe=1).collect():
+        r1.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert recall(r1) >= recall(r0)
+    buckets = {r["vec_id"]: r["bucket"] for r in ann_lsh_buckets(df).collect()}
+    for q, s in r1.items():
+        for c in s:
+            assert bin(buckets[q] ^ buckets[c]).count("1") <= 1
