@@ -140,18 +140,37 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     from osm_render_spark.sources.pbf import read_pbf, write_pbf
 
     n_pbf_nodes = 120_000
-    pbf_path = f"/tmp/spark_graft_bench_{n_pbf_nodes}.osm.pbf"
-    if not os.path.exists(pbf_path):
-        nodes_fx = [
+    # cache key = content hash of a small probe file through the CURRENT
+    # writer — any writer/recipe change invalidates the cached fixture
+    # (a count-only key would silently benchmark a stale format)
+    import hashlib
+    import tempfile
+
+    def _fx_nodes(n):
+        return [
             (i, (i * 104729 % 17000) / 100.0 - 85.0, (i * 7919 % 36000) / 100.0 - 180.0,
              {"k": str(i % 5)} if i % 10 == 0 else {})
-            for i in range(n_pbf_nodes)
+            for i in range(n)
         ]
-        ways_fx = [
+
+    def _fx_ways(n_nodes):
+        return [
             (w, list(range(w * 6, w * 6 + 6)), {"natural": "water"})
-            for w in range(n_pbf_nodes // 6)
+            for w in range(n_nodes // 6)
         ]
-        write_pbf(pbf_path + ".tmp", nodes_fx, ways_fx, [], block_size=8000)
+
+    with tempfile.NamedTemporaryFile(suffix=".pbf") as probe:
+        write_pbf(probe.name, _fx_nodes(60), _fx_ways(60), [], block_size=8000)
+        recipe = hashlib.sha256(open(probe.name, "rb").read()).hexdigest()[:12]
+    pbf_path = f"/tmp/spark_graft_bench_{n_pbf_nodes}_{recipe}.osm.pbf"
+    if not os.path.exists(pbf_path):
+        write_pbf(
+            pbf_path + ".tmp",
+            _fx_nodes(n_pbf_nodes),
+            _fx_ways(n_pbf_nodes),
+            [],
+            block_size=8000,
+        )
         os.replace(pbf_path + ".tmp", pbf_path)
     pbf_mb = os.path.getsize(pbf_path) / 1e6
     read_pbf(spark, pbf_path)[0].limit(1).count()  # warm

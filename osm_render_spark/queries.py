@@ -984,7 +984,13 @@ ORDER BY a, b
         )
         sig = minhash_signatures(corpus)
         return (
-            lsh_candidate_pairs(sig, n_bands=2, rows_per_band=2)
+            # the oracle SQL has no cap, so disable it here: with the
+            # default cap a degenerate corpus (many <3-word docs share
+            # the sentinel signature) could drop a bucket engine-side
+            # that the oracle still pairs — a data-dependent mismatch
+            lsh_candidate_pairs(
+                sig, n_bands=2, rows_per_band=2, bucket_cap=1 << 40
+            )
             .select("a", "b", "n_bands_hit")
             .orderBy("a", "b")
         )

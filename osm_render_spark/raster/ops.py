@@ -221,6 +221,40 @@ def _merc_y(lat, zoom: int):
     )
 
 
+def fan_out_tiles(ways: DataFrame, zoom: int) -> DataFrame:
+    """Steps 1-2 of the slippy pipeline: per-way mercator bbox → covered
+    tile ranges → one (way_id, kind, geometry, tile_x, tile_y, tile_key)
+    row per covered tile. Shared by the batch renderer below and the
+    streaming incremental renderer (streaming/render.py) so the
+    affected-tile arithmetic can never diverge from the tiles the
+    renderer actually produces."""
+    n = 1 << zoom
+    g = F.col("geometry")
+    lon_min = F.array_min(F.transform(g, lambda p: p["lon"]))
+    lon_max = F.array_max(F.transform(g, lambda p: p["lon"]))
+    lat_min = F.array_min(F.transform(g, lambda p: p["lat"]))
+    lat_max = F.array_max(F.transform(g, lambda p: p["lat"]))
+
+    def clamp_tile(c):
+        return F.least(F.greatest(F.floor(c), F.lit(0)), F.lit(n - 1)).cast("long")
+
+    ranged = ways.select(
+        "way_id",
+        "kind",
+        "geometry",
+        clamp_tile(_merc_x(lon_min, zoom)).alias("tx0"),
+        clamp_tile(_merc_x(lon_max, zoom)).alias("tx1"),
+        clamp_tile(_merc_y(lat_max, zoom)).alias("ty0"),  # y-down: max lat = min y
+        clamp_tile(_merc_y(lat_min, zoom)).alias("ty1"),
+    )
+    return (
+        ranged.withColumn("tile_x", F.explode(F.sequence("tx0", "tx1")))
+        .withColumn("tile_y", F.explode(F.sequence("ty0", "ty1")))
+        .withColumn("tile_key", F.col("tile_x") * n + F.col("tile_y"))
+        .drop("tx0", "tx1", "ty0", "ty1")
+    )
+
+
 def render_slippy_tiles(
     ways: DataFrame, zoom: int, tile_px: int = 256
 ) -> DataFrame:
@@ -241,35 +275,13 @@ def render_slippy_tiles(
     skew-split handles uneven groups.
     """
     n = 1 << zoom
-    g = F.col("geometry")
-    lon_min = F.array_min(F.transform(g, lambda p: p["lon"]))
-    lon_max = F.array_max(F.transform(g, lambda p: p["lon"]))
-    lat_min = F.array_min(F.transform(g, lambda p: p["lat"]))
-    lat_max = F.array_max(F.transform(g, lambda p: p["lat"]))
-
-    def clamp_tile(c):
-        return F.least(F.greatest(F.floor(c), F.lit(0)), F.lit(n - 1)).cast("long")
-
-    ranged = ways.select(
-        "way_id",
-        "kind",
-        "geometry",
-        clamp_tile(_merc_x(lon_min, zoom)).alias("tx0"),
-        clamp_tile(_merc_x(lon_max, zoom)).alias("tx1"),
-        clamp_tile(_merc_y(lat_max, zoom)).alias("ty0"),  # y-down: max lat = min y
-        clamp_tile(_merc_y(lat_min, zoom)).alias("ty1"),
-    )
-    fanned = (
-        ranged.withColumn("tile_x", F.explode(F.sequence("tx0", "tx1")))
-        .withColumn("tile_y", F.explode(F.sequence("ty0", "ty1")))
-        .drop("tx0", "tx1", "ty0", "ty1")
-    )
+    fanned = fan_out_tiles(ways, zoom)
     local = fanned.select(
         "way_id",
         "kind",
         "tile_x",
         "tile_y",
-        (F.col("tile_x") * n + F.col("tile_y")).alias("tile_key"),
+        "tile_key",
         F.transform(
             "geometry",
             lambda p: (_merc_x(p["lon"], zoom) - F.col("tile_x")) * F.lit(float(tile_px)),

@@ -28,8 +28,15 @@ from pyspark.sql import DataFrame
 
 
 def _write_atomic(path: str, data: bytes) -> int:
+    """Write-then-rename with a WRITER-UNIQUE temp name: speculative or
+    retried task attempts may write the same tile concurrently, and a
+    shared '{path}.tmp' would interleave their bytes before the rename
+    (a torn PNG behind the atomicity guarantee). Each attempt renames
+    its own complete file; last rename wins with identical bytes."""
+    import uuid
+
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
@@ -61,13 +68,16 @@ def write_tile_tree(tiles: DataFrame, out_dir: str, zoom: int) -> DataFrame:
 def write_sprite_files(sprites: DataFrame, out_dir: str) -> DataFrame:
     """sprites(scene_id, area_id, mode, sprite, ...) → files named per
     the reference's callout convention (F11, OsmRender.m:1286-1290):
-    ``scene{scene_id}-{area_id:02d}-{mode}.png``. Returns the manifest."""
+    ``scene{scene_id}-{area_id:02d}-{mode}.png`` — '%02lu' semantics:
+    pad to two digits, NEVER truncate (area ids ≥ 100 keep all digits;
+    a % 100 here would silently overwrite colliding sprites). Returns
+    the manifest."""
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                fname = f"scene{int(r.scene_id)}-{int(r.area_id) % 100:02d}-{r.mode}.png"
+                fname = f"scene{int(r.scene_id)}-{int(r.area_id):02d}-{r.mode}.png"
                 path = os.path.join(out_dir, fname)
                 n = _write_atomic(path, bytes(r.sprite))
                 rows.append((int(r.scene_id), int(r.area_id), r.mode, path, n))

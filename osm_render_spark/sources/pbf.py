@@ -367,6 +367,14 @@ def decode_block_columnar(raw: bytes) -> dict:
                             )
                         else:
                             tag_dicts.append({})
+                    # tolerate short/long keys_vals (fewer or more 0
+                    # terminators than nodes — seen in permissive
+                    # encoders): missing nodes get empty tags, extras
+                    # are dropped, mirroring the row-wise loop's behavior
+                    if len(tag_dicts) < n_nodes:
+                        tag_dicts += [{}] * (n_nodes - len(tag_dicts))
+                    elif len(tag_dicts) > n_nodes:
+                        tag_dicts = tag_dicts[:n_nodes]
                 else:
                     tag_dicts = [{}] * n_nodes  # shared empty dict: read-only
                 dense_nodes.append(

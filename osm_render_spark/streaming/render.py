@@ -14,12 +14,23 @@ This is incremental view maintenance over the raster view:
 4. rendered PNGs land in the tile tree via raster.sink.write_tile_tree
    (atomic per-file replace: readers never see a torn tile)
 
-Cost per batch is O(batch fan-out + ways-in-affected-tiles), independent
-of the total corpus — the un-touched tile majority is never read,
-re-rendered, or rewritten. At 10^12 ways the way store is the bucketed/
-partitioned table and step 3's scan prunes to the affected partitions
-(pinned for the batch engine in tests/test_plans.py's partition-pruning
-test).
+Updates are first-class: a way re-sent with new geometry wins
+deterministically (a per-way latest-batch side table marks superseded
+store rows dead — including old rows in tiles the way moved AWAY from,
+which are also re-rendered), and rows are deduplicated to one per way
+before the re-render so a multi-tile way is never double-drawn into the
+even-odd fill.
+
+Cost per batch: O(batch fan-out + ways-in-affected-tiles) for the
+re-render — the un-touched tile majority is never read, re-rendered, or
+rewritten — plus two bookkeeping terms that are cheap but not
+batch-local: the latest-batch upsert is O(distinct ways seen) over an
+ids-only table, and the moved-away-tile lookup scans the store for the
+batch's way ids (at 10^12 ways, give the store a way_id-bucketed twin
+or a way→tiles index to make that lookup pruned too). At 10^12 ways the
+way store is the bucketed/partitioned table and the re-render's scan
+prunes to the affected tile partitions (pinned for the batch engine in
+tests/test_plans.py's partition-pruning test).
 """
 
 from __future__ import annotations
@@ -29,40 +40,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..raster.ops import render_slippy_tiles
+from ..raster.ops import fan_out_tiles, render_slippy_tiles
 from ..raster.sink import write_tile_tree
-
-
-def _fan_out_tiles(ways: DataFrame, zoom: int) -> DataFrame:
-    """(way_id, kind, geometry, tile_key) — one row per covered tile,
-    same bbox arithmetic as render_slippy_tiles steps 1-2."""
-    from ..raster.ops import _merc_x, _merc_y
-
-    n = 1 << zoom
-    g = F.col("geometry")
-    lon_min = F.array_min(F.transform(g, lambda p: p["lon"]))
-    lon_max = F.array_max(F.transform(g, lambda p: p["lon"]))
-    lat_min = F.array_min(F.transform(g, lambda p: p["lat"]))
-    lat_max = F.array_max(F.transform(g, lambda p: p["lat"]))
-
-    def clamp_tile(c):
-        return F.least(F.greatest(F.floor(c), F.lit(0)), F.lit(n - 1)).cast("long")
-
-    ranged = ways.select(
-        "way_id",
-        "kind",
-        "geometry",
-        clamp_tile(_merc_x(lon_min, zoom)).alias("tx0"),
-        clamp_tile(_merc_x(lon_max, zoom)).alias("tx1"),
-        clamp_tile(_merc_y(lat_max, zoom)).alias("ty0"),
-        clamp_tile(_merc_y(lat_min, zoom)).alias("ty1"),
-    )
-    return (
-        ranged.withColumn("tile_x", F.explode(F.sequence("tx0", "tx1")))
-        .withColumn("tile_y", F.explode(F.sequence("ty0", "ty1")))
-        .withColumn("tile_key", F.col("tile_x") * n + F.col("tile_y"))
-        .select("way_id", "kind", "geometry", "tile_key")
-    )
 
 
 def incremental_tile_render(
@@ -83,29 +62,88 @@ def incremental_tile_render(
     store = os.path.join(out_dir, "_way_store")
     tree = os.path.join(out_dir, "tiles")
 
+    latest_dir = os.path.join(out_dir, "_way_latest")
+
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch.sparkSession
-        fanned = _fan_out_tiles(batch, zoom).persist()
+        fanned = (
+            fan_out_tiles(batch, zoom)
+            .select("way_id", "kind", "geometry", "tile_key")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .persist()
+        )
         try:
             if fanned.isEmpty():
                 return
-            # 1. append the batch's fan-out to the tile-partitioned store
-            fanned.write.mode("append").partitionBy("tile_key").parquet(store)
-            # 2-3. re-render ONLY the affected tiles from the full store
+            batch_ways = (
+                fanned.select("way_id").distinct()
+                .withColumn("latest_batch", F.lit(int(batch_id)))
+            )
+            store_exists = os.path.exists(store)
+            # affected = the batch's NEW tiles ∪ tiles the batch's ways
+            # covered BEFORE (a geometry update must also re-render the
+            # tiles the way moved AWAY from, else they keep stale pixels)
             affected = fanned.select("tile_key").distinct()
-            stored = spark.read.parquet(store).join(
+            if store_exists:
+                old_tiles = (
+                    spark.read.parquet(store)
+                    .join(F.broadcast(batch_ways), "way_id", "left_semi")
+                    .select("tile_key")
+                    .distinct()
+                )
+                affected = affected.union(old_tiles).distinct()
+            affected = affected.persist()
+            affected.count()
+            # 1a. append the batch's fan-out to the tile-partitioned store
+            fanned.write.mode("append").partitionBy("tile_key").parquet(store)
+            # 1b. upsert the per-way latest-batch side table (way_id →
+            # latest_batch). This is what makes superseded rows DEAD
+            # forever: without it, a way that moved away from tile T
+            # leaves old-geometry rows there, and a LATER batch touching
+            # T would resurrect them (the newer rows live only in other
+            # tiles). Written to a fresh dir then swapped in, so the
+            # lazy read of the previous version completes first.
+            if os.path.exists(latest_dir):
+                merged = (
+                    spark.read.parquet(latest_dir)
+                    .unionByName(batch_ways)
+                    .groupBy("way_id")
+                    .agg(F.max("latest_batch").alias("latest_batch"))
+                )
+            else:
+                merged = batch_ways
+            tmp_dir = f"{latest_dir}.b{int(batch_id)}"
+            merged.write.mode("overwrite").parquet(tmp_dir)
+            shutil.rmtree(latest_dir, ignore_errors=True)
+            os.rename(tmp_dir, latest_dir)
+            # 2-3. re-render ONLY the affected tiles: store rows in those
+            # tiles, filtered to each way's LATEST version, deduplicated
+            # to ONE row per way — render_slippy_tiles re-fans each way
+            # itself, so keeping the per-tile fan-out copies would draw a
+            # multi-tile way once PER COPY into the same even-odd fill,
+            # where duplicates cancel (water → land).
+            way_latest = spark.read.parquet(latest_dir)
+            store_rows = spark.read.parquet(store).join(
                 F.broadcast(affected), "tile_key", "left_semi"
             )
-            # dedup re-appended ways within a tile (a way replayed in a
-            # later batch must not double-draw): last write wins per
-            # (tile_key, way_id)
-            stored = stored.dropDuplicates(["tile_key", "way_id"])
-            ways_flat = stored.select("way_id", "kind", "geometry")
-            tiles = render_slippy_tiles(ways_flat, zoom, tile_px).join(
+            latest = (
+                store_rows.join(
+                    way_latest,
+                    (store_rows["way_id"] == way_latest["way_id"])
+                    & (store_rows["batch_id"] == way_latest["latest_batch"]),
+                    "left_semi",
+                )
+                .dropDuplicates(["way_id"])  # same-batch copies are identical
+                .select("way_id", "kind", "geometry")
+            )
+            tiles = render_slippy_tiles(latest, zoom, tile_px).join(
                 F.broadcast(affected), "tile_key", "left_semi"
             )
             # 4. atomic per-file writes into the served tree
             write_tile_tree(tiles, tree, zoom).count()
+            affected.unpersist()
         finally:
             fanned.unpersist()
 

@@ -189,7 +189,10 @@ def test_incremental_tile_render_matches_batch(spark, tmp_path):
              {"lon": lon, "lat": lat}],
         )
 
-    batch1 = [square(1, 0.1, 0.1), square(2, 40.0, 20.0)]
+    # way 1: spans MULTIPLE z6 tiles (d=6°) — the duplicate-cancellation
+    # regression case: re-rendering from per-tile fan-out copies would
+    # draw it once per copy and even-odd fill cancels water back to land
+    batch1 = [square(1, 0.1, 0.1, d=6.0), square(2, 40.0, 20.0)]
     batch2 = [square(3, 0.15, 0.15), square(4, -120.0, -40.0)]
     src = str(tmp_path / "ways_src")
     spark.createDataFrame(batch1, sq).coalesce(1).write.mode("append").parquet(src)
@@ -221,3 +224,68 @@ def test_incremental_tile_render_matches_batch(spark, tmp_path):
             got[(x, y)] = open(os.path.join(tree, xdir, yfile), "rb").read()
     assert set(got) == set(want)
     assert all(got[k] == want[k] for k in want), "maintained tile != batch render"
+
+
+def test_incremental_render_way_update_moves_tiles(spark, tmp_path):
+    """Geometry updates: a way re-sent with NEW geometry must win
+    deterministically, the tile it moved AWAY from must re-render
+    without it, and a later unrelated batch must not resurrect the old
+    geometry (the superseded store rows are dead via the latest-batch
+    side table)."""
+    import os
+    import time as _time
+
+    from osm_render_spark.raster.ops import render_slippy_tiles
+    from osm_render_spark.streaming.render import incremental_tile_render
+
+    zoom, px = 6, 64
+    sq = "way_id long, kind string, geometry array<struct<lon: double, lat: double>>"
+
+    def square(wid, lon, lat, d=0.2):
+        return (
+            wid, "water",
+            [{"lon": lon, "lat": lat}, {"lon": lon + d, "lat": lat},
+             {"lon": lon + d, "lat": lat + d}, {"lon": lon, "lat": lat + d},
+             {"lon": lon, "lat": lat}],
+        )
+
+    b1 = [square(1, 10.1, 10.1), square(9, 10.2, 10.2)]   # way 1 + neighbor in tile A
+    b2 = [square(1, 60.1, 20.1)]                          # way 1 MOVES to tile B
+    b3 = [square(9, 10.3, 10.3)]                          # unrelated update touching tile A again
+    src = str(tmp_path / "upd_src")
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, sq).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    out = str(tmp_path / "upd_out")
+    q = incremental_tile_render(
+        spark.readStream.schema(sq).option("maxFilesPerTrigger", 1).parquet(src),
+        out, zoom, tile_px=px, checkpoint_dir=str(tmp_path / "upd_ckpt"),
+    )
+    q.awaitTermination()
+
+    # expected end state: way 1 at its NEW location, way 9 at its latest
+    final = [square(1, 60.1, 20.1), square(9, 10.3, 10.3)]
+    want = {
+        (r["tile_x"], r["tile_y"]): bytes(r["bytes"])
+        for r in render_slippy_tiles(spark.createDataFrame(final, sq), zoom, px).collect()
+    }
+    tree = os.path.join(out, "tiles", f"z{zoom}")
+    got = {}
+    for xdir in os.listdir(tree):
+        for yfile in os.listdir(os.path.join(tree, xdir)):
+            got[(int(xdir[1:]), int(yfile[1:-4]))] = open(
+                os.path.join(tree, xdir, yfile), "rb"
+            ).read()
+    # the maintained tree may retain the tile way 1 vacated — it must
+    # now equal a render of the ways still there (way 9 only)
+    for k, v in want.items():
+        assert got[k] == v, f"tile {k} diverges from batch render"
+    vacated = {
+        (r["tile_x"], r["tile_y"]): bytes(r["bytes"])
+        for r in render_slippy_tiles(
+            spark.createDataFrame([square(9, 10.3, 10.3)], sq), zoom, px
+        ).collect()
+    }
+    for k, v in vacated.items():
+        assert got[k] == v, "vacated tile kept stale geometry"

@@ -55,11 +55,12 @@ def test_write_sprite_files_f11_naming(spark, tmp_path):
 
     png = bytearray(encode_png(new_surface(8, 8, (1, 2, 3, 255))))
     sprites = spark.createDataFrame(
-        [(0, 7, "callout", png), (0, 12, "hover", png)],
+        [(0, 7, "callout", png), (0, 12, "hover", png), (0, 107, "hover", png)],
         "scene_id long, area_id long, mode string, sprite binary",
     )
     rows = {os.path.basename(r["path"]) for r in
             write_sprite_files(sprites, str(tmp_path)).collect()}
-    assert rows == {"scene0-07-callout.png", "scene0-12-hover.png"}
+    assert rows == {"scene0-07-callout.png", "scene0-12-hover.png",
+                "scene0-107-hover.png"}  # >= 100: padded, NEVER truncated
     for f in rows:
         assert os.path.exists(os.path.join(str(tmp_path), f))
