@@ -16,10 +16,11 @@ implicitly via Cairo's even-odd fill of an A8 mask (OsmRender.m:645-657,
    (points × edges) slabs.
 
 Scale: points ~10^12 stream through one broadcast hash join + one
-codegen-adjacent Arrow kernel — no shuffle. Polygons are assumed
-dimension-sized (thousands); for polygon sets beyond broadcast size,
-partition both sides by cell and use a shuffle hash join on cell instead
-(same plan shape, one shuffle of each side).
+codegen-adjacent Arrow kernel — no shuffle (``pip_join``). For polygon
+sets beyond broadcast size, ``pip_join_large`` partitions both sides by
+cell for the prefilter and cogroups candidates with polygon vertices on
+area_id for the refinement — two shuffles, each linear, vertex payloads
+shipped once per polygon rather than once per candidate row.
 """
 
 from __future__ import annotations
@@ -126,3 +127,48 @@ def pip_join(
                 yield out
 
     return cand.mapInPandas(refine, schema=f"{point_id} long, area_id long")
+
+
+def pip_join_large(
+    points: DataFrame,
+    polygons: DataFrame,
+    zoom: int = 9,
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Large×large PIP: neither side broadcastable (10^9 polygons ×
+    10^12 points). Same semantics as pip_join, different physical plan:
+
+    1. prefilter = shuffle equi-join points.cell == cover.cell — both
+       sides partition by cell, candidates carry (point_id, lon, lat,
+       area_id) ONLY (no vertex payload on the wide side)
+    2. refinement = cogroup candidates with polygons on area_id — the
+       vertex arrays ship once per polygon per partition, the ray cast
+       runs per group with the same vectorized kernel
+
+    Skew: a polygon whose bbox blankets a dense point region makes one
+    big cogroup; the kernel is O(candidates × edges) streamed in slabs
+    (raycast_even_odd chunks at 8M cells), and candidates are bounded by
+    the polygon's cover-cell population — the same bound the reference's
+    per-pixel fill pays. Salt area_id if a single polygon's candidates
+    exceed a partition's memory.
+    """
+    cover = polygon_cover_df(polygons, zoom)
+    pts = points.withColumn("cell", F.expr(tile_key_sql("lon", "lat", zoom)))
+    cand = pts.join(cover, "cell").select(point_id, "lon", "lat", "area_id")
+
+    def refine(key, cand_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0 or len(poly_pdf) == 0:
+            return pd.DataFrame({point_id: pd.Series(dtype="int64"),
+                                 "area_id": pd.Series(dtype="int64")})
+        xs = np.asarray(poly_pdf["xs"].iloc[0])
+        ys = np.asarray(poly_pdf["ys"].iloc[0])
+        inside = raycast_even_odd(
+            cand_pdf["lon"].to_numpy(), cand_pdf["lat"].to_numpy(), xs, ys
+        )
+        return cand_pdf.loc[inside, [point_id, "area_id"]]
+
+    return (
+        cand.groupBy("area_id")
+        .cogroup(polygons.groupBy("area_id"))
+        .applyInPandas(refine, schema=f"{point_id} long, area_id long")
+    )
