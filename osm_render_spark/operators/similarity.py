@@ -428,6 +428,123 @@ def ann_ivf_topk(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    quantizer: str = "kmeans",
+) -> None:
+    """Persist an IVF index: centroids (tiny parquet) + the corpus
+    written PARTITIONED BY list_id. This is the build-once/probe-many
+    form of ann_ivf_topk — at query time only the probed lists' parquet
+    partitions are READ AT ALL (partition pruning: n_probe/n_centroids
+    of the bytes), which is the actual 100 TB win over recomputing
+    assignments per query batch."""
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    if n_centroids is None:
+        n_centroids = max(16, int(_math.ceil(_math.sqrt(embeddings.count()))))
+    if quantizer == "head":
+        c_mat = _head_centroids(embeddings, n_centroids, id_col)
+    elif quantizer == "kmeans":
+        c_mat = _kmeans_centroids(embeddings, n_centroids, id_col)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    c_norm = np.linalg.norm(c_mat, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (m @ c_mat.T) / (norms[:, None] * c_norm[None, :])
+            yield pd.DataFrame(
+                {
+                    "list_id": cos.argmax(axis=1).astype(np.int64),
+                    id_col: pdf[id_col],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    lists = embeddings.select(id_col, "embedding").mapInPandas(
+        assign, schema=f"list_id long, {id_col} long, embedding array<float>"
+    )
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    spark = embeddings.sparkSession
+    cent_rows = [
+        (int(i), [float(v) for v in c_mat[i]]) for i in range(len(c_mat))
+    ]
+    spark.createDataFrame(
+        cent_rows, "list_id long, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF index: per query pick the n_probe nearest
+    centroids, then scan ONLY those list partitions (a WHERE on the
+    partition column — pruning pinned by test_training_ops) and rank
+    exact cosine. Returns (query_id, cand_id, rank, cos)."""
+    import numpy as np
+    import pandas as pd
+
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    c_norm = np.linalg.norm(c_mat, axis=1)
+
+    q_rows = queries.collect()
+    probe_rows = []
+    probed: set[int] = set()
+    for r in q_rows:
+        qv = np.array(r["q_embedding"], dtype=np.float64)
+        cos = (c_mat @ qv) / (c_norm * np.linalg.norm(qv))
+        order = np.lexsort((np.arange(len(cos)), -cos))[:n_probe]
+        for lid in order:
+            probe_rows.append((int(r["query_id"]), int(lid), r["q_embedding"]))
+            probed.add(int(lid))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, list_id long, q_embedding array<float>"
+    )
+    # the WHERE on the partition column prunes unprobed lists at scan time
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("list_id").isin(*sorted(probed))
+    )
+    joined = lists.join(F.broadcast(probes), "list_id")
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            b = np.array(list(pdf["q_embedding"]), dtype=np.float64)
+            cos = (a * b).sum(axis=1) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "cand_id": pdf[id_col], "cos": cos}
+            )
+
+    scored = joined.mapInPandas(score, schema="query_id long, cand_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

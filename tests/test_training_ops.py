@@ -370,3 +370,48 @@ def test_ann_multiprobe_improves_recall(emb):
     for q, s in r1.items():
         for c in s:
             assert bin(buckets[q] ^ buckets[c]).count("1") <= 1
+
+
+def test_ivf_index_persist_probe_and_pruning(spark, tmp_path):
+    """Persisted IVF index: probing matches the in-memory operator
+    exactly (same quantizer), and the probe scan PRUNES to the probed
+    list partitions (the 100 TB read-bytes win)."""
+    import numpy as np
+
+    from osm_render_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where(df.vec_id < 3).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("q_embedding")
+    )
+    cands = df.where(df.vec_id >= 3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(cands, path, n_centroids=8, quantizer="head")
+    got = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in query_ivf_index(spark, path, queries, 5, n_probe=2).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in ann_ivf_topk(
+            cands, queries, 5, n_centroids=8, n_probe=2, quantizer="head"
+        ).collect()
+    }
+    assert got == want
+
+    # partition pruning: the probe plan carries a PartitionFilter on list_id
+    probe_df = query_ivf_index(spark, path, queries, 5, n_probe=2)
+    plan = probe_df._sc._jvm.PythonSQLUtils.explainString(
+        probe_df._jdf.queryExecution(), "formatted"
+    )
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and any("list_id" in l and "IN" in l for l in pf_lines), pf_lines
