@@ -1644,6 +1644,25 @@ FROM fan GROUP BY 1, 2, 3 ORDER BY tile_key
     return QueryDef(fn, duck)
 
 
+def _q_event_hourly_rollup() -> QueryDef:
+    """Event-time tumbling-window rollup over the events table — the
+    batch twin of streaming.ingest.streaming_tile_counts' windowed agg
+    (same date_trunc bucketing), with exact integer money math:
+    value_cents = Σ floor(value·100 + 0.5) avoids double-sum order
+    dependence AND decimal-stringification differences between engines.
+    CAST(100 AS DOUBLE) dodges Spark's DECIMAL literal typing."""
+    sql = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour, event_type
+"""
+    return _sql_query(sql)
+
+
 def _q_quantize_int8() -> QueryDef:
     """Symmetric int8 embedding quantization (operators.quantize) —
     exploded (vec_id, i, q) form so the driver hashes scalar ints. Both
@@ -1793,5 +1812,6 @@ def build_queries() -> dict[str, QueryDef]:
         "slippy_render": _q_slippy_render(),
         "pbf_roundtrip": _q_pbf_roundtrip(),
         "quantize_int8": _q_quantize_int8(),
+        "event_hourly_rollup": _q_event_hourly_rollup(),
     }
     return defs
