@@ -159,9 +159,14 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             for w in range(n_nodes // 6)
         ]
 
+    # probe spans MULTIPLE blocks (block_size=16 over 60 nodes) so writer
+    # changes that only affect block splitting / inter-block encoding
+    # also change the probe bytes and invalidate the cache
     with tempfile.NamedTemporaryFile(suffix=".pbf") as probe:
-        write_pbf(probe.name, _fx_nodes(60), _fx_ways(60), [], block_size=8000)
-        recipe = hashlib.sha256(open(probe.name, "rb").read()).hexdigest()[:12]
+        write_pbf(probe.name, _fx_nodes(60), _fx_ways(60), [], block_size=16)
+        recipe = hashlib.sha256(
+            open(probe.name, "rb").read() + b"|block8000|n120000"
+        ).hexdigest()[:12]
     pbf_path = f"/tmp/spark_graft_bench_{n_pbf_nodes}_{recipe}.osm.pbf"
     if not os.path.exists(pbf_path):
         write_pbf(

@@ -351,19 +351,36 @@ def ann_ivf_topk(
     candidates. Probe selection is tie-deterministic (lexsort by
     (-cos, list_id)).
     """
-    import math as _math
+    c_mat = _resolve_centroids(embeddings, n_centroids, id_col, quantizer)
+    lists = _assign_to_lists(embeddings, c_mat, id_col)
+    probes = _probe_df(embeddings.sparkSession, c_mat, queries.collect(), n_probe)
+    joined = lists.join(F.broadcast(probes), "list_id")
+    return _score_and_rank(joined, k, id_col)
 
-    import numpy as np
-    import pandas as pd
+
+# -- shared IVF pieces (one definition for the in-memory operator AND the
+# persisted index, so list assignment / probe selection / ranking cannot
+# drift between them) --------------------------------------------------------
+
+
+def _resolve_centroids(embeddings, n_centroids, id_col, quantizer):
+    import math as _math
 
     if n_centroids is None:
         n_centroids = max(16, int(_math.ceil(_math.sqrt(embeddings.count()))))
     if quantizer == "head":
-        c_mat = _head_centroids(embeddings, n_centroids, id_col)
-    elif quantizer == "kmeans":
-        c_mat = _kmeans_centroids(embeddings, n_centroids, id_col)
-    else:
-        raise ValueError(f"unknown quantizer {quantizer!r}")
+        return _head_centroids(embeddings, n_centroids, id_col)
+    if quantizer == "kmeans":
+        return _kmeans_centroids(embeddings, n_centroids, id_col)
+    raise ValueError(f"unknown quantizer {quantizer!r}")
+
+
+def _assign_to_lists(embeddings: DataFrame, c_mat, id_col: str) -> DataFrame:
+    """(list_id, id, embedding): argmax-cosine list assignment, one numpy
+    pass per Arrow batch; zero-norm vectors assign to list 0."""
+    import numpy as np
+    import pandas as pd
+
     c_norm = np.linalg.norm(c_mat, axis=1)
 
     def assign(batches):
@@ -372,6 +389,7 @@ def ann_ivf_topk(
                 continue
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
             cos = (m @ c_mat.T) / (norms[:, None] * c_norm[None, :])
             yield pd.DataFrame(
                 {
@@ -381,26 +399,35 @@ def ann_ivf_topk(
                 }
             )
 
-    lists = embeddings.mapInPandas(
+    return embeddings.select(id_col, "embedding").mapInPandas(
         assign, schema=f"list_id long, {id_col} long, embedding array<float>"
     )
 
-    q_rows = queries.collect()
+
+def _probe_df(spark, c_mat, q_rows, n_probe: int) -> DataFrame:
+    """(query_id, list_id, q_embedding) — each query's n_probe nearest
+    centroids, tie-deterministic (lexsort by (-cos, list_id); a bare
+    argsort on -cos is an unstable quicksort and could flip tied lists)."""
+    import numpy as np
+
+    c_norm = np.linalg.norm(c_mat, axis=1)
     probe_rows = []
     for r in q_rows:
         qv = np.array(r["q_embedding"], dtype=np.float64)
         cos = (c_mat @ qv) / (c_norm * np.linalg.norm(qv))
-        # tie-deterministic probe order: (-cos, list_id) — np.argsort on
-        # -cos alone is an unstable quicksort and could flip tied lists
         order = np.lexsort((np.arange(len(cos)), -cos))[:n_probe]
         for lid in order:
             probe_rows.append((int(r["query_id"]), int(lid), r["q_embedding"]))
-    spark = embeddings.sparkSession
-    probes = spark.createDataFrame(
+    return spark.createDataFrame(
         probe_rows, "query_id long, list_id long, q_embedding array<float>"
     )
 
-    joined = lists.join(F.broadcast(probes), "list_id")
+
+def _score_and_rank(joined: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Exact cosine per (query, probed candidate) in a numpy Arrow pass,
+    then the rank window with the (cos desc, cand_id asc) tie-break."""
+    import numpy as np
+    import pandas as pd
 
     def score(batches):
         for pdf in batches:
@@ -412,11 +439,7 @@ def ann_ivf_topk(
                 np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
             )
             yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "cand_id": pdf[id_col],
-                    "cos": cos,
-                }
+                {"query_id": pdf["query_id"], "cand_id": pdf[id_col], "cos": cos}
             )
 
     scored = joined.mapInPandas(score, schema="query_id long, cand_id long, cos double")
@@ -440,41 +463,11 @@ def build_ivf_index(
     form of ann_ivf_topk — at query time only the probed lists' parquet
     partitions are READ AT ALL (partition pruning: n_probe/n_centroids
     of the bytes), which is the actual 100 TB win over recomputing
-    assignments per query batch."""
-    import math as _math
-
-    import numpy as np
-    import pandas as pd
-
-    if n_centroids is None:
-        n_centroids = max(16, int(_math.ceil(_math.sqrt(embeddings.count()))))
-    if quantizer == "head":
-        c_mat = _head_centroids(embeddings, n_centroids, id_col)
-    elif quantizer == "kmeans":
-        c_mat = _kmeans_centroids(embeddings, n_centroids, id_col)
-    else:
-        raise ValueError(f"unknown quantizer {quantizer!r}")
-    c_norm = np.linalg.norm(c_mat, axis=1)
-
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(list(pdf["embedding"]), dtype=np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            cos = (m @ c_mat.T) / (norms[:, None] * c_norm[None, :])
-            yield pd.DataFrame(
-                {
-                    "list_id": cos.argmax(axis=1).astype(np.int64),
-                    id_col: pdf[id_col],
-                    "embedding": pdf["embedding"],
-                }
-            )
-
-    lists = embeddings.select(id_col, "embedding").mapInPandas(
-        assign, schema=f"list_id long, {id_col} long, embedding array<float>"
-    )
+    assignments per query batch. Assignment/probe/rank logic is shared
+    with ann_ivf_topk (_assign_to_lists/_probe_df/_score_and_rank), so
+    the persisted index can never drift from the in-memory operator."""
+    c_mat = _resolve_centroids(embeddings, n_centroids, id_col, quantizer)
+    lists = _assign_to_lists(embeddings, c_mat, id_col)
     lists.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
     spark = embeddings.sparkSession
     cent_rows = [
@@ -498,51 +491,17 @@ def query_ivf_index(
     partition column — pruning pinned by test_training_ops) and rank
     exact cosine. Returns (query_id, cand_id, rank, cos)."""
     import numpy as np
-    import pandas as pd
 
     cent = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
     c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
-    c_norm = np.linalg.norm(c_mat, axis=1)
-
-    q_rows = queries.collect()
-    probe_rows = []
-    probed: set[int] = set()
-    for r in q_rows:
-        qv = np.array(r["q_embedding"], dtype=np.float64)
-        cos = (c_mat @ qv) / (c_norm * np.linalg.norm(qv))
-        order = np.lexsort((np.arange(len(cos)), -cos))[:n_probe]
-        for lid in order:
-            probe_rows.append((int(r["query_id"]), int(lid), r["q_embedding"]))
-            probed.add(int(lid))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, list_id long, q_embedding array<float>"
-    )
+    probes = _probe_df(spark, c_mat, queries.collect(), n_probe)
+    probed = sorted({r["list_id"] for r in probes.select("list_id").collect()})
     # the WHERE on the partition column prunes unprobed lists at scan time
     lists = spark.read.parquet(f"{path}/lists").where(
-        F.col("list_id").isin(*sorted(probed))
+        F.col("list_id").isin(*probed)
     )
     joined = lists.join(F.broadcast(probes), "list_id")
-
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            b = np.array(list(pdf["q_embedding"]), dtype=np.float64)
-            cos = (a * b).sum(axis=1) / (
-                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-            )
-            yield pd.DataFrame(
-                {"query_id": pdf["query_id"], "cand_id": pdf[id_col], "cos": cos}
-            )
-
-    scored = joined.mapInPandas(score, schema="query_id long, cand_id long, cos double")
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "cand_id", "rank", "cos")
-    )
+    return _score_and_rank(joined, k, id_col)
 
 
 def ann_topk(

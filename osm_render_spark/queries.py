@@ -699,9 +699,12 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber
 
 
 def _q_format_filename() -> QueryDef:
-    """F11 (OsmRender.m:1286-1290): '%@-%02lu-callout.png' formatting."""
+    """F11 (OsmRender.m:1286-1290): '%@-%02lu-callout.png' formatting —
+    '%02lu' pads to two digits but NEVER truncates (the reference passes
+    the raw index; a % 100 here would pin the sprite-collision bug the
+    sink explicitly avoids, raster/sink.py)."""
     sql = """
-SELECT n_nationkey, printf('%s-%02d-callout.png', n_name, n_nationkey % 100) AS fname
+SELECT n_nationkey, printf('%s-%02d-callout.png', n_name, n_nationkey) AS fname
 FROM nation ORDER BY n_nationkey
 """
 
@@ -709,7 +712,7 @@ FROM nation ORDER BY n_nationkey
         register_views(spark, sf_dir)
         return spark.sql(
             "SELECT n_nationkey, format_string('%s-%02d-callout.png', n_name, "
-            "CAST(n_nationkey % 100 AS INT)) AS fname FROM nation ORDER BY n_nationkey"
+            "CAST(n_nationkey AS INT)) AS fname FROM nation ORDER BY n_nationkey"
         )
 
     return QueryDef(fn, sql)
@@ -1651,8 +1654,12 @@ def _q_event_hourly_rollup() -> QueryDef:
     value_cents = Σ floor(value·100 + 0.5) avoids double-sum order
     dependence AND decimal-stringification differences between engines.
     CAST(100 AS DOUBLE) dodges Spark's DECIMAL literal typing."""
+    # hour is CAST AS STRING: the driver-contract rule (CLAUDE.md) allows
+    # only ints/strings/doubles across the oracle boundary — a raw
+    # timestamp column could stringify tz-aware on one engine and naive
+    # on the other under a non-UTC driver session
     sql = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
+SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour, event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
        CAST(SUM(CAST(FLOOR(value * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT)

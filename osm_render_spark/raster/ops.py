@@ -274,7 +274,6 @@ def render_slippy_tiles(
     cost is bounded by tile_px² plus the bbox-windowed fills, and AQE
     skew-split handles uneven groups.
     """
-    n = 1 << zoom
     fanned = fan_out_tiles(ways, zoom)
     local = fanned.select(
         "way_id",

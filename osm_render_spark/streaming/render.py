@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..raster.ops import fan_out_tiles, render_slippy_tiles
@@ -61,19 +61,49 @@ def incremental_tile_render(
     """
     store = os.path.join(out_dir, "_way_store")
     tree = os.path.join(out_dir, "tiles")
+    latest_prefix = os.path.join(out_dir, "_way_latest_v")
 
-    latest_dir = os.path.join(out_dir, "_way_latest")
+    def _newest_latest_dir() -> str | None:
+        """Newest COMMITTED version of the latest-batch side table.
+        Versioned dirs (never deleted-then-renamed in place) make the
+        upsert crash-safe: a kill between writing vN and pruning vN-1
+        leaves both, and the reader just picks the newest committed one;
+        a kill mid-write leaves vN without _SUCCESS and it is ignored."""
+        parent = os.path.dirname(latest_prefix)
+        base = os.path.basename(latest_prefix)
+        versions = []
+        if os.path.isdir(parent):
+            for d in os.listdir(parent):
+                if d.startswith(base) and os.path.exists(
+                    os.path.join(parent, d, "_SUCCESS")
+                ):
+                    versions.append(int(d[len(base):]))
+        return f"{latest_prefix}{max(versions)}" if versions else None
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         import shutil
 
         spark = batch.sparkSession
+        # within-batch conflict resolution: a single micro-batch may carry
+        # several versions of one way (no maxFilesPerTrigger); batches are
+        # unordered sets so "latest" is undefined INSIDE one — pick a
+        # DETERMINISTIC content-keyed winner (max geometry hash) so the
+        # rendered tile never flips between runs or replays
+        wv = Window.partitionBy("way_id").orderBy(
+            F.xxhash64("kind", "geometry").desc()
+        )
+        batch_one = (
+            batch.withColumn("_rn", F.row_number().over(wv))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         fanned = (
-            fan_out_tiles(batch, zoom)
+            fan_out_tiles(batch_one, zoom)
             .select("way_id", "kind", "geometry", "tile_key")
             .withColumn("batch_id", F.lit(int(batch_id)))
             .persist()
         )
+        affected = None
         try:
             if fanned.isEmpty():
                 return
@@ -103,28 +133,34 @@ def incremental_tile_render(
             # forever: without it, a way that moved away from tile T
             # leaves old-geometry rows there, and a LATER batch touching
             # T would resurrect them (the newer rows live only in other
-            # tiles). Written to a fresh dir then swapped in, so the
-            # lazy read of the previous version completes first.
-            if os.path.exists(latest_dir):
+            # tiles). Versioned write (see _newest_latest_dir): the new
+            # version commits fully before older ones are pruned, so no
+            # crash window can lose the table.
+            prev = _newest_latest_dir()
+            if prev is not None:
                 merged = (
-                    spark.read.parquet(latest_dir)
+                    spark.read.parquet(prev)
                     .unionByName(batch_ways)
                     .groupBy("way_id")
                     .agg(F.max("latest_batch").alias("latest_batch"))
                 )
             else:
                 merged = batch_ways
-            tmp_dir = f"{latest_dir}.b{int(batch_id)}"
-            merged.write.mode("overwrite").parquet(tmp_dir)
-            shutil.rmtree(latest_dir, ignore_errors=True)
-            os.rename(tmp_dir, latest_dir)
+            new_dir = f"{latest_prefix}{int(batch_id)}"
+            merged.write.mode("overwrite").parquet(new_dir)
+            # prune older committed versions (best effort, AFTER commit)
+            parent = os.path.dirname(latest_prefix)
+            base = os.path.basename(latest_prefix)
+            for d in os.listdir(parent):
+                if d.startswith(base) and d != os.path.basename(new_dir):
+                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
             # 2-3. re-render ONLY the affected tiles: store rows in those
             # tiles, filtered to each way's LATEST version, deduplicated
             # to ONE row per way — render_slippy_tiles re-fans each way
             # itself, so keeping the per-tile fan-out copies would draw a
             # multi-tile way once PER COPY into the same even-odd fill,
             # where duplicates cancel (water → land).
-            way_latest = spark.read.parquet(latest_dir)
+            way_latest = spark.read.parquet(new_dir)
             store_rows = spark.read.parquet(store).join(
                 F.broadcast(affected), "tile_key", "left_semi"
             )
@@ -135,7 +171,10 @@ def incremental_tile_render(
                     & (store_rows["batch_id"] == way_latest["latest_batch"]),
                     "left_semi",
                 )
-                .dropDuplicates(["way_id"])  # same-batch copies are identical
+                # per-tile fan-out copies of one (way, batch) version are
+                # identical rows — batch_one guarantees one version per
+                # batch, so this dedup is content-safe
+                .dropDuplicates(["way_id"])
                 .select("way_id", "kind", "geometry")
             )
             tiles = render_slippy_tiles(latest, zoom, tile_px).join(
@@ -143,9 +182,10 @@ def incremental_tile_render(
             )
             # 4. atomic per-file writes into the served tree
             write_tile_tree(tiles, tree, zoom).count()
-            affected.unpersist()
         finally:
             fanned.unpersist()
+            if affected is not None:
+                affected.unpersist()
 
     writer = ways_stream.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint_dir:
