@@ -195,3 +195,54 @@ def test_zz_cumsum_property(vals):
     if len(buf):
         vec = np.cumsum(zigzag_decode(decode_varints(np.frombuffer(buf, np.uint8))))
         assert vec.tolist() == vals
+
+
+def test_render_pbf_end_to_end(spark, tmp_path):
+    """The reference-replacement flow: .osm.pbf in → z/x/y PNG tiles out,
+    matching a render over the fixture tables of the same scene."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from osm_render_spark.raster.codec import decode_png
+    from tools.render_pbf import render_pbf
+
+    scene = ALL_SCENES["bridges"]()
+    path = _scene_pbf(scene, str(tmp_path))
+    out = str(tmp_path / "tiles")
+    summary = render_pbf(spark, path, scene.bbox, out, zoom=10, tile_px=64)
+    assert summary["n_ways"] > 0 and summary["n_tiles"] > 0
+
+    # every written tile decodes and the tile set matches a direct
+    # render over the fixture tables
+    from osm_render_spark.operators.ways_in_rect import ways_in_rect
+    from osm_render_spark.raster.ops import render_slippy_tiles
+
+    fn, fw, fr = scene.to_spark(spark)
+    matched = ways_in_rect(fn, fw, fr, scene.bbox)
+    from osm_render_spark.functions.predicates import has_bridge, is_coastline, is_water
+
+    tags = F.col("tags")
+    kinds = F.array_compact(F.array(
+        F.when(F.coalesce(is_water(tags), F.lit(False))
+               | (~has_bridge(tags) & ~F.coalesce(is_coastline(tags), F.lit(False))),
+               F.lit("water")),
+        F.when(F.coalesce(is_coastline(tags), F.lit(False)), F.lit("coast")),
+        F.when(has_bridge(tags), F.lit("bridge")),
+    ))
+    sw = matched.select("way_id", F.explode(kinds).alias("kind"), "geometry")
+    want = {
+        (r["tile_x"], r["tile_y"]): bytes(r["bytes"])
+        for r in render_slippy_tiles(sw, zoom=10, tile_px=64).collect()
+    }
+    import os as _os
+
+    got = {}
+    tree = _os.path.join(out, "z10")
+    for xdir in _os.listdir(tree):
+        for yf in _os.listdir(_os.path.join(tree, xdir)):
+            img = open(_os.path.join(tree, xdir, yf), "rb").read()
+            decode_png(img)  # valid PNG
+            got[(int(xdir[1:]), int(yf[1:-4]))] = img
+    assert got == want
