@@ -1337,12 +1337,15 @@ def _q_image_pipeline() -> QueryDef:
     N/A→true for the lossy 'jpeg' rows, whose phash is checked against
     the PRE-encode pixels by construction). A decode or verify bug
     flips a verdict or a dimension and hash-mismatches."""
+    # verdict columns are INTs, not booleans: the driver's row
+    # canonicalization may stringify pandas bool vs DuckDB bool
+    # differently (True/true/1) — ints are unambiguous across engines
     duck = """
 SELECT 'img' || lpad(CAST(n_nationkey AS VARCHAR), 10, '0') AS image_id,
        64 AS w, 64 AS h,
        CASE WHEN n_nationkey % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
-       TRUE AS phash_ok,
-       TRUE AS dims_ok
+       1 AS phash_ok,
+       1 AS dims_ok
 FROM nation ORDER BY image_id
 """
 
@@ -1395,8 +1398,8 @@ FROM nation ORDER BY image_id
                 "fmt",
                 # N/A (lossy fmt) → true, so the column is non-null for the
                 # value hash; png rows still carry the real verdict
-                F.coalesce("phash_ok", F.lit(True)).alias("phash_ok"),
-                "dims_ok",
+                F.coalesce("phash_ok", F.lit(True)).cast("int").alias("phash_ok"),
+                F.col("dims_ok").cast("int").alias("dims_ok"),
             )
             .orderBy("image_id")
         )
