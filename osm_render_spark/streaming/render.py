@@ -191,3 +191,44 @@ def incremental_tile_render(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def compact_way_store(spark, out_dir: str) -> int:
+    """Offline maintenance: rewrite the way store keeping ONLY each way's
+    latest-version rows — under a heavy update stream the store otherwise
+    grows with every superseded version (they are logically dead via the
+    latest-batch table but still occupy storage and the moved-away-tile
+    lookup's scan). MUST run while the stream is stopped (the swap is a
+    directory replace, not transactional against a concurrent batch).
+    Returns the number of rows retained. Kept rows keep their original
+    batch_id, so the latest-batch semi-join is unaffected."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    store = os.path.join(out_dir, "_way_store")
+    if not os.path.exists(store):
+        return 0
+    latest_prefix = os.path.join(out_dir, "_way_latest_v")
+    parent, base = os.path.dirname(latest_prefix), os.path.basename(latest_prefix)
+    versions = [
+        int(d[len(base):])
+        for d in os.listdir(parent)
+        if d.startswith(base) and os.path.exists(os.path.join(parent, d, "_SUCCESS"))
+    ]
+    if not versions:
+        return 0
+    way_latest = spark.read.parquet(f"{latest_prefix}{max(versions)}")
+    rows = spark.read.parquet(store)
+    kept = rows.join(
+        way_latest,
+        (rows["way_id"] == way_latest["way_id"])
+        & (rows["batch_id"] == way_latest["latest_batch"]),
+        "left_semi",
+    )
+    tmp = f"{store}.compact"
+    kept.write.mode("overwrite").partitionBy("tile_key").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(store)
+    os.rename(tmp, store)
+    return n

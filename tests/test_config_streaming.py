@@ -289,3 +289,69 @@ def test_incremental_render_way_update_moves_tiles(spark, tmp_path):
     }
     for k, v in vacated.items():
         assert got[k] == v, "vacated tile kept stale geometry"
+
+
+def test_compact_way_store_drops_superseded_versions(spark, tmp_path):
+    """Offline compaction keeps only latest-version rows; a subsequent
+    stream batch over the compacted store still renders correctly."""
+    import os
+    import time as _time
+
+    from osm_render_spark.raster.ops import render_slippy_tiles
+    from osm_render_spark.streaming.render import (
+        compact_way_store,
+        incremental_tile_render,
+    )
+
+    zoom, px = 6, 64
+    sq = "way_id long, kind string, geometry array<struct<lon: double, lat: double>>"
+
+    def square(wid, lon, lat, d=0.2):
+        return (
+            wid, "water",
+            [{"lon": lon, "lat": lat}, {"lon": lon + d, "lat": lat},
+             {"lon": lon + d, "lat": lat + d}, {"lon": lon, "lat": lat + d},
+             {"lon": lon, "lat": lat}],
+        )
+
+    src = str(tmp_path / "c_src")
+    out = str(tmp_path / "c_out")
+    # three updates of the same way: store accumulates 3 versions
+    for i, b in enumerate([[square(1, 10.0 + i, 10.0)] for i in range(3)]):
+        spark.createDataFrame(b, sq).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    q = incremental_tile_render(
+        spark.readStream.schema(sq).option("maxFilesPerTrigger", 1).parquet(src),
+        out, zoom, tile_px=px, checkpoint_dir=str(tmp_path / "c_ckpt"),
+    )
+    q.awaitTermination()
+
+    store = os.path.join(out, "_way_store")
+    before = spark.read.parquet(store).count()
+    kept = compact_way_store(spark, out)
+    after = spark.read.parquet(store).count()
+    assert kept == after < before  # superseded versions physically gone
+
+    # stream continues over the compacted store: add a new way, verify
+    spark.createDataFrame([square(2, 12.5, 10.0)], sq).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = incremental_tile_render(
+        spark.readStream.schema(sq).option("maxFilesPerTrigger", 1).parquet(src),
+        out, zoom, tile_px=px, checkpoint_dir=str(tmp_path / "c_ckpt"),
+    )
+    q2.awaitTermination()
+    final = [square(1, 12.0, 10.0), square(2, 12.5, 10.0)]
+    want = {
+        (r["tile_x"], r["tile_y"]): bytes(r["bytes"])
+        for r in render_slippy_tiles(spark.createDataFrame(final, sq), zoom, px).collect()
+    }
+    tree = os.path.join(out, "tiles", f"z{zoom}")
+    got = {}
+    for xdir in os.listdir(tree):
+        for yf in os.listdir(os.path.join(tree, xdir)):
+            got[(int(xdir[1:]), int(yf[1:-4]))] = open(
+                os.path.join(tree, xdir, yf), "rb"
+            ).read()
+    for k, v in want.items():
+        assert got[k] == v
