@@ -39,6 +39,27 @@ def filter_way(tags: Column) -> Column:
     return has_bridge(tags) | is_coastline(tags) | is_water(tags)
 
 
+def classify_kinds(tags: Column) -> Column:
+    """ADDITIVE render-kind array for a way — one entry per reference
+    render pass that touches it (coastline collect, water-fill re-scan
+    of ALL ways with OsmIsWater at OsmRender.m:508-517, bridge erase):
+    a bridge∧water way yields ['water','bridge'], a coastline way that
+    is also OsmIsWater yields ['water','coast']. Ways matching no pass
+    default to 'water' (callers have already tag-filtered; the branch
+    serves custom tag_filter users). Single definition shared by
+    pipeline.project_ways, tools/render_pbf, and tests."""
+    is_b = has_bridge(tags)
+    is_c = F.coalesce(is_coastline(tags), F.lit(False))
+    is_w = F.coalesce(is_water(tags), F.lit(False))
+    return F.array_compact(
+        F.array(
+            F.when(is_w | (~is_b & ~is_c), F.lit("water")),
+            F.when(is_c, F.lit("coast")),
+            F.when(is_b, F.lit("bridge")),
+        )
+    )
+
+
 def bbox_contains(lon: Column, lat: Column, bbox: tuple[float, float, float, float]) -> Column:
     """P1: point-in-bbox. bbox = (lat_min, lon_min, lat_max, lon_max),
     matching the reference's MapDataBounds field order (MapData.m:28-32)."""

@@ -33,31 +33,14 @@ def project_ways(
     Column HOFs (P8/P9); kind classification mirrors the render order of
     OsmRenderMap (bridges erase, coastline merges, water fills).
 
-    Kinds are ADDITIVE, mirroring the reference's independent render
-    passes (coastline collect, water-fill re-scan of ALL ways with
-    OsmIsWater at OsmRender.m:508-517, bridge erase): a way tagged both
-    bridge and water emits kind='water' AND kind='bridge' rows
-    (water-filled then bridge-erased); a coastline way that is ALSO
-    OsmIsWater (e.g. natural=coastline + waterway=riverbank) emits
-    'coast' AND 'water'. Ways matching none of the passes keep the
-    legacy default kind='water' (ways_in_rect has already tag-filtered,
-    so this branch only serves custom tag_filter callers)."""
-    from .functions.predicates import has_bridge, is_coastline, is_water
+    Kinds are ADDITIVE per reference render pass — see
+    predicates.classify_kinds (single shared definition)."""
+    from .functions.predicates import classify_kinds
 
     lat_min, lon_min, lat_max, lon_max = bbox
     sx = w / (lon_max - lon_min)
     sy = h / (lat_min - lat_max)
-    tags = F.col("tags")
-    is_b = has_bridge(tags)
-    is_c = F.coalesce(is_coastline(tags), F.lit(False))
-    is_w = F.coalesce(is_water(tags), F.lit(False))
-    kinds = F.array_compact(
-        F.array(
-            F.when(is_w | (~is_b & ~is_c), F.lit("water")),
-            F.when(is_c, F.lit("coast")),
-            F.when(is_b, F.lit("bridge")),
-        )
-    )
+    kinds = classify_kinds(F.col("tags"))
     return result.select(
         F.lit(scene_id).cast("long").alias("scene_id"),
         "way_id",

@@ -44,6 +44,40 @@ from ..raster.ops import fan_out_tiles, render_slippy_tiles
 from ..raster.sink import write_tile_tree
 
 
+def _newest_committed(prefix: str) -> str | None:
+    """Newest COMMITTED version dir ``{prefix}{N}`` (has _SUCCESS).
+    Versioned dirs (never deleted-then-renamed in place) make upserts
+    crash-safe: a kill between writing vN and pruning vN-1 leaves both
+    and the reader picks the newest committed one; a kill mid-write
+    leaves vN without _SUCCESS and it is ignored. One definition shared
+    by the per-batch upsert and compact_way_store — a protocol change
+    cannot desynchronize them."""
+    parent = os.path.dirname(prefix)
+    base = os.path.basename(prefix)
+    versions = []
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(base) and os.path.exists(
+                os.path.join(parent, d, "_SUCCESS")
+            ):
+                versions.append(int(d[len(base):]))
+    return f"{prefix}{max(versions)}" if versions else None
+
+
+def _recover_store(store: str) -> None:
+    """Heal a compaction interrupted between its two renames: if the
+    store dir is missing, adopt the completed compacted copy (newest)
+    or the set-aside original. Called by both the stream and
+    compact_way_store, so no crash sequencing can leave the store
+    looking permanently empty."""
+    if os.path.exists(store):
+        return
+    for cand in (f"{store}.compact", f"{store}.old"):
+        if os.path.exists(cand):
+            os.rename(cand, store)
+            return
+
+
 def incremental_tile_render(
     ways_stream: DataFrame,
     out_dir: str,
@@ -64,21 +98,7 @@ def incremental_tile_render(
     latest_prefix = os.path.join(out_dir, "_way_latest_v")
 
     def _newest_latest_dir() -> str | None:
-        """Newest COMMITTED version of the latest-batch side table.
-        Versioned dirs (never deleted-then-renamed in place) make the
-        upsert crash-safe: a kill between writing vN and pruning vN-1
-        leaves both, and the reader just picks the newest committed one;
-        a kill mid-write leaves vN without _SUCCESS and it is ignored."""
-        parent = os.path.dirname(latest_prefix)
-        base = os.path.basename(latest_prefix)
-        versions = []
-        if os.path.isdir(parent):
-            for d in os.listdir(parent):
-                if d.startswith(base) and os.path.exists(
-                    os.path.join(parent, d, "_SUCCESS")
-                ):
-                    versions.append(int(d[len(base):]))
-        return f"{latest_prefix}{max(versions)}" if versions else None
+        return _newest_committed(latest_prefix)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         import shutil
@@ -111,6 +131,7 @@ def incremental_tile_render(
                 fanned.select("way_id").distinct()
                 .withColumn("latest_batch", F.lit(int(batch_id)))
             )
+            _recover_store(store)  # heal an interrupted compaction
             store_exists = os.path.exists(store)
             # affected = the batch's NEW tiles ∪ tiles the batch's ways
             # covered BEFORE (a geometry update must also re-render the
@@ -207,18 +228,13 @@ def compact_way_store(spark, out_dir: str) -> int:
     from pyspark.sql import functions as F
 
     store = os.path.join(out_dir, "_way_store")
+    _recover_store(store)
     if not os.path.exists(store):
         return 0
-    latest_prefix = os.path.join(out_dir, "_way_latest_v")
-    parent, base = os.path.dirname(latest_prefix), os.path.basename(latest_prefix)
-    versions = [
-        int(d[len(base):])
-        for d in os.listdir(parent)
-        if d.startswith(base) and os.path.exists(os.path.join(parent, d, "_SUCCESS"))
-    ]
-    if not versions:
+    newest = _newest_committed(os.path.join(out_dir, "_way_latest_v"))
+    if newest is None:
         return 0
-    way_latest = spark.read.parquet(f"{latest_prefix}{max(versions)}")
+    way_latest = spark.read.parquet(newest)
     rows = spark.read.parquet(store)
     kept = rows.join(
         way_latest,
@@ -229,6 +245,13 @@ def compact_way_store(spark, out_dir: str) -> int:
     tmp = f"{store}.compact"
     kept.write.mode("overwrite").partitionBy("tile_key").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(store)
+    # crash-safe swap: the store is NEVER absent — rename the old aside
+    # first (both renames are atomic), then drop it. A kill between the
+    # renames leaves {store}.old to garbage-collect, never a lost store
+    # that would silently restart history as empty.
+    old = f"{store}.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store, old)
     os.rename(tmp, store)
+    shutil.rmtree(old, ignore_errors=True)
     return n

@@ -202,7 +202,7 @@ def test_render_pbf_end_to_end(spark, tmp_path):
     matching a render over the fixture tables of the same scene."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
 
     from osm_render_spark.raster.codec import decode_png
@@ -221,17 +221,11 @@ def test_render_pbf_end_to_end(spark, tmp_path):
 
     fn, fw, fr = scene.to_spark(spark)
     matched = ways_in_rect(fn, fw, fr, scene.bbox)
-    from osm_render_spark.functions.predicates import has_bridge, is_coastline, is_water
+    from osm_render_spark.functions.predicates import classify_kinds
 
-    tags = F.col("tags")
-    kinds = F.array_compact(F.array(
-        F.when(F.coalesce(is_water(tags), F.lit(False))
-               | (~has_bridge(tags) & ~F.coalesce(is_coastline(tags), F.lit(False))),
-               F.lit("water")),
-        F.when(F.coalesce(is_coastline(tags), F.lit(False)), F.lit("coast")),
-        F.when(has_bridge(tags), F.lit("bridge")),
-    ))
-    sw = matched.select("way_id", F.explode(kinds).alias("kind"), "geometry")
+    sw = matched.select(
+        "way_id", F.explode(classify_kinds(F.col("tags"))).alias("kind"), "geometry"
+    )
     want = {
         (r["tile_x"], r["tile_y"]): bytes(r["bytes"])
         for r in render_slippy_tiles(sw, zoom=10, tile_px=64).collect()

@@ -34,46 +34,41 @@ def render_pbf(
     zoom: int = 12,
     tile_px: int = 256,
 ) -> dict:
-    """Run the pipeline; returns the summary dict (n_ways, n_tiles...)."""
+    """Run the pipeline; returns the summary dict (n_ways, n_tiles...).
+    Self-sufficient on a bare SparkSession (sets the LAST_WIN map policy
+    the relation tag merge needs)."""
     from pyspark.sql import functions as F
 
-    from osm_render_spark.functions.predicates import (
-        has_bridge,
-        is_coastline,
-        is_water,
-    )
+    from osm_render_spark.functions.predicates import classify_kinds
     from osm_render_spark.operators.ways_in_rect import ways_in_rect
     from osm_render_spark.raster.ops import render_slippy_tiles
     from osm_render_spark.raster.sink import write_tile_tree
     from osm_render_spark.sources.pbf import read_pbf
 
-    nodes, ways, rels = read_pbf(spark, pbf_path)
-    matched = ways_in_rect(nodes, ways, rels, bbox)
+    # relation tag merge (map_concat) raises DUPLICATE_MAP_KEY under the
+    # default EXCEPTION policy — set it here so direct callers work too
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
-    # additive kind classification (pipeline.project_ways semantics —
-    # the reference's independent render passes)
-    tags = F.col("tags")
-    is_b = has_bridge(tags)
-    is_c = F.coalesce(is_coastline(tags), F.lit(False))
-    is_w = F.coalesce(is_water(tags), F.lit(False))
-    kinds = F.array_compact(
-        F.array(
-            F.when(is_w | (~is_b & ~is_c), F.lit("water")),
-            F.when(is_c, F.lit("coast")),
-            F.when(is_b, F.lit("bridge")),
+    nodes, ways, rels = read_pbf(spark, pbf_path)
+    # persist: matched feeds BOTH the render and the summary count —
+    # without it the PBF decode + two-pass spatial join runs twice
+    matched = ways_in_rect(nodes, ways, rels, bbox).persist()
+    try:
+        n_ways = matched.count()
+        scene_ways = matched.select(
+            "way_id",
+            F.explode(classify_kinds(F.col("tags"))).alias("kind"),
+            "geometry",
         )
-    )
-    scene_ways = matched.select(
-        "way_id", F.explode(kinds).alias("kind"), "geometry"
-    )
-    tiles = render_slippy_tiles(scene_ways, zoom=zoom, tile_px=tile_px)
-    manifest = write_tile_tree(tiles, out_dir, zoom)
-    n_tiles = manifest.count()
+        tiles = render_slippy_tiles(scene_ways, zoom=zoom, tile_px=tile_px)
+        n_tiles = write_tile_tree(tiles, out_dir, zoom).count()
+    finally:
+        matched.unpersist()
     return {
         "pbf": pbf_path,
         "bbox": list(bbox),
         "zoom": zoom,
-        "n_ways": matched.count(),
+        "n_ways": n_ways,
         "n_tiles": n_tiles,
         "out_dir": out_dir,
     }
