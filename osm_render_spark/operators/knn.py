@@ -191,18 +191,24 @@ def knn_join_celled(
         f"CASE WHEN qcy + 2 >= {n} THEN CAST('Infinity' AS DOUBLE) ELSE qlat - {lat_s_edge} END"
         f")"
     )
-    # persist: ranked feeds BOTH the certificate aggregate and the safe
-    # output — without it the ring join would recompute per consumer
-    ranked = ranked.persist()
+    # ranked feeds BOTH the certificate aggregate and the safe output;
+    # NOT persisted — a library function cannot unpersist after
+    # returning, and leaked cache across many calls is worse than the
+    # bounded recompute (the identical window subplan appears twice in
+    # ONE action, where Spark's ReusedExchange collapses the shuffle).
+    # Callers iterating many batches may persist/unpersist around calls.
     cert = q.select("query_id", "qlon", "qlat", F.expr(r_safe).alias("r_safe"))
     per_q = ranked.groupBy("query_id").agg(
         F.count("*").alias("n_found"), F.max("d2").alias("d2k")
     )
     verdicts = cert.join(per_q, "query_id", "left")
+    # >= is load-bearing: at d2k EXACTLY r_safe², a boundary point that
+    # floors into an outside cell can tie the k-th ring candidate and win
+    # the cand_id tie-break — strict > would certify a wrong result
     unsafe = verdicts.where(
         F.col("n_found").isNull()
         | (F.col("n_found") < k)
-        | (F.col("d2k") > F.col("r_safe") * F.col("r_safe"))
+        | (F.col("d2k") >= F.col("r_safe") * F.col("r_safe"))
     ).select("query_id", "qlon", "qlat")
     safe_ids = verdicts.join(unsafe, "query_id", "left_anti").select("query_id")
     exact_part = ranked.join(safe_ids, "query_id", "left_semi")

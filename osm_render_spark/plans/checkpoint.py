@@ -127,14 +127,22 @@ class CheckpointStore:
             missing = expected_partitions.join(trusted, partition_col, "left_anti")
         else:
             missing = expected_partitions
-        if not missing.isEmpty():
+        did_work = not missing.isEmpty()
+        if did_work:
             out = compute(missing)
             (
                 out.write.mode("append")
                 .partitionBy(partition_col)
                 .parquet(path)
             )
-        self._write_lineage(spark, stage, key, params, partition_col)
+        # lineage rewrite re-reads + hashes the ENTIRE output — on a
+        # clean no-op resume that would be the very 100 TB scan the
+        # trusted-fast-path above exists to avoid; only rewrite when the
+        # output changed or no committed lineage exists yet
+        if did_work or not os.path.exists(
+            os.path.join(self._lineage_path(stage, key), "_SUCCESS")
+        ):
+            self._write_lineage(spark, stage, key, params, partition_col)
         return spark.read.parquet(path)
 
     def _restartable_partitions(
@@ -220,10 +228,14 @@ class CheckpointStore:
                 if stored.get(pk) == (r["row_count"], r["checksum"]):
                     committed.add(pk)
                 else:
-                    shutil.rmtree(
-                        os.path.join(path, dirs.get(pk, prefix + pk)),
-                        ignore_errors=True,
+                    # NULL partition values land in the Hive default dir;
+                    # prefix + None would TypeError inside the recovery
+                    dirname = (
+                        dirs.get("__HIVE_DEFAULT_PARTITION__", prefix + "__HIVE_DEFAULT_PARTITION__")
+                        if pk is None
+                        else dirs.get(pk, prefix + pk)
                     )
+                    shutil.rmtree(os.path.join(path, dirname), ignore_errors=True)
             if not committed:
                 shutil.rmtree(path, ignore_errors=True)
                 return None

@@ -1248,6 +1248,7 @@ pd AS (
 SELECT pd.a AS a, pd.b AS b
 FROM pd JOIN nrm na ON na.vid = pd.a JOIN nrm nb ON nb.vid = pd.b
 WHERE pd.s_dot >= 0
+  AND na.s_n > 0 AND nb.s_n > 0
   AND CAST(pd.s_dot AS DOUBLE) * CAST(pd.s_dot AS DOUBLE)
       >= {t2!r} * (CAST(na.s_n AS DOUBLE) * CAST(nb.s_n AS DOUBLE))
 ORDER BY a, b
@@ -1416,14 +1417,14 @@ def _q_way_tile_fanout() -> QueryDef:
     n = 1 << zoom
 
     def tx(e: str) -> str:
-        from .functions.projection import merc_x_sql
+        from .functions.projection import tile_x_sql
 
-        return f"CAST(LEAST(GREATEST(FLOOR({merc_x_sql(e, zoom)}), 0), {n - 1}) AS BIGINT)"
+        return tile_x_sql(e, zoom)
 
     def ty(e: str) -> str:
-        from .functions.projection import merc_y_sql
+        from .functions.projection import tile_y_sql
 
-        return f"CAST(LEAST(GREATEST(FLOOR({merc_y_sql(e, zoom)}), 0), {n - 1}) AS BIGINT)"
+        return tile_y_sql(e, zoom)
 
     # compact coordinate band (36°×17°) and a way subset keep the fan-out
     # a few thousand rows — the driver value-hashes every row
@@ -1590,14 +1591,14 @@ def _q_slippy_render() -> QueryDef:
     n = 1 << zoom
 
     def tx(e: str) -> str:
-        from .functions.projection import merc_x_sql
+        from .functions.projection import tile_x_sql
 
-        return f"CAST(LEAST(GREATEST(FLOOR({merc_x_sql(e, zoom)}), 0), {n - 1}) AS BIGINT)"
+        return tile_x_sql(e, zoom)
 
     def ty(e: str) -> str:
-        from .functions.projection import merc_y_sql
+        from .functions.projection import tile_y_sql
 
-        return f"CAST(LEAST(GREATEST(FLOOR({merc_y_sql(e, zoom)}), 0), {n - 1}) AS BIGINT)"
+        return tile_y_sql(e, zoom)
 
     duck = f"""
 WITH w AS (

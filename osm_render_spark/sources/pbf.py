@@ -91,15 +91,15 @@ def zz_cumsum(buf) -> np.ndarray:
         out = []
         v = 0
         shift = 0
-        acc = 0
+        acc = 0  # mod-2^64 accumulator: must match int64 cumsum WRAP
         for b in bytes(buf):
             v |= (b & 0x7F) << shift
             if b & 0x80:
                 shift += 7
             else:
                 u = v & 0xFFFFFFFFFFFFFFFF
-                acc += (u >> 1) ^ -(u & 1)
-                out.append(acc)
+                acc = (acc + ((u >> 1) ^ -(u & 1))) & 0xFFFFFFFFFFFFFFFF
+                out.append(acc - (1 << 64) if acc >= (1 << 63) else acc)
                 v = 0
                 shift = 0
         return np.array(out, dtype=np.int64)
@@ -218,6 +218,7 @@ def iter_blobs(data: bytes):
                 dsize = v
         pos += hlen
         raw, zdata, raw_size = None, None, None
+        other_codec = None
         for num, _w, v in scan_fields(data[pos : pos + dsize]):
             if num == 1:
                 raw = bytes(v)
@@ -225,8 +226,16 @@ def iter_blobs(data: bytes):
                 raw_size = v
             elif num == 3:
                 zdata = bytes(v)
+            elif num in (4, 5, 6, 7):  # lzma/obsolete-bzip2/lz4/zstd
+                other_codec = {4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}[num]
         pos += dsize
         if raw is None:
+            if zdata is None:
+                raise NotImplementedError(
+                    f"blob uses {other_codec or 'an unknown'} compression; "
+                    "this reader supports raw and zlib blobs (the OSM "
+                    "default) — recompress the extract with zlib"
+                )
             raw = zlib.decompress(zdata)
             if raw_size is not None and len(raw) != raw_size:
                 raise ValueError("blob raw_size mismatch")
@@ -307,18 +316,19 @@ def decode_block_columnar(raw: bytes) -> dict:
     for g in groups:
         for num, _w, v in scan_fields(g):
             if num == 1:  # plain Node (non-dense variant)
-                nid, keys, vals_, nlat, nlon = None, (), (), 0, 0
+                nid, nlat, nlon = None, 0, 0
+                npacked: dict[int, bytearray] = {}
                 for fn, _w2, fv in scan_fields(v):
                     if fn == 1:
                         nid = zigzag_decode(np.array([fv], np.uint64))[0]
-                    elif fn == 2:
-                        keys = decode_varints(np.frombuffer(fv, np.uint8))
-                    elif fn == 3:
-                        vals_ = decode_varints(np.frombuffer(fv, np.uint8))
+                    elif fn in (2, 3):  # chunk-accumulate (see DenseNodes)
+                        npacked.setdefault(fn, bytearray()).extend(bytes(fv))
                     elif fn == 8:
                         nlat = zigzag_decode(np.array([fv], np.uint64))[0]
                     elif fn == 9:
                         nlon = zigzag_decode(np.array([fv], np.uint64))[0]
+                keys = decode_varints(bytes(npacked.get(2, b"")))
+                vals_ = decode_varints(bytes(npacked.get(3, b"")))
                 tags = {strings[int(k)]: strings[int(x)] for k, x in zip(keys, vals_)}
                 plain_nodes.append(
                     (

@@ -158,23 +158,30 @@ def incremental_tile_render(
             # version commits fully before older ones are pruned, so no
             # crash window can lose the table.
             prev = _newest_latest_dir()
-            if prev is not None:
-                merged = (
-                    spark.read.parquet(prev)
-                    .unionByName(batch_ways)
-                    .groupBy("way_id")
-                    .agg(F.max("latest_batch").alias("latest_batch"))
-                )
-            else:
-                merged = batch_ways
             new_dir = f"{latest_prefix}{int(batch_id)}"
-            merged.write.mode("overwrite").parquet(new_dir)
-            # prune older committed versions (best effort, AFTER commit)
-            parent = os.path.dirname(latest_prefix)
-            base = os.path.basename(latest_prefix)
-            for d in os.listdir(parent):
-                if d.startswith(base) and d != os.path.basename(new_dir):
-                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            if prev == new_dir:
+                # REPLAYED batch (crash after the side-table commit but
+                # before the streaming checkpoint): vN already contains
+                # this batch's upsert — rewriting it would read and
+                # overwrite the same path in one job. Reuse it as-is.
+                pass
+            else:
+                if prev is not None:
+                    merged = (
+                        spark.read.parquet(prev)
+                        .unionByName(batch_ways)
+                        .groupBy("way_id")
+                        .agg(F.max("latest_batch").alias("latest_batch"))
+                    )
+                else:
+                    merged = batch_ways
+                merged.write.mode("overwrite").parquet(new_dir)
+                # prune older committed versions (best effort, AFTER commit)
+                parent = os.path.dirname(latest_prefix)
+                base = os.path.basename(latest_prefix)
+                for d in os.listdir(parent):
+                    if d.startswith(base) and d != os.path.basename(new_dir):
+                        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
             # 2-3. re-render ONLY the affected tiles: store rows in those
             # tiles, filtered to each way's LATEST version, deduplicated
             # to ONE row per way — render_slippy_tiles re-fans each way
@@ -202,7 +209,23 @@ def incremental_tile_render(
                 F.broadcast(affected), "tile_key", "left_semi"
             )
             # 4. atomic per-file writes into the served tree
-            write_tile_tree(tiles, tree, zoom).count()
+            manifest = write_tile_tree(tiles, tree, zoom)
+            written = {r["tile_key"] for r in manifest.select("tile_key").collect()}
+            # 5. VACATED tiles: an affected tile that no remaining way
+            # covers gets no render group at all — its old PNG must be
+            # DELETED or the tree serves the moved-away geometry forever.
+            # (Matches the batch renderer's tile set, which only contains
+            # covered tiles.) The affected set is per-batch small, so the
+            # driver-side remove is bounded.
+            n = 1 << zoom
+            for r in affected.collect():
+                tk = r["tile_key"]
+                if tk not in written:
+                    p = os.path.join(
+                        tree, f"z{zoom}", f"x{tk // n}", f"y{tk % n}.png"
+                    )
+                    if os.path.exists(p):
+                        os.remove(p)
         finally:
             fanned.unpersist()
             if affected is not None:
