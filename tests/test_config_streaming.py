@@ -355,3 +355,53 @@ def test_compact_way_store_drops_superseded_versions(spark, tmp_path):
             ).read()
     for k, v in want.items():
         assert got[k] == v
+
+
+def test_incremental_render_deletes_fully_vacated_tile(spark, tmp_path):
+    """A tile whose ONLY way moves away must have its PNG deleted —
+    the maintained tree's tile set equals the batch renderer's."""
+    import os
+    import time as _time
+
+    from osm_render_spark.raster.ops import render_slippy_tiles
+    from osm_render_spark.streaming.render import incremental_tile_render
+
+    zoom, px = 6, 64
+    sq = "way_id long, kind string, geometry array<struct<lon: double, lat: double>>"
+
+    def square(wid, lon, lat, d=0.2):
+        return (
+            wid, "water",
+            [{"lon": lon, "lat": lat}, {"lon": lon + d, "lat": lat},
+             {"lon": lon + d, "lat": lat + d}, {"lon": lon, "lat": lat + d},
+             {"lon": lon, "lat": lat}],
+        )
+
+    src = str(tmp_path / "v_src")
+    spark.createDataFrame([square(1, 10.1, 10.1)], sq).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame([square(1, 100.1, -40.1)], sq).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "v_out")
+    q = incremental_tile_render(
+        spark.readStream.schema(sq).option("maxFilesPerTrigger", 1).parquet(src),
+        out, zoom, tile_px=px, checkpoint_dir=str(tmp_path / "v_ckpt"),
+    )
+    q.awaitTermination()
+
+    want = {
+        (r["tile_x"], r["tile_y"])
+        for r in render_slippy_tiles(
+            spark.createDataFrame([square(1, 100.1, -40.1)], sq), zoom, px
+        ).collect()
+    }
+    tree = os.path.join(out, "tiles", f"z{zoom}")
+    got = set()
+    for xdir in os.listdir(tree):
+        for yf in os.listdir(os.path.join(tree, xdir)):
+            got.add((int(xdir[1:]), int(yf[1:-4])))
+    assert got == want, "vacated tile's PNG must be deleted"
