@@ -240,3 +240,41 @@ def test_render_pbf_end_to_end(spark, tmp_path):
             decode_png(img)  # valid PNG
             got[(int(xdir[1:]), int(yf[1:-4]))] = img
     assert got == want
+
+
+def test_render_cities_one_decode_many_scenes(spark, tmp_path):
+    """`make images` analog: two cities rendered from ONE extract in one
+    call — each city's tree equals its standalone render_pbf output."""
+    from tools.render_pbf import render_cities, render_pbf
+
+    s1, s2 = ALL_SCENES["bridges"](), ALL_SCENES["minimal"]()
+    # one combined extract holding both scenes' entities
+    path = os.path.join(str(tmp_path), "both.osm.pbf")
+    write_pbf(
+        path,
+        [(i, la, lo, t) for s in (s1, s2) for i, la, lo, t, _b in s.nodes],
+        s1.ways + s2.ways,
+        s1.relations + s2.relations,
+        block_size=16,
+    )
+    out = str(tmp_path / "cities")
+    cities = [
+        {"name": "bridgetown", "bbox": list(s1.bbox)},
+        {"name": "minimalia", "bbox": list(s2.bbox)},
+    ]
+    summaries = render_cities(spark, path, cities, out, zoom=10, tile_px=64)
+    assert [s["name"] for s in summaries] == ["bridgetown", "minimalia"]
+    assert all(s["n_ways"] > 0 and s["n_tiles"] > 0 for s in summaries)
+
+    def tree_bytes(root, zoom=10):
+        got = {}
+        tz = os.path.join(root, f"z{zoom}")
+        for xdir in os.listdir(tz):
+            for yf in os.listdir(os.path.join(tz, xdir)):
+                got[(xdir, yf)] = open(os.path.join(tz, xdir, yf), "rb").read()
+        return got
+
+    for scene, name in ((s1, "bridgetown"), (s2, "minimalia")):
+        solo = str(tmp_path / f"solo_{name}")
+        render_pbf(spark, path, scene.bbox, solo, zoom=10, tile_px=64)
+        assert tree_bytes(os.path.join(out, name)) == tree_bytes(solo)

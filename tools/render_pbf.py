@@ -74,8 +74,81 @@ def render_pbf(
     }
 
 
+def render_cities(
+    spark,
+    pbf_path: str,
+    cities: list[dict],
+    out_dir: str,
+    zoom: int = 12,
+    tile_px: int = 256,
+) -> list[dict]:
+    """The full `make images` analog: ONE decode of the extract, then a
+    render per configured city (cities.cfg semantics: name + bbox).
+    ``cities`` = [{"name": str, "bbox": [lat0, lon0, lat1, lon1]}, ...].
+    The decoded entity tables are persisted across cities so the
+    framed-blob decode runs once, not once per city; each city's tiles
+    land under ``{out_dir}/{name}``. Returns one summary dict per city."""
+    from pyspark.sql import functions as F
+
+    from osm_render_spark.functions.predicates import classify_kinds
+    from osm_render_spark.operators.ways_in_rect import ways_in_rect
+    from osm_render_spark.raster.ops import render_slippy_tiles
+    from osm_render_spark.raster.sink import write_tile_tree
+    from osm_render_spark.sources.pbf import read_pbf
+
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    nodes, ways, rels = read_pbf(spark, pbf_path)
+    nodes, ways, rels = nodes.persist(), ways.persist(), rels.persist()
+    summaries = []
+    try:
+        for city in cities:
+            name = city["name"]
+            bbox = tuple(float(v) for v in city["bbox"])
+            matched = ways_in_rect(nodes, ways, rels, bbox).persist()
+            try:
+                n_ways = matched.count()
+                scene_ways = matched.select(
+                    "way_id",
+                    F.explode(classify_kinds(F.col("tags"))).alias("kind"),
+                    "geometry",
+                )
+                tiles = render_slippy_tiles(scene_ways, zoom=zoom, tile_px=tile_px)
+                city_out = os.path.join(out_dir, name)
+                n_tiles = write_tile_tree(tiles, city_out, zoom).count()
+            finally:
+                matched.unpersist()
+            summaries.append(
+                {
+                    "name": name,
+                    "bbox": list(bbox),
+                    "n_ways": n_ways,
+                    "n_tiles": n_tiles,
+                    "out_dir": city_out,
+                }
+            )
+    finally:
+        nodes.unpersist()
+        ways.unpersist()
+        rels.unpersist()
+    return summaries
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
+
+    # cities mode: render_pbf.py --cities INPUT.osm.pbf CITIES.json OUT [Z] [PX]
+    if len(sys.argv) >= 2 and sys.argv[1] == "--cities":
+        if len(sys.argv) < 5:
+            print(__doc__, file=sys.stderr)
+            return 2
+        spark = SparkSession.builder.appName("osm_render_spark_cities").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        with open(sys.argv[3]) as f:
+            cities = json.load(f)
+        zoom = int(sys.argv[5]) if len(sys.argv) > 5 else 12
+        px = int(sys.argv[6]) if len(sys.argv) > 6 else 256
+        print(json.dumps(render_cities(spark, sys.argv[2], cities, sys.argv[4], zoom, px)))
+        return 0
 
     if len(sys.argv) < 7:
         print(__doc__, file=sys.stderr)
