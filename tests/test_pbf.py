@@ -248,23 +248,43 @@ def test_render_cities_one_decode_many_scenes(spark, tmp_path):
     from tools.render_pbf import render_cities, render_pbf
 
     s1, s2 = ALL_SCENES["bridges"](), ALL_SCENES["minimal"]()
-    # one combined extract holding both scenes' entities
+    # one combined extract holding both scenes' entities. Scene fixtures
+    # each allocate node ids from 1000, so the second scene's ids (and
+    # its ways' refs) must be OFFSET — colliding ids would be collapsed
+    # by dedupe_nodes and neither city would be rendered from its own
+    # geometry
+    off = 1_000_000
+    s2_nodes = [(i + off, la, lo, t) for i, la, lo, t, _b in s2.nodes]
+    s2_ways = [
+        (wid + off, [r + off for r in refs], t) for wid, refs, t in s2.ways
+    ]
     path = os.path.join(str(tmp_path), "both.osm.pbf")
     write_pbf(
         path,
-        [(i, la, lo, t) for s in (s1, s2) for i, la, lo, t, _b in s.nodes],
-        s1.ways + s2.ways,
-        s1.relations + s2.relations,
+        [(i, la, lo, t) for i, la, lo, t, _b in s1.nodes] + s2_nodes,
+        s1.ways + s2_ways,
+        s1.relations,
         block_size=16,
     )
     out = str(tmp_path / "cities")
+    la0, lo0, la1, lo1 = s2.bbox
     cities = [
         {"name": "bridgetown", "bbox": list(s1.bbox)},
         {"name": "minimalia", "bbox": list(s2.bbox)},
+        # P11: inverted corners must normalize, not silently match nothing
+        {"name": "swapped", "bbox": [la1, lo1, la0, lo0]},
     ]
     summaries = render_cities(spark, path, cities, out, zoom=10, tile_px=64)
-    assert [s["name"] for s in summaries] == ["bridgetown", "minimalia"]
+    assert [s["name"] for s in summaries] == ["bridgetown", "minimalia", "swapped"]
     assert all(s["n_ways"] > 0 and s["n_tiles"] > 0 for s in summaries)
+    assert summaries[2]["n_tiles"] == summaries[1]["n_tiles"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        render_cities(spark, path, [{"name": "a", "bbox": [0, 0, 1, 1]}] * 2, out)
+    with _pytest.raises(ValueError):
+        render_cities(spark, path, [{"name": "../esc", "bbox": [0, 0, 1, 1]}], out)
 
     def tree_bytes(root, zoom=10):
         got = {}
