@@ -46,7 +46,13 @@ def _local_topk_scored(queries: DataFrame, candidates: DataFrame, k: int) -> Dat
     """Map-side pruning stage: (query_id, cand_id, d2) with at most
     k × |queries| rows emitted PER ARROW BATCH — the numpy arithmetic is
     dx*dx + dy*dy in float64, bit-identical to the squared_l2 Column
-    expression, so ranks match the SQL oracle exactly."""
+    expression, so ranks match the SQL oracle exactly.
+
+    NOTE: collects the query side on the DRIVER at plan-BUILD time (the
+    kernel closure ships the query arrays) — callers lose laziness here,
+    and the query side must be driver-sized (3 numbers per query; ~24 MB
+    per million queries). The distance matrix is chunked over queries so
+    kernel memory stays O(batch × chunk), not O(batch × |queries|)."""
     import numpy as np
     import pandas as pd
 
@@ -61,18 +67,24 @@ def _local_topk_scored(queries: DataFrame, candidates: DataFrame, k: int) -> Dat
             if n == 0 or len(q_ids) == 0:
                 continue
             ids = pdf["cand_id"].to_numpy()
-            dx = pdf["lon"].to_numpy()[:, None] - q_lon[None, :]
-            dy = pdf["lat"].to_numpy()[:, None] - q_lat[None, :]
-            d2 = dx * dx + dy * dy
+            lon = pdf["lon"].to_numpy()
+            lat = pdf["lat"].to_numpy()
             kk = min(k, n)
+            # bound the temp matrix to ~4M float64 cells (32 MB) per slab
+            q_chunk = max(1, (4 << 20) // max(n, 1))
             out_q, out_c, out_d = [], [], []
-            for qi in range(len(q_ids)):
-                col = d2[:, qi]
-                # tie-aware local top-k: (d2 asc, cand_id asc)
-                order = np.lexsort((ids, col))[:kk]
-                out_q.append(np.full(kk, q_ids[qi], dtype=np.int64))
-                out_c.append(ids[order])
-                out_d.append(col[order])
+            for qs in range(0, len(q_ids), q_chunk):
+                qe = min(qs + q_chunk, len(q_ids))
+                dx = lon[:, None] - q_lon[None, qs:qe]
+                dy = lat[:, None] - q_lat[None, qs:qe]
+                d2 = dx * dx + dy * dy
+                for qi in range(qe - qs):
+                    col = d2[:, qi]
+                    # tie-aware local top-k: (d2 asc, cand_id asc)
+                    order = np.lexsort((ids, col))[:kk]
+                    out_q.append(np.full(kk, q_ids[qs + qi], dtype=np.int64))
+                    out_c.append(ids[order])
+                    out_d.append(col[order])
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -97,7 +109,12 @@ def knn_join(
 
     Default metric (squared L2): map-side local top-k prune (module
     docstring) — the candidate table streams through unshuffled and only
-    ≤ k·|queries| rows per batch reach the rank window.
+    ≤ k·|queries| rows per batch reach the rank window. NOTE this path
+    ``collect()``s the query side EAGERLY when the result DataFrame is
+    CONSTRUCTED (Spark jobs run at plan-build time, see
+    _local_topk_scored) — if the call sits inside a larger lazy plan and
+    that matters, pass an explicit ``dist=`` to get the fully-lazy
+    expression form instead.
 
     Custom ``dist``: arbitrary Column metric via crossJoin against the
     broadcast query side; every candidate row for a query reaches its
@@ -129,6 +146,8 @@ def knn_join_celled(
     k: int,
     zoom: int = 7,
     exact: bool = True,
+    fallback: str = "auto",
+    fallback_threshold: int = 1024,
 ) -> DataFrame:
     """Cell-pruned kNN for the large×large case: candidates bucketed by
     tile cell; each query joins its own cell and the 8 neighbors (3×3
@@ -139,11 +158,26 @@ def knn_join_celled(
     query point to the nearest ring boundary (any point outside the ring
     is at least that far away). With ``exact=True`` (default) the queries
     that fail this certificate — plus queries with no ring candidates at
-    all — get a second brute-force pass (map-side-pruned ``knn_join``);
-    at sane zooms that is a vanishing fraction, so the fallback's query
-    side stays dimension-sized. Ring edges beyond the map boundary count
-    as infinitely far: out-of-range longitudes cannot hold candidates and
+    all — get a second brute-force pass; at sane zooms that is a
+    vanishing fraction. Ring edges beyond the map boundary count as
+    infinitely far: out-of-range longitudes cannot hold candidates and
     out-of-range latitudes CLAMP into the covered edge row.
+
+    ``fallback`` picks the brute-force form for the unsafe set:
+
+    * ``"expr"`` — crossJoin against the broadcast unsafe queries + rank
+      window. Fully LAZY (no driver action at build time) but every
+      candidate row for an unsafe query reaches one reducer — a
+      scale-killer if the unsafe set is large (zoom 0, heavy skew).
+    * ``"kernel"`` — the map-side-pruned kernel (``_local_topk_scored``):
+      Cartesian-free, window sees ≤ k·|unsafe| rows per batch, but
+      collects the unsafe query coordinates on the driver at build time
+      (3 numbers per query).
+    * ``"auto"`` (default) — size-gate: COUNTS the unsafe set (one
+      Spark action at plan-build time) and picks ``expr`` when it is
+      ≤ ``fallback_threshold``, else ``kernel``. Callers that need a
+      fully lazy plan and know their zoom keeps the unsafe set tiny
+      should pass ``fallback="expr"`` explicitly.
     """
     n = 1 << zoom
     cand = candidates.withColumn(
@@ -212,17 +246,24 @@ def knn_join_celled(
     ).select("query_id", "qlon", "qlat")
     safe_ids = verdicts.join(unsafe, "query_id", "left_anti").select("query_id")
     exact_part = ranked.join(safe_ids, "query_id", "left_semi")
-    # fallback via the EXPRESSION kNN form (broadcast of the few unsafe
-    # queries), not the kernel form — the kernel collects its query side
-    # at build time, which would eagerly execute the whole ring join just
-    # to CONSTRUCT this DataFrame (laziness contract for callers)
-    fallback = knn_join(
-        unsafe,
-        candidates,
-        k,
-        dist=squared_l2(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")),
+    if fallback not in ("auto", "expr", "kernel"):
+        raise ValueError(f"fallback must be auto|expr|kernel, got {fallback!r}")
+    use_kernel = fallback == "kernel" or (
+        fallback == "auto" and unsafe.count() > fallback_threshold
     )
-    return exact_part.unionByName(fallback)
+    if use_kernel:
+        # size-gated pruned-kernel form (docstring): Cartesian-free plan,
+        # bounded window input, unsafe coords collected driver-side
+        fb = knn_join(unsafe, candidates, k)
+    else:
+        # expression form: lazy, fine while the unsafe set is tiny
+        fb = knn_join(
+            unsafe,
+            candidates,
+            k,
+            dist=squared_l2(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")),
+        )
+    return exact_part.unionByName(fb)
 
 
 def _inv_merc_lat_sql(y_tiles: str, zoom: int) -> str:

@@ -101,6 +101,7 @@ def cosine_topk(
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["q_embedding"] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0  # zero-norm query → cos ≡ 0, never NaN
 
     def kernel(batches):
         for pdf in batches:
@@ -109,6 +110,7 @@ def cosine_topk(
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             c_ids = pdf[id_col].to_numpy()
             c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0] = 1.0
             cos = (c_mat @ q_mat.T) / (c_norm[:, None] * q_norm[None, :])
             out = []
             kk = min(k, len(c_ids))
@@ -240,6 +242,7 @@ def cosine_near_dups(
         ids = pdf["vid"].to_numpy()
         m = np.array(list(pdf["embedding"]), dtype=np.float64)
         norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0  # zero-norm row → cos ≡ 0 < threshold
         n = len(ids)
         out_a, out_b, out_c = [], [], []
         for i0 in range(0, n, block):
@@ -312,10 +315,14 @@ def _kmeans_centroids(
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
     u = m / norms[:, None]
-    cent = u[:n_centroids].copy()
+    # the quantizer can't have more centroids than training vectors:
+    # beyond ~sample_n² corpus rows the auto-sqrt(n) request exceeds the
+    # sample — clamp (list count == len(cent), documented) and iterate
+    # only the real centroids in the Lloyd loop
+    cent = u[: min(n_centroids, len(u))].copy()
     for _ in range(iters):
         assign = (u @ cent.T).argmax(axis=1)
-        for j in range(n_centroids):
+        for j in range(len(cent)):
             members = u[assign == j]
             if len(members):
                 v = members.mean(axis=0)
@@ -411,10 +418,15 @@ def _probe_df(spark, c_mat, q_rows, n_probe: int) -> DataFrame:
     import numpy as np
 
     c_norm = np.linalg.norm(c_mat, axis=1)
+    c_norm[c_norm == 0] = 1.0
     probe_rows = []
     for r in q_rows:
         qv = np.array(r["q_embedding"], dtype=np.float64)
-        cos = (c_mat @ qv) / (c_norm * np.linalg.norm(qv))
+        # zero-norm guard, same convention as _assign_to_lists: a
+        # zero query vector probes deterministically (cos ≡ 0 → lists
+        # 0..n_probe-1 by the lexsort tie-break), never NaN
+        qn = np.linalg.norm(qv) or 1.0
+        cos = (c_mat @ qv) / (c_norm * qn)
         order = np.lexsort((np.arange(len(cos)), -cos))[:n_probe]
         for lid in order:
             probe_rows.append((int(r["query_id"]), int(lid), r["q_embedding"]))
@@ -435,9 +447,9 @@ def _score_and_rank(joined: DataFrame, k: int, id_col: str) -> DataFrame:
                 continue
             a = np.array(list(pdf["embedding"]), dtype=np.float64)
             b = np.array(list(pdf["q_embedding"]), dtype=np.float64)
-            cos = (a * b).sum(axis=1) / (
-                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-            )
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            den[den == 0] = 1.0  # zero-norm side → cos ≡ 0, never NaN
+            cos = (a * b).sum(axis=1) / den
             yield pd.DataFrame(
                 {"query_id": pdf["query_id"], "cand_id": pdf[id_col], "cos": cos}
             )

@@ -240,8 +240,10 @@ class CheckpointStore:
                 shutil.rmtree(path, ignore_errors=True)
                 return None
         sample = spark.read.option("basePath", path).parquet(path).schema[partition_col]
+        # None-safe sort: committed may hold the NULL partition key
         return spark.createDataFrame(
-            [(k,) for k in sorted(committed)], "partition_key string"
+            [(k,) for k in sorted(committed, key=lambda k: (k is None, k))],
+            "partition_key string",
         ).select(F.col("partition_key").cast(sample.dataType).alias(partition_col))
 
     # -- lineage ------------------------------------------------------------

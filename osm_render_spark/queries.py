@@ -1263,8 +1263,12 @@ ORDER BY a, b
             "vec_id", F.col("vec_id") + 1000000
         )
         corpus = emb.unionAll(dup)
+        # cap-free by construction: the DuckDB oracle has no bucket cap,
+        # so a hot band bucket at a larger SF must not silently drop
+        # pairs engine-side (same reason _q_minhash_candidate_pairs
+        # disables its cap)
         return (
-            cosine_near_dups(corpus, threshold=0.95, n_bands=2)
+            cosine_near_dups(corpus, threshold=0.95, n_bands=2, bucket_cap=1 << 40)
             .select("a", "b")
             .orderBy("a", "b")
         )

@@ -19,13 +19,15 @@ a handful of fields), and the BULK payloads — packed varint arrays, the
 actual data volume — with a vectorized numpy varint decoder
 (``decode_varints``), keeping the hot path out of per-byte Python.
 
-Spark plumbing (``read_pbf``): ``binaryFile`` scan → blob-framing
-explode (cheap, framing only) → repartition on blob → per-blob Arrow
-decode kernel. The unit of parallelism is the ~1 MB compressed blob,
-exactly the reference's own work unit. At planet scale (one ~80 GB
-file) the same framing pass yields a (offset, length) blob index for
-range reads instead of shipping file contents; the per-blob decode
-kernel is unchanged.
+Spark plumbing (``read_pbf``): a header-only framing scan builds a
+(path, blob_idx, offset, length) POINTER index, the index rows are
+shuffled across the cluster, and each task range-reads and decodes its
+own blobs (open/seek/read, one ~1 MB compressed blob in memory at a
+time). The unit of parallelism is the compressed blob, exactly the
+reference's own bounded-memory work unit (MapData.m:361-482); an ~80 GB
+planet file is just ~80k index rows, and no whole-file bytes ever enter
+a Spark row or shuffle. ``use_index=False`` keeps the legacy
+whole-file ``binaryFile`` path as the differential-testing twin.
 """
 
 from __future__ import annotations
@@ -202,10 +204,50 @@ def scan_fields(buf: bytes):
 # ---------------------------------------------------------------------------
 
 
+def _inflate_blob(payload: bytes) -> bytes:
+    """Blob message → raw (decompressed) payload bytes. Codecs: raw,
+    zlib (the OSM default), lzma and bzip2 via the python stdlib
+    (VERDICT r2 #9; bzip2 is marked obsolete by the format — read
+    support only, plus a writer flag for round-trip tests). lz4/zstd
+    have no stdlib codec in this container → clear error."""
+    raw, raw_size = None, None
+    comp, comp_codec = None, None
+    for num, _w, v in scan_fields(payload):
+        if num == 1:
+            raw = bytes(v)
+        elif num == 2:
+            raw_size = v
+        elif num in (3, 4, 5):  # zlib / lzma / obsolete-bzip2
+            comp = bytes(v)
+            comp_codec = {3: "zlib", 4: "lzma", 5: "bzip2"}[num]
+        elif num in (6, 7):
+            comp_codec = {6: "lz4", 7: "zstd"}[num]
+    if raw is None:
+        if comp is None:
+            raise NotImplementedError(
+                f"blob uses {comp_codec or 'an unknown'} compression; this "
+                "reader supports raw, zlib (the OSM default), lzma and "
+                "bzip2 blobs — recompress the extract with zlib"
+            )
+        if comp_codec == "zlib":
+            raw = zlib.decompress(comp)
+        elif comp_codec == "lzma":
+            import lzma
+
+            raw = lzma.decompress(comp)
+        else:  # bzip2
+            import bz2
+
+            raw = bz2.decompress(comp)
+        if raw_size is not None and len(raw) != raw_size:
+            raise ValueError("blob raw_size mismatch")
+    return raw
+
+
 def iter_blobs(data: bytes):
     """Yield (blob_type, raw_payload) for each framed blob: 4-byte BE
     BlobHeader length → BlobHeader{1:type, 3:datasize} → Blob{1:raw |
-    2:raw_size + 3:zlib_data}, inflated."""
+    2:raw_size + 3:zlib_data | 4:lzma_data | 5:bzip2_data}, inflated."""
     pos, n = 0, len(data)
     while pos + 4 <= n:
         (hlen,) = struct.unpack(">I", data[pos : pos + 4])
@@ -217,49 +259,57 @@ def iter_blobs(data: bytes):
             elif num == 3:
                 dsize = v
         pos += hlen
-        raw, zdata, raw_size = None, None, None
-        other_codec = None
-        for num, _w, v in scan_fields(data[pos : pos + dsize]):
-            if num == 1:
-                raw = bytes(v)
-            elif num == 2:
-                raw_size = v
-            elif num == 3:
-                zdata = bytes(v)
-            elif num in (4, 5, 6, 7):  # lzma/obsolete-bzip2/lz4/zstd
-                other_codec = {4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}[num]
+        yield btype, _inflate_blob(data[pos : pos + dsize])
         pos += dsize
-        if raw is None:
-            if zdata is None:
-                raise NotImplementedError(
-                    f"blob uses {other_codec or 'an unknown'} compression; "
-                    "this reader supports raw and zlib blobs (the OSM "
-                    "default) — recompress the extract with zlib"
-                )
-            raw = zlib.decompress(zdata)
-            if raw_size is not None and len(raw) != raw_size:
-                raise ValueError("blob raw_size mismatch")
-        yield btype, raw
+
+
+def scan_blob_index_stream(f):
+    """Yield (offset, length, type) of every framed blob from a seekable
+    file-like WITHOUT reading (let alone inflating) payloads — only the
+    4-byte lengths and ~30-byte BlobHeaders are read; payloads are
+    seek()ed past. On an ~80 GB planet file this touches a few MB of
+    header bytes total; the payload I/O happens later, one range-read
+    per blob, inside the distributed decode kernel (read_pbf)."""
+    pos = 0
+    while True:
+        hdr4 = f.read(4)
+        if len(hdr4) < 4:
+            return
+        (hlen,) = struct.unpack(">I", hdr4)
+        btype, dsize = None, None
+        for num, _w, v in scan_fields(f.read(hlen)):
+            if num == 1:
+                btype = bytes(v).decode()
+            elif num == 3:
+                dsize = v
+        f.seek(dsize, 1)
+        total = 4 + hlen + dsize
+        yield pos, total, btype
+        pos += total
 
 
 def blob_index(data: bytes) -> list[tuple[int, int, str]]:
     """(offset, length, type) of every framed blob WITHOUT inflating —
     the planet-scale range-read index (header scan only)."""
-    out = []
-    pos, n = 0, len(data)
-    while pos + 4 <= n:
-        start = pos
-        (hlen,) = struct.unpack(">I", data[pos : pos + 4])
-        pos += 4
-        btype, dsize = None, None
-        for num, _w, v in scan_fields(data[pos : pos + hlen]):
-            if num == 1:
-                btype = bytes(v).decode()
-            elif num == 3:
-                dsize = v
-        pos += hlen + dsize
-        out.append((start, pos - start, btype))
-    return out
+    import io
+
+    return list(scan_blob_index_stream(io.BytesIO(data)))
+
+
+def _open_stream(path_uri: str):
+    """Open a Spark file URI for seekable binary reads. Local paths
+    (``file:`` or bare) use builtin open; any other scheme (hdfs://,
+    s3://, ...) goes through pyarrow.fs — the same FileSystem layer a
+    real cluster's range reads would use."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(path_uri)
+    if u.scheme in ("", "file"):
+        return open(unquote(u.path) if u.scheme else path_uri, "rb")
+    import pyarrow.fs as pafs
+
+    fs, p = pafs.FileSystem.from_uri(path_uri)
+    return fs.open_input_file(p)
 
 
 def header_bbox(data: bytes) -> tuple[float, float, float, float] | None:
@@ -503,8 +553,21 @@ def _string_table(tag_dicts, extra: list[str] = ()) -> tuple[bytes, dict[str, in
     return _len_field(1, payload), idx
 
 
-def _blob(btype: str, raw: bytes) -> bytes:
-    blob = _varint_field(2, len(raw)) + _len_field(3, zlib.compress(raw, 6))
+def _blob(btype: str, raw: bytes, codec: str = "zlib") -> bytes:
+    if codec == "zlib":
+        blob = _varint_field(2, len(raw)) + _len_field(3, zlib.compress(raw, 6))
+    elif codec == "lzma":
+        import lzma
+
+        blob = _varint_field(2, len(raw)) + _len_field(4, lzma.compress(raw))
+    elif codec == "bzip2":  # obsolete in the format; kept for round-trip tests
+        import bz2
+
+        blob = _varint_field(2, len(raw)) + _len_field(5, bz2.compress(raw))
+    elif codec == "raw":
+        blob = _len_field(1, raw)
+    else:
+        raise ValueError(f"unsupported blob codec {codec!r}")
     header = _len_field(1, btype.encode()) + _varint_field(3, len(blob))
     return struct.pack(">I", len(header)) + header + blob
 
@@ -517,13 +580,16 @@ def write_pbf(
     bbox: tuple[float, float, float, float] | None = None,
     block_size: int = 4000,
     dense: bool = True,
+    codec: str = "zlib",
 ) -> None:
     """Write a real .osm.pbf: OSMHeader (+HeaderBBox) then OSMData blobs
     of DenseNodes / Ways / Relations, granularity 1 (coords are integer
     nanodegrees, exact round-trip). nodes = (id, lat, lon, tags),
     ways = (id, refs, tags), relations = (id, members, tags) with
     members = (type, ref, role). ``dense=False`` writes plain Node
-    messages instead of DenseNodes (both real-world variants decode)."""
+    messages instead of DenseNodes (both real-world variants decode).
+    ``codec``: zlib (default) | lzma | bzip2 | raw."""
+    _b = lambda btype, raw: _blob(btype, raw, codec)  # noqa: E731
     out = bytearray()
     header = _len_field(4, b"OsmSchema-V0.6") + _len_field(4, b"DenseNodes")
     if bbox is not None:
@@ -535,7 +601,7 @@ def write_pbf(
             + _varint_field(4, _zigzag_encode(_nano_px(lat_min)))
         )
         header = _len_field(1, hb) + header
-    out += _blob("OSMHeader", header)
+    out += _b("OSMHeader", header)
 
     for start in range(0, max(len(nodes), 1), block_size):
         chunk = nodes[start : start + block_size]
@@ -569,7 +635,7 @@ def write_pbf(
                 msg += _field(9, 0) + _encode_varint(_zigzag_encode(lo))
                 group += _len_field(1, msg)
         block = st + _len_field(2, group) + _varint_field(17, 1)
-        out += _blob("OSMData", block)
+        out += _b("OSMData", block)
 
     for start in range(0, max(len(ways), 1), block_size):
         chunk = ways[start : start + block_size]
@@ -584,7 +650,7 @@ def write_pbf(
                 msg += _len_field(3, _packed(idx[v] for v in tags.values()))
             msg += _len_field(8, _packed_zz(np.diff(refs, prepend=0)))
             group += _len_field(3, msg)
-        out += _blob("OSMData", st + _len_field(2, group) + _varint_field(17, 1))
+        out += _b("OSMData", st + _len_field(2, group) + _varint_field(17, 1))
 
     tcode = {"NODE": 0, "WAY": 1, "RELATION": 2}
     for start in range(0, max(len(relations), 1), block_size):
@@ -621,7 +687,7 @@ def write_pbf(
                 )
                 msg += _len_field(10, _packed(tcode[m[0]] for m in members))
             group += _len_field(4, msg)
-        out += _blob("OSMData", st + _len_field(2, group) + _varint_field(17, 1))
+        out += _b("OSMData", st + _len_field(2, group) + _varint_field(17, 1))
 
     with open(path, "wb") as f:
         f.write(bytes(out))
@@ -632,33 +698,92 @@ def write_pbf(
 # ---------------------------------------------------------------------------
 
 
-def read_pbf(spark, path: str):
+def read_pbf(spark, path: str, use_index: bool = True):
     """``.osm.pbf`` → (nodes, ways, relations) DataFrames in the
-    fixtures.osm schemas. Parallelism unit = one compressed blob
-    (framing explode → repartition → per-blob decode kernel); node
-    block_id = the blob index (the engine's stand-in for the
+    fixtures.osm schemas. The unit of parallelism is the ~1 MB
+    compressed blob — the reference's own bounded-memory work unit
+    (MapData.m:361-482 walks the file one framed blob at a time).
+
+    ``use_index=True`` (default, the planet-scale path): a header-only
+    framing scan builds a (path, blob_idx, offset, length) POINTER index
+    — no payload bytes read — which is shuffled across the cluster; each
+    task then range-reads (open/seek/read) exactly its own blobs inside
+    the decode kernel. No task ever materializes more than one ~1 MB
+    compressed blob at a time, so an ~80 GB planet file never hits
+    Spark's 2 GB row limits and never ships whole-file bytes through a
+    shuffle.
+
+    ``use_index=False``: legacy whole-file path (each file one
+    ``binaryFile`` row; raw blob bytes shuffled). Kept for remote/
+    non-seekable sources and as the differential-testing twin — both
+    paths produce identical DataFrames.
+
+    node block_id = the blob index (the engine's stand-in for the
     reference's per-file grouping)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-
-    def explode_blobs(batches):
-        for pdf in batches:
-            rows = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                for i, (btype, raw) in enumerate(iter_blobs(bytes(content))):
-                    if btype == "OSMData":
-                        rows.append((p, i, raw))
-            yield pd.DataFrame(rows, columns=["path", "blob_idx", "raw"])
-
     # explicit partition count: with a bare repartition(cols) over a few
     # KB of blob pointers, AQE coalesces the shuffle to ONE partition and
     # the decode runs serially (measured 3.3 s → 0.5 s for 19 blobs)
-    n_part = max(files.sparkSession.sparkContext.defaultParallelism, 8)
-    blobs = files.mapInPandas(
-        explode_blobs, schema="path string, blob_idx int, raw binary"
-    ).repartition(n_part, "path", "blob_idx")
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+
+    if use_index:
+        # metadata-only listing: content is never selected, so the
+        # binaryFile scan reads no payload bytes (pinned by test_pbf:
+        # ReadSchema carries only path)
+        files = spark.read.format("binaryFile").load(path).select("path")
+
+        def scan_index(batches):
+            for pdf in batches:
+                rows = []
+                for p in pdf["path"]:
+                    with _open_stream(p) as f:
+                        for i, (off, ln, btype) in enumerate(
+                            scan_blob_index_stream(f)
+                        ):
+                            if btype == "OSMData":
+                                rows.append((p, i, off, ln))
+                yield pd.DataFrame(
+                    rows, columns=["path", "blob_idx", "offset", "length"]
+                )
+
+        blobs = files.mapInPandas(
+            scan_index,
+            schema="path string, blob_idx int, offset long, length long",
+        ).repartition(n_part, "path", "blob_idx")
+
+        def fetch(pdf):
+            # one handle per (file, task); each blob is one range read of
+            # exactly [offset, offset+length) — the task's peak buffer is
+            # a single compressed blob
+            for p, grp in pdf.groupby("path", sort=True):
+                with _open_stream(p) as f:
+                    for bi, off, ln in zip(
+                        grp["blob_idx"], grp["offset"], grp["length"]
+                    ):
+                        f.seek(int(off))
+                        _btype, raw = next(iter_blobs(f.read(int(ln))))
+                        yield int(bi), raw
+    else:
+        files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+        def explode_blobs(batches):
+            for pdf in batches:
+                rows = []
+                for p, content in zip(pdf["path"], pdf["content"]):
+                    for i, (btype, raw) in enumerate(iter_blobs(bytes(content))):
+                        if btype == "OSMData":
+                            rows.append((p, i, raw))
+                yield pd.DataFrame(rows, columns=["path", "blob_idx", "raw"])
+
+        blobs = files.mapInPandas(
+            explode_blobs, schema="path string, blob_idx int, raw binary"
+        ).repartition(n_part, "path", "blob_idx")
+
+        def fetch(pdf):
+            for bi, raw in zip(pdf["blob_idx"], pdf["raw"]):
+                yield int(bi), bytes(raw)
 
     cols = [
         "entity", "id", "lat", "lon", "tags_kv", "block_id",
@@ -669,8 +794,8 @@ def read_pbf(spark, path: str):
         import numpy as np
 
         for pdf in batches:
-            for blob_idx, raw in zip(pdf["blob_idx"], pdf["raw"]):
-                c = decode_block_columnar(bytes(raw))
+            for blob_idx, raw in fetch(pdf):
+                c = decode_block_columnar(raw)
                 n = len(c["node_ids"])
                 if n:
                     # columnar assembly — no per-node python tuples

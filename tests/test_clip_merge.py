@@ -4,7 +4,7 @@ pin exact semantics; hypothesis pins invariants."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from osm_render_spark.operators.clip import clip_polyline
@@ -59,6 +59,7 @@ def test_clip_crossing_segment_both_endpoints_outside():
 
 @given(seed=st.integers(0, 5000))
 @settings(max_examples=60, deadline=None)
+@example(seed=5)  # previously discovered failure (hypothesis find)
 def test_clip_invariants(seed):
     rng = np.random.default_rng(seed)
     pts = rng.uniform(-5, 15, size=(int(rng.integers(2, 30)), 2))

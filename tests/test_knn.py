@@ -92,6 +92,45 @@ def test_celled_fallback_makes_knn_exact_at_any_zoom(spark):
         assert celled == brute, f"seed {seed}"
 
 
+def test_celled_fallback_size_gate_kernel_cartesian_free(spark):
+    """VERDICT r2 #6: with sparse candidates at zoom 10 the 3×3 ring is
+    ~1° and nearly EVERY query fails the certificate — the fallback set
+    is large, the regime where the old expression fallback shipped every
+    candidate to one reducer per unsafe query. With the size gate tripped
+    (fallback_threshold=0 forces the kernel form) the result must still
+    equal brute force AND the plan must carry no CartesianProduct /
+    BroadcastNestedLoopJoin."""
+    rng = np.random.default_rng(7)
+    qpts = [
+        (i, float(lon), float(lat))
+        for i, (lon, lat) in enumerate(
+            zip(rng.uniform(-179, 179, 12), rng.uniform(-80, 80, 12))
+        )
+    ]
+    cands = [
+        (j, float(lon), float(lat))
+        for j, (lon, lat) in enumerate(
+            zip(rng.uniform(-179, 179, 200), rng.uniform(-80, 80, 200))
+        )
+    ]
+    q = spark.createDataFrame(qpts, "query_id long, qlon double, qlat double")
+    c = spark.createDataFrame(cands, "cand_id long, lon double, lat double")
+    brute = {
+        (r["query_id"], r["rank"]): r["cand_id"] for r in knn_join(q, c, 3).collect()
+    }
+    # a clean plan also proves the gate tripped: were the unsafe set
+    # empty, auto would take the expr form whose plan still contains the
+    # BroadcastNestedLoopJoin operator
+    gated = knn_join_celled(q, c, 3, zoom=10, fallback="auto", fallback_threshold=0)
+    plan = gated._sc._jvm.PythonSQLUtils.explainString(
+        gated._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["query_id"], r["rank"]): r["cand_id"] for r in gated.collect()}
+    assert got == brute
+
+
 def test_knn_circular_metric_plugs_in(spark):
     """J7's actual metric: clockwise perimeter gap (mod perimeter). The
     dist parameter accepts any Column expression."""

@@ -134,6 +134,114 @@ def test_plain_node_variant_decodes_identically(spark):
         assert canon(nd) == canon(np_) and len(nodes) == len(canon(nd))
 
 
+def _entity_sets(nodes, ways, rels):
+    n = {
+        (r["id"], r["lat"], r["lon"], tuple(sorted(r["tags"].items())), r["block_id"])
+        for r in nodes.collect()
+    }
+    w = {
+        (r["id"], tuple(r["refs"]), tuple(sorted(r["tags"].items())))
+        for r in ways.collect()
+    }
+    rl = {
+        (
+            r["id"],
+            tuple((m["type"], m["ref"], m["role"]) for m in r["members"]),
+            tuple(sorted(r["tags"].items())),
+        )
+        for r in rels.collect()
+    }
+    return n, w, rl
+
+
+def test_read_pbf_index_path_equals_legacy_and_never_ships_file_bytes(spark):
+    """VERDICT r2 #1 (the last scale-killer): the default range-read path
+    must (a) produce DataFrames identical to the legacy whole-file path,
+    and (b) never put file CONTENT into a Spark row — the binaryFile scan
+    reads only `path` metadata and the shuffled index rows are 4-column
+    pointers (no binary column anywhere before the decode kernel), so a
+    task's peak buffer is one compressed blob regardless of file size."""
+    scene = ALL_SCENES["relations"]()
+    with tempfile.TemporaryDirectory() as d:
+        path = _scene_pbf(scene, d)  # block_size=8 → many blobs
+        got = _entity_sets(*read_pbf(spark, path, use_index=True))
+        want = _entity_sets(*read_pbf(spark, path, use_index=False))
+        assert got == want
+        nodes, _w, _r = read_pbf(spark, path, use_index=True)
+        plan = nodes._sc._jvm.PythonSQLUtils.explainString(
+            nodes._jdf.queryExecution(), "formatted"
+        )
+        # (b): the file scan's ReadSchema carries only path — content is
+        # pruned — and no blob-bytes column (the legacy path's `raw` /
+        # binaryFile's `content`) exists anywhere in the plan: the only
+        # thing shuffled is the 4-column pointer index
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "path" in read_schema and "content" not in read_schema
+        assert "raw#" not in plan and "content#" not in plan
+        assert "offset#" in plan and "length#" in plan
+
+
+def test_scan_blob_index_stream_reads_headers_only():
+    """The index scan must touch only framing headers: total bytes READ
+    (vs seeked past) stay a tiny fraction of the file."""
+    import io
+
+    from osm_render_spark.sources.pbf import scan_blob_index_stream
+
+    scene = ALL_SCENES["coast"]()
+    with tempfile.TemporaryDirectory() as d:
+        data = open(_scene_pbf(scene, d, block_size=16), "rb").read()
+
+        class CountingIO(io.BytesIO):
+            read_bytes = 0
+
+            def read(self, n=-1):
+                b = super().read(n)
+                CountingIO.read_bytes += len(b)
+                return b
+
+        f = CountingIO(data)
+        idx = list(scan_blob_index_stream(f))
+        assert idx == blob_index(data)
+        assert CountingIO.read_bytes < len(data) * 0.2
+        assert CountingIO.read_bytes < 64 * len(idx)
+
+
+@pytest.mark.parametrize("codec", ["lzma", "bzip2", "raw"])
+def test_blob_codec_roundtrip(spark, codec):
+    """VERDICT r2 #9: lzma/bzip2 (python stdlib) and raw blobs decode;
+    each codec round-trips to the same entities as the zlib default."""
+    scene = ALL_SCENES["minimal"]()
+    with tempfile.TemporaryDirectory() as d:
+        pz = os.path.join(d, "z.osm.pbf")
+        pc = os.path.join(d, "c.osm.pbf")
+        args = (
+            [(i, la, lo, t) for i, la, lo, t, _b in scene.nodes],
+            scene.ways,
+            scene.relations,
+        )
+        write_pbf(pz, *args, bbox=scene.bbox, block_size=8)
+        write_pbf(pc, *args, bbox=scene.bbox, block_size=8, codec=codec)
+        assert header_bbox(open(pc, "rb").read()) == pytest.approx(
+            scene.bbox, abs=1e-9
+        )
+        assert _entity_sets(*read_pbf(spark, pc)) == _entity_sets(
+            *read_pbf(spark, pz)
+        )
+
+
+def test_unsupported_blob_codec_raises_clearly():
+    from osm_render_spark.sources.pbf import (
+        _len_field,
+        _varint_field,
+        _inflate_blob,
+    )
+
+    payload = _varint_field(2, 5) + _len_field(7, b"zstdX")  # field 7 = zstd
+    with pytest.raises(NotImplementedError, match="zstd"):
+        _inflate_blob(payload)
+
+
 def test_read_pbf_directory_of_files(spark):
     """read_pbf over a directory: every file's blobs decode (binaryFile
     glob — the multi-extract ingest shape)."""
@@ -171,7 +279,7 @@ def test_ways_in_rect_over_pbf_matches_fixture_tables(spark):
     assert len(want) > 0
 
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
@@ -184,6 +292,7 @@ def test_varint_roundtrip_property(vals):
 
 @given(vals=st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=60))
 @settings(max_examples=150, deadline=None)
+@example(vals=[-(2**62), 2**62])  # int64-wrap regression (hypothesis find)
 def test_zz_cumsum_property(vals):
     from osm_render_spark.sources.pbf import zz_cumsum
 

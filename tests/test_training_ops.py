@@ -93,6 +93,30 @@ def test_ann_ivf_recall_and_ranking(emb):
         assert np.isfinite(cos_vals).all()
 
 
+def test_zero_norm_query_is_deterministic_not_nan(emb):
+    """ADVICE r2: a zero-norm query vector must not emit NaN cosines
+    (the _probe_df RuntimeWarning) — it gets cos ≡ 0 everywhere, so IVF
+    probes lists 0..n_probe-1 deterministically and both cosine_topk and
+    ann_ivf_topk return finite, defined output for it."""
+    from osm_render_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    _vecs, df = emb
+    spark = df.sparkSession
+    queries = spark.createDataFrame(
+        [(999, [0.0] * 16)], "query_id long, q_embedding array<float>"
+    )
+    for res in (
+        cosine_topk(df, queries, 3, id_col="vec_id").collect(),
+        ann_ivf_topk(df, queries, 3, n_centroids=8, n_probe=8).collect(),
+    ):
+        assert len(res) == 3
+        for r in res:
+            assert np.isfinite(r["cos"]) and r["cos"] == 0.0
+        # deterministic tie-break: cand_id ascending at cos == 0
+        ids = [r["cand_id"] for r in sorted(res, key=lambda r: r["rank"])]
+        assert ids == sorted(ids)
+
+
 def test_ann_ivf_kmeans_recall_on_clustered_corpus(spark):
     """k-means quantizer (VERDICT r1 #6): on a corpus with real cluster
     structure, probing 4 of 16 learned lists must reach recall@3 ≥ 0.9
