@@ -122,6 +122,14 @@ def _blend_over(surface: np.ndarray, mask: np.ndarray, color: tuple[int, int, in
     r, g, b, a = color
     if a == 0:
         return
+    if a == 255:
+        # opaque fast path, bit-exact with the general form (αs=1 ⇒
+        # αo=1 ⇒ out=floor(src+0.5)=src): one uint8 masked store instead
+        # of gather → float64 math → scatter. Map colors are opaque in
+        # the common case, and the float temporaries were the raster
+        # path's main memory traffic (VERDICT r2 #3).
+        surface[mask] = (r, g, b, 255)
+        return
     alpha_s = a / 255.0
     sel = mask
     dst = surface[sel].astype(np.float64)
