@@ -405,3 +405,128 @@ def test_incremental_render_deletes_fully_vacated_tile(spark, tmp_path):
         for yf in os.listdir(os.path.join(tree, xdir)):
             got.add((int(xdir[1:]), int(yf[1:-4])))
     assert got == want, "vacated tile's PNG must be deleted"
+
+
+def _feed_batches(spark, tmp_path, name, batches):
+    """Write each batch as one parquet file (maxFilesPerTrigger=1 ⇒ one
+    micro-batch per file, in mtime order)."""
+    import time as _time
+
+    src = str(tmp_path / name)
+    for b in batches:
+        spark.createDataFrame(b, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+    return src
+
+
+def _run_dedup_stream(spark, out, qname):
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT doc_id, text FROM {qname}").collect()
+
+
+def test_streaming_dedup_bloom_exactly_once_and_false_drop_rate(spark, tmp_path):
+    """VERDICT r2 #7: rotating-bloom state. 2000 distinct texts then a
+    full replay: every emission is unique (bloom ⇒ no false negatives ⇒
+    exactly-once within the horizon), the replay emits nothing, and the
+    measured false-DROP rate (new texts suppressed by bit collisions) is
+    under 2% at this load (expected ≈0.1%). State bytes are structural:
+    generations × bloom_bits/8 = 2 × 4 KiB per shard, enforced by the
+    rotation (`del blooms[generations:]`) regardless of stream length."""
+    from osm_render_spark.streaming.dedup import streaming_dedup_bloom
+
+    texts = [(i, f"bloom doc {i}") for i in range(2000)]
+    replay = [(10_000 + i, t) for i, (_i, t) in enumerate(texts)]
+    src = _feed_batches(spark, tmp_path, "bloom_docs", [texts, replay])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup_bloom(
+        stream, n_shards=1, bloom_bits=1 << 15, n_hashes=5, generations=2
+    )
+    rows = _run_dedup_stream(spark, out, "bloom_out")
+    emitted = [r["text"] for r in rows]
+    assert len(emitted) == len(set(emitted)), "a text was emitted twice"
+    assert all(r["doc_id"] < 10_000 for r in rows), "replay re-emitted"
+    false_drops = 2000 - len(emitted)
+    assert false_drops / 2000 < 0.02, f"false-drop rate {false_drops/2000:.3f}"
+
+
+def test_streaming_dedup_bloom_horizon_reemits_aged_generation(spark, tmp_path):
+    """Generation-granular FIFO: with generations=2 and rotate_at=10,
+    docs stay deduped across one rotation (batch 3 replays 20 live docs:
+    zero emissions) and re-emit only after their generation ages out
+    (batch 5 replays the 10 oldest after two more rotations)."""
+    from osm_render_spark.streaming.dedup import streaming_dedup_bloom
+
+    t = lambda i: f"horizon doc {i}"  # noqa: E731
+    b1 = [(i, t(i)) for i in range(10)]
+    b2 = [(100 + i, t(10 + i)) for i in range(10)]
+    b3 = [(200 + i, t(i)) for i in range(20)]  # all 20 live -> no emits
+    b4 = [(300 + i, t(20 + i)) for i in range(10)]  # rotates 0-9 out
+    b5 = [(400 + i, t(i)) for i in range(10)]  # aged out -> re-emit
+    src = _feed_batches(spark, tmp_path, "horizon_docs", [b1, b2, b3, b4, b5])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup_bloom(
+        stream, n_shards=1, bloom_bits=1 << 15, generations=2, rotate_at=10
+    )
+    rows = _run_dedup_stream(spark, out, "horizon_out")
+    assert {r["doc_id"] for r in rows if r["doc_id"] < 100} == set(range(10))
+    assert {r["doc_id"] for r in rows if 100 <= r["doc_id"] < 200} == {
+        100 + i for i in range(10)
+    }
+    assert not any(200 <= r["doc_id"] < 300 for r in rows), "live doc re-emitted"
+    assert {r["doc_id"] for r in rows if 300 <= r["doc_id"] < 400} == {
+        300 + i for i in range(10)
+    }
+    assert {r["doc_id"] for r in rows if r["doc_id"] >= 400} == {
+        400 + i for i in range(10)
+    }, "aged-out generation must re-emit exactly"
+
+
+def test_exact_dedup_foreach_batch_idempotent_replay(spark, tmp_path):
+    """Side-table compaction (VERDICT r2 #7): a batch carrying a
+    bloom-horizon re-emit is caught exactly by the seen-table anti-join;
+    replaying a batch (foreachBatch crash recovery) rewrites its own
+    partition byte-identically instead of duplicating or losing rows."""
+    from osm_render_spark.streaming.dedup import exact_dedup_foreach_batch
+
+    out_path = str(tmp_path / "exact_out")
+    seen_path = str(tmp_path / "exact_seen")
+    fn = exact_dedup_foreach_batch(out_path, seen_path)
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    # batch 1 re-emits "alpha" (as if its bloom generation aged out)
+    b1 = spark.createDataFrame(
+        [(3, "alpha"), (4, "gamma")], "doc_id long, text string"
+    )
+    fn(b0, 0)
+    fn(b1, 1)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out_path).select("doc_id", "text").collect()
+    }
+    assert got == {(1, "alpha"), (2, "beta"), (4, "gamma")}
+    fn(b1, 1)  # replay: must be a no-op rewrite, not a duplicate/loss
+    got2 = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out_path).select("doc_id", "text").collect()
+    }
+    assert got2 == got
+    seen = spark.read.parquet(seen_path).select("h").collect()
+    assert len(seen) == 3 and len({r["h"] for r in seen}) == 3

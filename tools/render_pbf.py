@@ -105,13 +105,24 @@ def render_cities(
     out_dir: str,
     zoom: int = 12,
     tile_px: int = 256,
+    parallelism: int = 4,
 ) -> list[dict]:
     """The full `make images` analog: ONE decode of the extract, then a
     render per configured city (cities.cfg semantics: name + bbox, P11
     bounds normalization). The decoded entity tables are persisted
     across cities so the framed-blob decode runs once, not once per
     city; each city's tiles land under ``{out_dir}/{name}``. Returns one
-    summary dict per city."""
+    summary dict per city, in input order.
+
+    Cities render CONCURRENTLY (VERDICT r2 #8): each city's spatial-join
+    + render + write is submitted from its own driver thread, so Spark
+    interleaves their jobs' tasks — while one city's small tail stages
+    drain, the next city's scan/render tasks fill the idle executors.
+    The per-city pipeline is byte-identical to the sequential form (same
+    `_render_scene`, disjoint output dirs); ``parallelism`` bounds the
+    number of in-flight city jobs."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from osm_render_spark.sources.pbf import read_pbf
 
     # validate names before any work: a duplicate would silently merge
@@ -127,17 +138,23 @@ def render_cities(
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     nodes, ways, rels = read_pbf(spark, pbf_path)
     nodes, ways, rels = nodes.persist(), ways.persist(), rels.persist()
+
+    def one_city(city: dict) -> dict:
+        return {
+            "name": city["name"],
+            **_render_scene(
+                nodes, ways, rels, city["bbox"],
+                os.path.join(out_dir, city["name"]), zoom, tile_px,
+            ),
+        }
+
     try:
-        return [
-            {
-                "name": city["name"],
-                **_render_scene(
-                    nodes, ways, rels, city["bbox"],
-                    os.path.join(out_dir, city["name"]), zoom, tile_px,
-                ),
-            }
-            for city in cities
-        ]
+        # materialize the shared decode ONCE before fan-out — otherwise
+        # every city thread races to build the same cache simultaneously
+        # and the decode runs up to `parallelism` times
+        nodes.count(), ways.count(), rels.count()
+        with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+            return list(pool.map(one_city, cities))
     finally:
         nodes.unpersist()
         ways.unpersist()
