@@ -1001,6 +1001,94 @@ ORDER BY a, b
     return QueryDef(fn, duck())
 
 
+_HOT_TEXT = "the quick brown fox jumps over the lazy dog"
+
+
+def _q_minhash_pairs_capped() -> QueryDef:
+    """Capped LSH with DROP ACCOUNTING oracle-checked (VERDICT r2 #10):
+    a deterministic hot bucket (every doc_id % 7 == 0 gets one shared
+    text, so they collide in EVERY band) exceeds bucket_cap=16 and is
+    dropped JVM-side before pair fan-out. The result carries both the
+    kept pairs AND one 'drop' row per dropped (band, bucket) with its
+    size, so the cap path itself — not just the uncapped form — is
+    value-hash-checked against DuckDB (which recomputes bucket sizes and
+    applies the same cap in SQL)."""
+    CAP = 16
+
+    def duck() -> str:
+        from .operators.text import DUCK, MINHASH_A, minhash_sql, shingles_sql, word_keys_sql
+
+        keys = word_keys_sql(DUCK, "text")
+        sh = shingles_sql(DUCK, f"({keys})")
+        mh = [minhash_sql(DUCK, f"({sh})", j) for j in range(len(MINHASH_A))]
+        return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '{_HOT_TEXT}' ELSE text END AS text
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, {mh[0]} AS mh0, {mh[1]} AS mh1, {mh[2]} AS mh2, {mh[3]} AS mh3
+  FROM corpus
+),
+b AS (
+  SELECT 0 AS band, mh0 AS h1, mh1 AS h2, doc_id FROM sig
+  UNION ALL
+  SELECT 1 AS band, mh2 AS h1, mh3 AS h2, doc_id FROM sig
+),
+sizes AS (
+  SELECT band, h1, h2, COUNT(*) AS n_docs FROM b GROUP BY band, h1, h2
+),
+kept AS (
+  SELECT b.band, b.h1, b.h2, b.doc_id
+  FROM b JOIN sizes ON b.band = sizes.band AND b.h1 = sizes.h1 AND b.h2 = sizes.h2
+  WHERE sizes.n_docs <= {CAP}
+)
+SELECT kind, a, b, n FROM (
+  SELECT 'pair' AS kind, x.doc_id AS a, y.doc_id AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM kept x JOIN kept y ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+                         AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+  UNION ALL
+  SELECT 'drop' AS kind, CAST(band AS BIGINT) AS a, CAST(n_docs AS BIGINT) AS b,
+         CAST(1 AS BIGINT) AS n
+  FROM sizes WHERE n_docs > {CAP}
+) t
+ORDER BY kind, a, b
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.dedup import lsh_candidate_pairs, minhash_signatures_kernel
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_HOT_TEXT))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        sig = minhash_signatures_kernel(docs)
+        pairs, dropped = lsh_candidate_pairs(
+            sig, n_bands=2, rows_per_band=2, bucket_cap=CAP, return_stats=True
+        )
+        out = pairs.select(
+            F.lit("pair").alias("kind"),
+            F.col("a"),
+            F.col("b"),
+            F.col("n_bands_hit").cast("long").alias("n"),
+        ).unionAll(
+            dropped.select(
+                F.lit("drop").alias("kind"),
+                F.col("band").cast("long").alias("a"),
+                F.col("n_docs").cast("long").alias("b"),
+                F.lit(1).cast("long").alias("n"),
+            )
+        )
+        return out.orderBy("kind", "a", "b")
+
+    return QueryDef(fn, duck())
+
+
 def _q_simhash() -> QueryDef:
     def make(d) -> str:
         from .operators.text import simhash_bit_terms, word_keys_sql
@@ -1815,6 +1903,7 @@ def build_queries() -> dict[str, QueryDef]:
         "minhash_sig": _q_minhash(),
         "minhash_lsh_buckets": _q_lsh_buckets(),
         "minhash_candidate_pairs": _q_minhash_candidate_pairs(),
+        "minhash_pairs_capped": _q_minhash_pairs_capped(),
         "simhash16": _q_simhash(),
         "ngram_jaccard": _q_ngram_jaccard(),
         "embedding_l2_top3": _q_embedding_l2_top3(),

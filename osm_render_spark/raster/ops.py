@@ -553,24 +553,32 @@ def fake_audio_bytes(audio_id: int, n_samples: int = 8000, rate: int = 8000) -> 
 def audio_features(audios: DataFrame, frame: int = 400) -> DataFrame:
     """Audio feature extraction over opaque blobs: per-frame RMS energy,
     peak amplitude, zero-crossing rate — vectorized numpy inside Arrow
-    batches. Only fake_audio_bytes blobs decode (NotImplementedError
-    otherwise — see fake_audio_bytes)."""
+    batches. REAL decode for WAV PCM (RIFF — raster/containers.py, no
+    codec lib needed) plus the deterministic fake_audio_bytes fixture
+    format; compressed formats (mp3/aac/...) raise NotImplementedError
+    (no codec library in this container)."""
     import struct
     import zlib
 
     def kernel(batches):
+        from .containers import decode_wav
+
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
                 data = row.bytes
-                if data[:4] != b"FAUD":
+                if data[:4] == b"RIFF":
+                    x, rate = decode_wav(data)
+                elif data[:4] == b"FAUD":
+                    _aid, n, rate = struct.unpack(">IIH", data[4:14])
+                    pcm = np.frombuffer(zlib.decompress(data[14:]), dtype=np.int16)
+                    x = pcm.astype(np.float64) / 32767.0
+                else:
                     raise NotImplementedError(
-                        "real audio decode requires a codec library not in "
-                        "this container; only fake_audio_bytes blobs decode"
+                        "compressed audio decode requires a codec library "
+                        "not in this container; WAV PCM (RIFF) and "
+                        "fake_audio_bytes blobs decode"
                     )
-                _aid, n, rate = struct.unpack(">IIH", data[4:14])
-                pcm = np.frombuffer(zlib.decompress(data[14:]), dtype=np.int16)
-                x = pcm.astype(np.float64) / 32767.0
                 n_frames = len(x) // frame
                 fx = x[: n_frames * frame].reshape(n_frames, frame)
                 rms = np.sqrt((fx**2).mean(axis=1))
@@ -600,17 +608,23 @@ def audio_features(audios: DataFrame, frame: int = 400) -> DataFrame:
 
 
 def sample_video_frames(videos: DataFrame, every_n: int) -> DataFrame:
-    """Frame-sampling plumbing for opaque video blobs. The DECODER IS A
-    STUB (no video codec in this container): blobs produced by
-    `fake_video_bytes` are decoded deterministically; anything else raises
-    NotImplementedError. Schema/batching/partitioning are production-shaped.
-    """
+    """Frame sampling over opaque video blobs. REAL decode for
+    uncompressed AVI (RIFF BI_RGB — raster/containers.py, no codec lib
+    needed) plus the deterministic fake_video_bytes fixture format;
+    compressed streams (h264/mjpeg/...) raise NotImplementedError naming
+    the fourcc (no codec library in this container)."""
 
     def kernel(batches):
+        from .containers import decode_avi_frames
+
         for pdf in batches:
             recs = []
             for row in pdf.itertuples(index=False):
-                frames = _decode_fake_video(row.bytes)
+                data = bytes(row.bytes)
+                if data[:4] == b"RIFF":
+                    frames = decode_avi_frames(data)
+                else:
+                    frames = _decode_fake_video(data)
                 for k in range(0, len(frames), every_n):
                     recs.append((row.video_id, k, encode_png(frames[k])))
             yield pd.DataFrame(recs, columns=["video_id", "frame_idx", "png"])
@@ -637,8 +651,9 @@ def _decode_fake_video(data: bytes) -> list[np.ndarray]:
 
     if data[:4] != b"FVID":
         raise NotImplementedError(
-            "real video decode requires a codec library not present in this "
-            "container; only fake_video_bytes blobs are supported"
+            "compressed video decode requires a codec library not present "
+            "in this container; uncompressed AVI (RIFF) and "
+            "fake_video_bytes blobs are supported"
         )
     _vid, n, w, h = struct.unpack(">IIHH", data[4:16])
     raw = zlib.decompress(data[16:])

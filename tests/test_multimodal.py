@@ -76,3 +76,66 @@ def test_audio_features(spark):
         assert 0.0 < r["zcr"] < 0.5
     # different ids → different spectra → different features
     assert rows[0]["zcr"] != rows[1]["zcr"]
+
+
+def test_wav_pcm_real_decode_end_to_end(spark):
+    """REAL audio container path (no codec lib needed): a spec-valid PCM
+    WAV round-trips through encode_wav -> audio_features, and the
+    features match the same math over the raw samples."""
+    import numpy as np
+
+    from osm_render_spark.raster.containers import decode_wav, encode_wav
+    from osm_render_spark.raster.ops import audio_features
+
+    t = np.arange(8000) / 8000.0
+    pcm = np.floor(0.5 * np.sin(2 * np.pi * 440 * t) * 32767 + 0.5).astype(np.int16)
+    wav = encode_wav(pcm, 8000)
+    x, rate = decode_wav(wav)
+    assert rate == 8000 and np.allclose(x, pcm / 32767.0)
+    auds = spark.createDataFrame(
+        [(7, bytearray(wav))], "audio_id long, bytes binary"
+    )
+    r = audio_features(auds, frame=400).collect()[0]
+    assert r["rate"] == 8000 and r["n_frames"] == 20
+    # 0.5-amplitude sine: rms = 0.5/sqrt(2) ≈ 0.3536
+    assert abs(r["rms"] - 0.5 / 2**0.5) < 0.01
+    assert abs(r["peak"] - 0.5) < 0.01
+    # 440 Hz at 8 kHz: 2 crossings per cycle -> zcr ≈ 880/8000 = 0.11
+    assert abs(r["zcr"] - 0.11) < 0.01
+
+
+def test_avi_uncompressed_real_decode_end_to_end(spark):
+    """REAL video container path: an uncompressed BI_RGB AVI written by
+    encode_avi decodes through sample_video_frames to pixel-exact PNG
+    frames; a compressed fourcc raises naming the codec."""
+    import struct
+
+    import numpy as np
+
+    from osm_render_spark.raster.codec import decode_png
+    from osm_render_spark.raster.containers import encode_avi
+    from osm_render_spark.raster.ops import sample_video_frames
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 255, (16, 20, 4), dtype=np.uint8) for _ in range(6)]
+    for f in frames:
+        f[:, :, 3] = 255
+    avi = encode_avi(frames, fps=5)
+    vids = spark.createDataFrame(
+        [("vA", bytearray(avi))], "video_id string, bytes binary"
+    )
+    got = {r["frame_idx"]: bytes(r["png"]) for r in sample_video_frames(vids, 2).collect()}
+    assert sorted(got) == [0, 2, 4]
+    for k, png in got.items():
+        img = decode_png(png)
+        assert (img[:, :, :3] == frames[k][:, :, :3]).all()
+        assert (img[:, :, 3] == 255).all()
+
+    bad = bytearray(avi)
+    i = bad.find(b"strf")
+    struct.pack_into("<I", bad, i + 8 + 16, int.from_bytes(b"MJPG", "little"))
+    vids_bad = spark.createDataFrame(
+        [("vB", bytearray(bytes(bad)))], "video_id string, bytes binary"
+    )
+    with pytest.raises(Exception, match="MJPG|codec"):
+        sample_video_frames(vids_bad, 2).collect()

@@ -290,6 +290,49 @@ def test_varint_roundtrip_property(vals):
     assert [int(g) for g in decode_varints(buf)] == vals
 
 
+@given(vals=st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=80))
+@settings(max_examples=150, deadline=None)
+@example(vals=[0, 1, 127, 128, 2**63, 2**64 - 1])
+def test_encode_varints_roundtrip_property(vals):
+    """The vectorized ENCODER agrees with the per-int python encoder and
+    round-trips through decode_varints over the full uint64 range."""
+    from osm_render_spark.sources.pbf import encode_varints
+
+    arr = np.array(vals, dtype=np.uint64)
+    buf = encode_varints(arr)
+    assert buf == b"".join(_encode_varint(int(v)) for v in vals)
+    assert decode_varints(np.frombuffer(buf, np.uint8)).tolist() == vals
+
+
+def test_write_dense_pbf_roundtrips_through_read_pbf(spark, tmp_path):
+    """The columnar bulk writer produces files the reader decodes back to
+    the exact input arrays (ids/coords integer-nanodegree exact)."""
+    from osm_render_spark.sources.pbf import write_dense_pbf
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    ids = np.cumsum(rng.integers(1, 5, n)).astype(np.int64)
+    lat = rng.integers(-85_000_000_000, 85_000_000_000, n)
+    lon = rng.integers(-180_000_000_000, 180_000_000_000, n)
+    path = str(tmp_path / "dense.osm.pbf")
+    write_dense_pbf(path, ids, lat, lon, block_size=700, bbox=(-85, -180, 85, 180))
+    assert header_bbox(open(path, "rb").read()) == pytest.approx(
+        (-85, -180, 85, 180), abs=1e-9
+    )
+    nodes, _w, _r = read_pbf(spark, path)
+    got = {
+        r["id"]: (r["lat"], r["lon"], dict(r["tags"]))
+        for r in nodes.collect()
+    }
+    assert len(got) == n
+    for i in range(0, n, 617):
+        assert got[int(ids[i])] == (
+            pytest.approx(lat[i] * 1e-9, abs=0),
+            pytest.approx(lon[i] * 1e-9, abs=0),
+            {},
+        )
+
+
 @given(vals=st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=60))
 @settings(max_examples=150, deadline=None)
 @example(vals=[-(2**62), 2**62])  # int64-wrap regression (hypothesis find)
