@@ -26,8 +26,12 @@ own blobs (open/seek/read, one ~1 MB compressed blob in memory at a
 time). The unit of parallelism is the compressed blob, exactly the
 reference's own bounded-memory work unit (MapData.m:361-482); an ~80 GB
 planet file is just ~80k index rows, and no whole-file bytes ever enter
-a Spark row or shuffle. ``use_index=False`` keeps the legacy
-whole-file ``binaryFile`` path as the differential-testing twin.
+a Spark row or shuffle. The index scan itself is parallel even within
+ONE file: byte-range splits resynchronize to the next true blob
+boundary (signature + parse + chain validation), with a lazy full-file
+tiling check that turns any resync mistake into a loud error.
+``use_index=False`` keeps the legacy whole-file ``binaryFile`` path as
+the differential-testing twin.
 """
 
 from __future__ import annotations
@@ -307,29 +311,110 @@ def iter_blobs(data: bytes):
         pos += dsize
 
 
-def scan_blob_index_stream(f):
+def scan_blob_index_stream(f, start: int = 0, stop: int | None = None):
     """Yield (offset, length, type) of every framed blob from a seekable
     file-like WITHOUT reading (let alone inflating) payloads — only the
     4-byte lengths and ~30-byte BlobHeaders are read; payloads are
     seek()ed past. On an ~80 GB planet file this touches a few MB of
     header bytes total; the payload I/O happens later, one range-read
-    per blob, inside the distributed decode kernel (read_pbf)."""
-    pos = 0
-    while True:
+    per blob, inside the distributed decode kernel (read_pbf).
+
+    ``start`` must be a true blob boundary (0, or a boundary found by
+    ``resync_blob_boundary``); ``stop`` ends the walk at the first blob
+    STARTING at or after it (split ownership rule: a blob belongs to the
+    split its first byte falls in)."""
+    pos = start
+    f.seek(start)
+    while stop is None or pos < stop:
         hdr4 = f.read(4)
         if len(hdr4) < 4:
             return
         (hlen,) = struct.unpack(">I", hdr4)
         btype, dsize = None, None
-        for num, _w, v in scan_fields(f.read(hlen)):
-            if num == 1:
-                btype = bytes(v).decode()
-            elif num == 3:
-                dsize = v
+        # a corrupted stream STOPS the walk instead of crashing it — the
+        # caller's tiling check (read_pbf) then reports exactly where
+        # coverage of [0, file_size) broke
+        if hlen > _MAX_HEADER_LEN:
+            return
+        try:
+            for num, _w, v in scan_fields(f.read(hlen)):
+                if num == 1:
+                    btype = bytes(v).decode("ascii")
+                elif num == 3:
+                    dsize = v
+        except (ValueError, IndexError, UnicodeDecodeError):
+            return
+        if not isinstance(dsize, int) or not 0 < dsize <= _MAX_BLOB_DATA:
+            return
         f.seek(dsize, 1)
         total = 4 + hlen + dsize
         yield pos, total, btype
         pos += total
+
+
+# A BlobHeader serialized in field order opens with the `type` string:
+# tag 0x0A (field 1, wire 2), 1-byte length, then the ASCII type — a
+# fixed byte signature 4 bytes after every blob boundary. Every known
+# encoder (osmium, JOSM, this writer) emits type-first; a file that
+# doesn't simply fails resync and the contiguity check reports it.
+_BLOB_SIGNATURES = (b"\x0a\x07OSMData", b"\x0a\x09OSMHeader")
+_MAX_HEADER_LEN = 1 << 16  # BlobHeaders are tens of bytes; 64 KiB is generous
+_MAX_BLOB_DATA = 64 << 20  # the format caps datasize at 32 MiB; allow 2×
+
+
+def _parse_boundary_at(f, pos: int, file_size: int) -> int | None:
+    """If ``pos`` is a plausible blob boundary, return the NEXT boundary
+    (pos + framed size); else None. Checks length sanity, header parse,
+    known type, and datasize bounds."""
+    try:
+        f.seek(pos)
+        hdr4 = f.read(4)
+        if len(hdr4) < 4:
+            return None
+        (hlen,) = struct.unpack(">I", hdr4)
+        if not 8 <= hlen <= _MAX_HEADER_LEN or pos + 4 + hlen > file_size:
+            return None
+        btype, dsize = None, None
+        for num, _w, v in scan_fields(f.read(hlen)):
+            if num == 1:
+                btype = bytes(v).decode("ascii")
+            elif num == 3:
+                dsize = v
+        if btype not in ("OSMData", "OSMHeader"):
+            return None
+        if dsize is None or not 0 < dsize <= _MAX_BLOB_DATA:
+            return None
+        nxt = pos + 4 + hlen + dsize
+        return nxt if nxt <= file_size else None
+    except (ValueError, struct.error, UnicodeDecodeError, IndexError):
+        return None
+
+
+def resync_blob_boundary(f, start: int, file_size: int) -> int | None:
+    """First true blob boundary at or after ``start`` (Hadoop-input-split
+    style record sync): scan a window for the BlobHeader byte signature,
+    validate the candidate by parsing, and CHAIN-check that the blob it
+    frames ends at another valid boundary (or exactly at EOF). A false
+    positive that survives both checks would still break the index's
+    contiguity and is rejected by read_pbf's full-file tiling check."""
+    win_end = min(start + _MAX_BLOB_DATA + _MAX_HEADER_LEN + 8, file_size)
+    f.seek(start)
+    window = f.read(win_end - start)
+    at = 0
+    while True:
+        cands = [window.find(sig, at) for sig in _BLOB_SIGNATURES]
+        cands = [c for c in cands if c != -1]
+        if not cands:
+            return None
+        hit = min(cands)
+        pos = start + hit - 4  # signature sits 4 bytes after the boundary
+        if pos >= start:
+            nxt = _parse_boundary_at(f, pos, file_size)
+            if nxt is not None and (
+                nxt == file_size or _parse_boundary_at(f, nxt, file_size) is not None
+            ):
+                return pos
+        at = hit + 1
 
 
 def blob_index(data: bytes) -> list[tuple[int, int, str]]:
@@ -784,7 +869,13 @@ def write_pbf(
 # ---------------------------------------------------------------------------
 
 
-def read_pbf(spark, path: str, use_index: bool = True, cache_index: bool = True):
+def read_pbf(
+    spark,
+    path: str,
+    use_index: bool = True,
+    cache_index: bool = True,
+    split_bytes: int | None = 128 << 20,
+):
     """``.osm.pbf`` → (nodes, ways, relations) DataFrames in the
     fixtures.osm schemas. The unit of parallelism is the ~1 MB
     compressed blob — the reference's own bounded-memory work unit
@@ -811,6 +902,16 @@ def read_pbf(spark, path: str, use_index: bool = True, cache_index: bool = True)
     so the cache is always driver-trivial; Spark evicts it LRU like any
     cached plan. Pass False for strict no-side-effect plan building.
 
+    ``split_bytes`` (index mode only, default 128 MiB): files larger
+    than this are indexed in PARALLEL byte-range splits — each split
+    resynchronizes to the first true blob boundary (signature search +
+    parse + chain validation, Hadoop-input-split style), so even ONE
+    80 GB planet file gets its header walk spread over ~640 tasks
+    instead of a single sequential scan. A lazy full-file TILING check
+    (blobs must tile [0, file_size) exactly) turns any resync mistake
+    into a loud error; ``split_bytes=None`` disables splitting (one
+    sequential walk per file, no resync involved).
+
     node block_id = the blob index (the engine's stand-in for the
     reference's per-file grouping)."""
     import pandas as pd
@@ -822,33 +923,137 @@ def read_pbf(spark, path: str, use_index: bool = True, cache_index: bool = True)
     n_part = max(spark.sparkContext.defaultParallelism, 8)
 
     if use_index:
+        from pyspark.sql import Window
+
         # metadata-only listing: content is never selected, so the
         # binaryFile scan reads no payload bytes (pinned by test_pbf:
-        # ReadSchema carries only path)
-        files = spark.read.format("binaryFile").load(path).select("path")
+        # ReadSchema carries only path + length)
+        files = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("path", F.col("length").alias("file_size"))
+            .where(F.col("file_size") > 0)
+        )
+        # parallel index of ONE huge file (the planet case): byte-range
+        # splits, each resynchronized to the first true blob boundary —
+        # without this the header walk of an 80 GB file is a single
+        # sequential task
+        if split_bytes is None:
+            step = "file_size"  # one split per file (no resync needed)
+        else:
+            step = str(int(split_bytes))
+        splits = files.select(
+            "path",
+            "file_size",
+            F.explode(
+                F.expr(f"sequence(CAST(0 AS LONG), file_size - 1, {step})")
+            ).alias("split_start"),
+        ).repartition(n_part, "path", "split_start")
 
-        def scan_index(batches):
+        def scan_split(batches):
             for pdf in batches:
                 rows = []
-                for p in pdf["path"]:
+                for p, fsize, s0 in zip(
+                    pdf["path"], pdf["file_size"], pdf["split_start"]
+                ):
+                    fsize, s0 = int(fsize), int(s0)
+                    end = fsize if split_bytes is None else min(
+                        s0 + int(split_bytes), fsize
+                    )
                     with _open_stream(p) as f:
-                        for i, (off, ln, btype) in enumerate(
-                            scan_blob_index_stream(f)
+                        pos = (
+                            0 if s0 == 0 else resync_blob_boundary(f, s0, fsize)
+                        )
+                        if pos is None or pos >= end:
+                            continue
+                        for off, ln, bt in scan_blob_index_stream(
+                            f, pos, stop=end
                         ):
-                            if btype == "OSMData":
-                                rows.append((p, i, off, ln))
+                            rows.append((p, fsize, off, ln, bt))
                 yield pd.DataFrame(
-                    rows, columns=["path", "blob_idx", "offset", "length"]
+                    rows,
+                    columns=["path", "file_size", "offset", "length", "btype"],
                 )
 
-        blobs = files.mapInPandas(
-            scan_index,
-            schema="path string, blob_idx int, offset long, length long",
-        ).repartition(n_part, "path", "blob_idx")
+        raw_idx = splits.mapInPandas(
+            scan_split,
+            schema=(
+                "path string, file_size long, offset long, length long, "
+                "btype string"
+            ),
+        )
+        w = Window.partitionBy("path").orderBy("offset")
+        idx = raw_idx.select(
+            "*",
+            (F.row_number().over(w) - 1).alias("blob_idx"),
+            F.lag(F.col("offset") + F.col("length")).over(w).alias("prev_end"),
+        )
+        # exact full-file TILING check, evaluated lazily inside the same
+        # action: every blob must start where its predecessor ended, the
+        # first at offset 0, the last at file_size. Any resync false
+        # positive/negative breaks contiguity and fails the decode
+        # loudly instead of silently dropping or duplicating blobs.
+        bad_row = F.when(
+            F.col("prev_end").isNull(), F.col("offset") != 0
+        ).otherwise(F.col("prev_end") != F.col("offset"))
+        viol = idx.agg(
+            F.sum(F.when(bad_row, 1).otherwise(0)).alias("n_gaps"),
+            F.sum(
+                F.when(
+                    F.col("offset") + F.col("length") > F.col("file_size"), 1
+                ).otherwise(0)
+            ).alias("n_overruns"),
+        )
+        tails = (
+            idx.groupBy("path", "file_size")
+            .agg(F.max(F.col("offset") + F.col("length")).alias("idx_end"))
+            .agg(
+                F.sum(
+                    F.when(F.col("idx_end") != F.col("file_size"), 1).otherwise(0)
+                ).alias("n_tails")
+            )
+        )
+        guard = viol.crossJoin(tails)
+        # a SENTINEL row exists iff the check fails: without it a file
+        # whose corruption empties the OSMData set would return zero
+        # rows silently (the guard columns ride on data rows, and there
+        # would be none to carry them)
+        sentinel = guard.where(
+            (F.col("n_gaps") > 0)
+            | (F.col("n_overruns") > 0)
+            | (F.col("n_tails") > 0)
+        ).select(
+            F.lit("!tiling-violation").alias("path"),
+            F.lit(-1).alias("blob_idx"),
+            F.lit(-1).cast("long").alias("offset"),
+            F.lit(-1).cast("long").alias("length"),
+            "n_gaps",
+            "n_overruns",
+            "n_tails",
+        )
+        blobs = (
+            idx.where(F.col("btype") == "OSMData")
+            .select("path", "blob_idx", "offset", "length")
+            .repartition(n_part, "path", "blob_idx")
+            .crossJoin(F.broadcast(guard))
+            .unionByName(sentinel)
+        )
         if cache_index:
             blobs = blobs.persist()
 
         def fetch(pdf):
+            if len(pdf):
+                gaps = int(pdf["n_gaps"].iloc[0] or 0)
+                over = int(pdf["n_overruns"].iloc[0] or 0)
+                tail = int(pdf["n_tails"].iloc[0] or 0)
+                if gaps or over or tail:
+                    raise ValueError(
+                        "PBF split index failed the full-file tiling check "
+                        f"(gaps={gaps}, overruns={over}, tail_mismatches="
+                        f"{tail}): blob framing could not be resynchronized "
+                        "at a split boundary — retry with read_pbf(..., "
+                        "split_bytes=None)"
+                    )
             # one handle per (file, task); each blob is one range read of
             # exactly [offset, offset+length) — the task's peak buffer is
             # a single compressed blob

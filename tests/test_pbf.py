@@ -181,6 +181,62 @@ def test_read_pbf_index_path_equals_legacy_and_never_ships_file_bytes(spark):
         assert "offset#" in plan and "length#" in plan
 
 
+def test_resync_finds_every_boundary_from_any_start():
+    """Split resynchronization (the parallel planet-index path): from ANY
+    byte offset, resync_blob_boundary must land on exactly the next true
+    blob boundary — including offsets inside compressed payloads, which
+    may contain signature-like byte runs."""
+    import io
+
+    from osm_render_spark.sources.pbf import resync_blob_boundary
+
+    scene = ALL_SCENES["coast"]()
+    with tempfile.TemporaryDirectory() as d:
+        data = open(_scene_pbf(scene, d, block_size=16), "rb").read()
+    bounds = [off for off, _ln, _t in blob_index(data)] + [len(data)]
+    f = io.BytesIO(data)
+    for start in range(0, len(data), 97):  # every 97th offset
+        want = min(b for b in bounds if b >= start)
+        got = resync_blob_boundary(f, start, len(data))
+        want_final = None if want == len(data) else want
+        assert got == want_final, f"start={start}: got {got}, want {want_final}"
+
+
+def test_read_pbf_split_index_equals_unsplit_and_legacy(spark):
+    """Byte-range-split indexing (many tiny splits forcing real resyncs)
+    must produce DataFrames identical to the unsplit index walk and the
+    legacy whole-file path."""
+    scene = ALL_SCENES["relations"]()
+    with tempfile.TemporaryDirectory() as d:
+        path = _scene_pbf(scene, d)  # block_size=8 → many small blobs
+        split = _entity_sets(*read_pbf(spark, path, split_bytes=512))
+        unsplit = _entity_sets(*read_pbf(spark, path, split_bytes=None))
+        legacy = _entity_sets(*read_pbf(spark, path, use_index=False))
+        assert split == unsplit == legacy
+
+
+def test_split_index_tiling_check_catches_corruption(spark):
+    """The lazy full-file tiling check: corrupt a mid-file blob length so
+    the index cannot tile [0, file_size) and the decode must fail loudly
+    (never silently drop or duplicate blobs)."""
+    import struct as _struct
+
+    scene = ALL_SCENES["minimal"]()
+    with tempfile.TemporaryDirectory() as d:
+        path = _scene_pbf(scene, d)
+        data = bytearray(open(path, "rb").read())
+        # blow up the datasize of a middle blob by rewriting its 4-byte
+        # BE BlobHeader length prefix to an absurd value
+        idx = blob_index(bytes(data))
+        off = idx[len(idx) // 2][0]
+        _struct.pack_into(">I", data, off, 0xFFFF)
+        bad = os.path.join(d, "bad.osm.pbf")
+        open(bad, "wb").write(bytes(data))
+        nodes, _w, _r = read_pbf(spark, bad, split_bytes=256)
+        with pytest.raises(Exception, match="tiling|resynchron"):
+            nodes.count()
+
+
 def test_scan_blob_index_stream_reads_headers_only():
     """The index scan must touch only framing headers: total bytes READ
     (vs seeked past) stay a tiny fraction of the file."""
