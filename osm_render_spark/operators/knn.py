@@ -173,11 +173,13 @@ def knn_join_celled(
       Cartesian-free, window sees ≤ k·|unsafe| rows per batch, but
       collects the unsafe query coordinates on the driver at build time
       (3 numbers per query).
-    * ``"auto"`` (default) — size-gate: COUNTS the unsafe set (one
-      Spark action at plan-build time) and picks ``expr`` when it is
-      ≤ ``fallback_threshold``, else ``kernel``. Callers that need a
-      fully lazy plan and know their zoom keeps the unsafe set tiny
-      should pass ``fallback="expr"`` explicitly.
+    * ``"auto"`` (default) — size-gate: collects the unsafe coords ONCE
+      (one Spark action at plan-build time — the kernel form needs them
+      driver-side anyway, and a separate count would run the ring-join
+      subplan twice) and picks ``expr`` when ≤ ``fallback_threshold``
+      rows, else ``kernel``. Callers that need a fully lazy plan and
+      know their zoom keeps the unsafe set tiny should pass
+      ``fallback="expr"`` explicitly.
     """
     n = 1 << zoom
     cand = candidates.withColumn(
@@ -248,17 +250,31 @@ def knn_join_celled(
     exact_part = ranked.join(safe_ids, "query_id", "left_semi")
     if fallback not in ("auto", "expr", "kernel"):
         raise ValueError(f"fallback must be auto|expr|kernel, got {fallback!r}")
-    use_kernel = fallback == "kernel" or (
-        fallback == "auto" and unsafe.count() > fallback_threshold
-    )
-    if use_kernel:
-        # size-gated pruned-kernel form (docstring): Cartesian-free plan,
-        # bounded window input, unsafe coords collected driver-side
-        fb = knn_join(unsafe, candidates, k)
-    else:
-        # expression form: lazy, fine while the unsafe set is tiny
+    if fallback == "expr":
+        # expression form: fully lazy, fine while the unsafe set is tiny
         fb = knn_join(
             unsafe,
+            candidates,
+            k,
+            dist=squared_l2(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")),
+        )
+        return exact_part.unionByName(fb)
+    # auto/kernel: collect the unsafe coords ONCE (3 numbers per query —
+    # the kernel form needs them driver-side anyway) and gate on the
+    # local count; a separate count() + kernel-collect would execute the
+    # expensive ring-join/certificate subplan twice at build time
+    spark = unsafe.sparkSession
+    unsafe_rows = unsafe.collect()
+    unsafe_local = spark.createDataFrame(
+        unsafe_rows, "query_id long, qlon double, qlat double"
+    )
+    if fallback == "kernel" or len(unsafe_rows) > fallback_threshold:
+        # size-gated pruned-kernel form (docstring): Cartesian-free plan,
+        # bounded window input
+        fb = knn_join(unsafe_local, candidates, k)
+    else:
+        fb = knn_join(
+            unsafe_local,
             candidates,
             k,
             dist=squared_l2(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")),

@@ -92,18 +92,20 @@ def decode_avi_frames(data: bytes) -> list[np.ndarray]:
     Walks hdrl for the BITMAPINFOHEADER (width/height/bit depth), then
     the movi list for '..db'/'..dc' frame chunks. Only BI_RGB
     (biCompression == 0) at 24/32 bpp decodes — compressed fourccs raise
-    NotImplementedError naming the codec. DIB rows are bottom-up BGR(A),
-    4-byte aligned; output is top-down RGBA."""
+    NotImplementedError naming the codec. DIB rows are BGR(A), 4-byte
+    aligned, bottom-up by default or top-down when biHeight is negative
+    (both legal, both handled); output is always top-down RGBA."""
     buf = memoryview(data)
     if bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     w = h = bits = None
     compression = None
+    top_down = False  # DIB rows are bottom-up unless biHeight < 0
     frames_raw: list[memoryview] = []
 
     # offset-carrying walker (LISTs recurse past their 4-byte list type)
     def walk2(pos: int, end: int) -> None:
-        nonlocal w, h, bits, compression
+        nonlocal w, h, bits, compression, top_down
         while pos + 8 <= end:
             fourcc = bytes(buf[pos : pos + 4])
             (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -115,6 +117,7 @@ def decode_avi_frames(data: bytes) -> list[np.ndarray]:
                     "<IiiHHI", buf[body_start : body_start + 20]
                 )
                 w, h, bits, compression = bw, abs(bh), bc, comp
+                top_down = bh < 0
             elif fourcc[2:] in (b"db", b"dc") and size > 0:
                 frames_raw.append(buf[body_start:body_end])
             pos = body_end + (size & 1)
@@ -137,7 +140,9 @@ def decode_avi_frames(data: bytes) -> list[np.ndarray]:
         rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(
             h, stride
         )[:, : w * bpp]
-        img = rows.reshape(h, w, bpp)[::-1]  # bottom-up → top-down
+        img = rows.reshape(h, w, bpp)
+        if not top_down:
+            img = img[::-1]  # bottom-up → top-down
         rgba = np.empty((h, w, 4), dtype=np.uint8)
         rgba[:, :, 0] = img[:, :, 2]  # BGR → RGB
         rgba[:, :, 1] = img[:, :, 1]
@@ -147,9 +152,11 @@ def decode_avi_frames(data: bytes) -> list[np.ndarray]:
     return out
 
 
-def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+def encode_avi(frames: list[np.ndarray], fps: int = 10, top_down: bool = False) -> bytes:
     """(h, w, 4) RGBA frames → minimal spec-valid uncompressed AVI
-    (BI_RGB 24-bpp '00db' chunks; alpha dropped)."""
+    (BI_RGB 24-bpp '00db' chunks; alpha dropped). ``top_down=True``
+    writes negative-biHeight top-down rows (the other legal DIB row
+    order) — used to pin the reader's handling of both variants."""
     if not frames:
         raise ValueError("no frames")
     h, w = frames[0].shape[:2]
@@ -158,7 +165,7 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
     frame_bytes = []
     for f in frames:
         bgr = np.zeros((h, stride), dtype=np.uint8)
-        flipped = f[::-1]  # top-down → bottom-up
+        flipped = f if top_down else f[::-1]  # top-down → bottom-up
         row = np.empty((h, w, 3), dtype=np.uint8)
         row[:, :, 0] = flipped[:, :, 2]
         row[:, :, 1] = flipped[:, :, 1]
@@ -185,7 +192,9 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         b"vids", struct.pack("<I", 0), 0, 0, 0, 0, 1, fps, 0, len(frames),
         frame_sz, 0xFFFFFFFF & -1, 0, 0, 0, int(w), int(h),
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, frame_sz, 0, 0, 0, 0
+    )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih)

@@ -397,24 +397,37 @@ def resync_blob_boundary(f, start: int, file_size: int) -> int | None:
     frames ends at another valid boundary (or exactly at EOF). A false
     positive that survives both checks would still break the index's
     contiguity and is rejected by read_pbf's full-file tiling check."""
+    # incremental window: blobs are ~1 MB, so the boundary is almost
+    # always within the first chunk — reading the worst-case 64 MiB span
+    # up front would make the "header-only" index phase re-read ~half
+    # the file's bytes. Chunks overlap by the signature length so a
+    # signature straddling a chunk edge is still found.
     win_end = min(start + _MAX_BLOB_DATA + _MAX_HEADER_LEN + 8, file_size)
-    f.seek(start)
-    window = f.read(win_end - start)
-    at = 0
-    while True:
-        cands = [window.find(sig, at) for sig in _BLOB_SIGNATURES]
-        cands = [c for c in cands if c != -1]
-        if not cands:
+    chunk_sz = 1 << 20
+    overlap = max(len(s) for s in _BLOB_SIGNATURES) + 4
+    chunk_start = start
+    while chunk_start < win_end:
+        f.seek(chunk_start)
+        window = f.read(min(chunk_sz, win_end - chunk_start))
+        at = 0
+        while True:
+            cands = [window.find(sig, at) for sig in _BLOB_SIGNATURES]
+            cands = [c for c in cands if c != -1]
+            if not cands:
+                break
+            hit = min(cands)
+            pos = chunk_start + hit - 4  # signature is 4 bytes past the boundary
+            if pos >= start:
+                nxt = _parse_boundary_at(f, pos, file_size)
+                if nxt is not None and (
+                    nxt == file_size
+                    or _parse_boundary_at(f, nxt, file_size) is not None
+                ):
+                    return pos
+            at = hit + 1
+        if chunk_start + len(window) >= win_end:
             return None
-        hit = min(cands)
-        pos = start + hit - 4  # signature sits 4 bytes after the boundary
-        if pos >= start:
-            nxt = _parse_boundary_at(f, pos, file_size)
-            if nxt is not None and (
-                nxt == file_size or _parse_boundary_at(f, nxt, file_size) is not None
-            ):
-                return pos
-        at = hit + 1
+        chunk_start += max(1, len(window) - overlap)
 
 
 def blob_index(data: bytes) -> list[tuple[int, int, str]]:
@@ -1013,7 +1026,14 @@ def read_pbf(
                 ).alias("n_tails")
             )
         )
-        guard = viol.crossJoin(tails)
+        # a listed file that contributed ZERO index rows is invisible to
+        # the row-wise checks above — count it explicitly or a whole
+        # garbage file would vanish silently
+        missing = (
+            files.join(idx.select("path").distinct(), "path", "left_anti")
+            .agg(F.count("*").alias("n_missing"))
+        )
+        guard = viol.crossJoin(tails).crossJoin(missing)
         # a SENTINEL row exists iff the check fails: without it a file
         # whose corruption empties the OSMData set would return zero
         # rows silently (the guard columns ride on data rows, and there
@@ -1022,6 +1042,7 @@ def read_pbf(
             (F.col("n_gaps") > 0)
             | (F.col("n_overruns") > 0)
             | (F.col("n_tails") > 0)
+            | (F.col("n_missing") > 0)
         ).select(
             F.lit("!tiling-violation").alias("path"),
             F.lit(-1).alias("blob_idx"),
@@ -1030,6 +1051,7 @@ def read_pbf(
             "n_gaps",
             "n_overruns",
             "n_tails",
+            "n_missing",
         )
         blobs = (
             idx.where(F.col("btype") == "OSMData")
@@ -1046,13 +1068,16 @@ def read_pbf(
                 gaps = int(pdf["n_gaps"].iloc[0] or 0)
                 over = int(pdf["n_overruns"].iloc[0] or 0)
                 tail = int(pdf["n_tails"].iloc[0] or 0)
-                if gaps or over or tail:
+                miss = int(pdf["n_missing"].iloc[0] or 0)
+                if gaps or over or tail or miss:
                     raise ValueError(
-                        "PBF split index failed the full-file tiling check "
+                        "PBF index failed the full-file tiling check "
                         f"(gaps={gaps}, overruns={over}, tail_mismatches="
-                        f"{tail}): blob framing could not be resynchronized "
-                        "at a split boundary — retry with read_pbf(..., "
-                        "split_bytes=None)"
+                        f"{tail}, unindexable_files={miss}): the blob "
+                        "framing is corrupt, uses blobs over the 64 MiB "
+                        "walker bound, or could not be resynchronized — "
+                        "inspect the file; read_pbf(..., use_index=False) "
+                        "reads whole files without the framing walk limits"
                     )
             # one handle per (file, task); each blob is one range read of
             # exactly [offset, offset+length) — the task's peak buffer is

@@ -134,6 +134,11 @@ def streaming_dedup_bloom(
     a probe checks every live generation, so the worst-case false-DROP
     rate is ≈ generations × 0.9 %. Dedup horizon ≈ generations ×
     rotate_at distinct docs per shard."""
+    if not 1 <= n_hashes <= 8:
+        # _bloom_positions slices 4-byte windows of a 32-byte sha256
+        # digest — beyond 8 the windows are empty and silently map to
+        # bit 0, degrading the effective k
+        raise ValueError(f"n_hashes must be in [1, 8], got {n_hashes}")
     if rotate_at is None:
         rotate_at = max(1, bloom_bits // (2 * n_hashes))
     n_bytes = (bloom_bits + 7) // 8

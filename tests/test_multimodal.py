@@ -139,3 +139,29 @@ def test_avi_uncompressed_real_decode_end_to_end(spark):
     )
     with pytest.raises(Exception, match="MJPG|codec"):
         sample_video_frames(vids_bad, 2).collect()
+
+
+def test_avi_top_down_rows_decode_unmirrored():
+    """Review finding: negative biHeight means TOP-DOWN rows (the other
+    legal DIB order) — both row orders must decode to identical,
+    unmirrored frames."""
+    import numpy as np
+
+    from osm_render_spark.raster.containers import decode_avi_frames, encode_avi
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 255, (11, 13, 4), dtype=np.uint8) for _ in range(3)]
+    for f in frames:
+        f[:, :, 3] = 255
+    up = decode_avi_frames(encode_avi(frames, top_down=False))
+    down = decode_avi_frames(encode_avi(frames, top_down=True))
+    for a, b, want in zip(up, down, frames):
+        assert (a == b).all()
+        assert (a[:, :, :3] == want[:, :, :3]).all()
+
+
+def test_bloom_n_hashes_validated():
+    from osm_render_spark.streaming.dedup import streaming_dedup_bloom
+
+    with pytest.raises(ValueError, match=r"n_hashes"):
+        streaming_dedup_bloom(None, n_hashes=10)

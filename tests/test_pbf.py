@@ -237,6 +237,21 @@ def test_split_index_tiling_check_catches_corruption(spark):
             nodes.count()
 
 
+def test_unindexable_file_in_directory_fails_loudly(spark):
+    """Review finding: a file that contributes ZERO index rows (garbage
+    from byte 0, nothing resyncable) is invisible to the row-wise tiling
+    checks — the guard must count listed-but-unindexed files so a mixed
+    directory read fails instead of silently dropping the bad file."""
+    scene = ALL_SCENES["minimal"]()
+    with tempfile.TemporaryDirectory() as d:
+        _scene_pbf(scene, d)  # a good file
+        with open(os.path.join(d, "garbage.osm.pbf"), "wb") as f:
+            f.write(b"\x07" * 4096)  # no valid framing anywhere
+        nodes, _w, _r = read_pbf(spark, d)
+        with pytest.raises(Exception, match="unindexable|tiling"):
+            nodes.count()
+
+
 def test_scan_blob_index_stream_reads_headers_only():
     """The index scan must touch only framing headers: total bytes READ
     (vs seeked past) stay a tiny fraction of the file."""
