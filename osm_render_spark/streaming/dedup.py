@@ -222,11 +222,11 @@ def exact_dedup_foreach_batch(out_path: str, seen_path: str):
     it exact past the bloom horizon)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch.sparkSession
         hashed = batch.withColumn("h", F.sha2(F.col("text"), 256))
-        if os.path.exists(seen_path):
+        try:
+            # read-or-absent probe instead of a filesystem check: works on
+            # any Hadoop-compatible store (os.path.exists is local-only)
             seen = (
                 spark.read.option("basePath", seen_path)
                 .parquet(seen_path)
@@ -234,7 +234,9 @@ def exact_dedup_foreach_batch(out_path: str, seen_path: str):
                 .select("h")
             )
             fresh = hashed.join(seen, "h", "left_anti")
-        else:
+        except Exception as e:  # AnalysisException: PATH_NOT_FOUND (first batch)
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             fresh = hashed
         # one batch may legitimately carry a hash twice only on bloom
         # collision across shards — impossible (sharding is by text) —
