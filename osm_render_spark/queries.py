@@ -1089,6 +1089,111 @@ ORDER BY kind, a, b
     return QueryDef(fn, duck())
 
 
+def _q_dedup_clusters() -> QueryDef:
+    """Duplicate-CLUSTER formation (operators.graph.connected_components)
+    — the step after LSH in a real dedup pipeline: near-dup PAIRS
+    (banding + word-trigram Jaccard ≥ 0.5, built from IDENTICAL shared
+    SQL in both engines) are edges; the engine runs distributed hash-min
+    label propagation, the oracle computes the same components with a
+    DuckDB recursive CTE. The corpus adds chain variants (base ≈ v1 ≈ v2
+    by appended words) so transitivity is exercised: clusters close over
+    paths, not just direct edges."""
+    JACC = "0.5"
+
+    def edges_sql(d) -> str:
+        from .operators.text import MINHASH_A, minhash_sql, shingles_sql, word_keys_sql
+
+        keys = word_keys_sql(d, "text")
+        sh = shingles_sql(d, f"({keys})")
+        mh = [minhash_sql(d, f"({sh})", j) for j in range(len(MINHASH_A))]
+        unnest = "explode" if d.name == "spark" else "unnest"
+        return f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' chainlink alpha' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         text || ' chainlink alpha chainlink beta' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+sig AS (
+  SELECT doc_id, {mh[0]} AS mh0, {mh[1]} AS mh1, {mh[2]} AS mh2, {mh[3]} AS mh3
+  FROM corpus
+),
+bnd AS (
+  SELECT 0 AS band, mh0 AS h1, mh1 AS h2, doc_id FROM sig
+  UNION ALL
+  SELECT 1 AS band, mh2 AS h1, mh3 AS h2, doc_id FROM sig
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+  FROM bnd x JOIN bnd y ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+                       AND x.doc_id < y.doc_id
+),
+shset AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, {unnest}({sh}) AS s FROM corpus
+  ) raw
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shset GROUP BY doc_id),
+inter AS (
+  SELECT p.pa, p.pb, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN shset sa ON sa.doc_id = p.pa
+  JOIN shset sb ON sb.doc_id = p.pb AND sb.s = sa.s
+  GROUP BY p.pa, p.pb
+),
+edges AS (
+  SELECT i.pa AS a, i.pb AS b
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.pa
+  JOIN cnt cb ON cb.doc_id = i.pb
+  WHERE CAST(i.n_inter AS DOUBLE)
+        / CAST(ca.n + cb.n - i.n_inter AS DOUBLE) >= {JACC}
+)
+"""
+
+    def duck() -> str:
+        from .operators.text import DUCK
+
+        return f"""
+WITH RECURSIVE {edges_sql(DUCK)},
+sym AS (
+  SELECT a AS n, b AS m FROM edges
+  UNION
+  SELECT b AS n, a AS m FROM edges
+  UNION
+  SELECT doc_id AS n, doc_id AS m FROM corpus
+),
+reach(n, m) AS (
+  SELECT n, m FROM sym
+  UNION
+  SELECT reach.n, sym.m FROM reach JOIN sym ON sym.n = reach.m
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.graph import connected_components
+        from .operators.text import SPARK
+
+        register_views(spark, sf_dir)
+        edges = spark.sql(
+            f"WITH {edges_sql(SPARK)} SELECT a, b FROM edges"
+        )
+        loops = spark.sql(
+            f"WITH {edges_sql(SPARK)} SELECT doc_id AS a, doc_id AS b FROM corpus"
+        )
+        cc = connected_components(edges.unionAll(loops))
+        return cc.select(
+            F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+        ).orderBy("doc_id")
+
+    return QueryDef(fn, duck())
+
+
 def _q_simhash() -> QueryDef:
     def make(d) -> str:
         from .operators.text import simhash_bit_terms, word_keys_sql
@@ -1904,6 +2009,7 @@ def build_queries() -> dict[str, QueryDef]:
         "minhash_lsh_buckets": _q_lsh_buckets(),
         "minhash_candidate_pairs": _q_minhash_candidate_pairs(),
         "minhash_pairs_capped": _q_minhash_pairs_capped(),
+        "dedup_clusters": _q_dedup_clusters(),
         "simhash16": _q_simhash(),
         "ngram_jaccard": _q_ngram_jaccard(),
         "embedding_l2_top3": _q_embedding_l2_top3(),

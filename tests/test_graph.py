@@ -1,0 +1,58 @@
+"""Connected components (duplicate-cluster operator) vs a python
+union-find brute force on random graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from osm_render_spark.operators.graph import connected_components
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min node of the component
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(members) for r, members in comp.items() for x in members}
+
+
+def test_connected_components_matches_union_find(spark):
+    for seed, n, m in ((0, 40, 25), (1, 60, 80), (2, 30, 0)):
+        rng = np.random.default_rng(seed)
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(
+                rng.integers(0, n, m), rng.integers(0, n, m)
+            )
+        ]
+        want = _uf_components(n, edges)
+        rows = edges + [(i, i) for i in range(n)]  # self-loops seed all nodes
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b, b-c, c-d: one cluster rooted at the min id, even though a and
+    d share no edge — the dedup-transitivity property."""
+    df = spark.createDataFrame(
+        [(7, 3), (3, 9), (9, 5), (20, 20)], "a long, b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20}
