@@ -37,6 +37,7 @@ HEADLINE = [
     "cosine_top3",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
 ]
 
 

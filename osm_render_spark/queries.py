@@ -791,6 +791,32 @@ ORDER BY o_orderkey
     return _sql_query(sql)
 
 
+def _q_tpch_q5() -> QueryDef:
+    """TPC-H Q5 shape (local-supplier revenue): the six-table join —
+    region → nation → {customer, supplier} → orders → lineitem — that
+    exercises Catalyst's join reordering + broadcast of the three
+    dimension tables. DECIMAL accumulation (CLAUDE.md: double sums are
+    order-dependent) and an explicit n_name tie-break keep the hash
+    engine-independent; the date window matches the testdata's range."""
+    sql = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+    return _sql_query(sql)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / text analysis / similarity
 # (operators.text defines one arithmetic, rendered into both dialects)
@@ -1999,6 +2025,7 @@ def build_queries() -> dict[str, QueryDef]:
         "rect_math": _q_rect_math(),
         "tpch_q1": _q_tpch_q1(),
         "tpch_q3": _q_tpch_q3(),
+        "tpch_q5": _q_tpch_q5(),
         "image_pipeline": _q_image_pipeline(),
         "dedup_exact": _q_dedup_exact(),
         "token_count": _q_token_count(),

@@ -228,3 +228,16 @@ def test_ann_ivf_plan_shuffles_corpus_only_on_list_join(spark):
     plan = _plan(ann_ivf_topk(emb, q, 3, n_centroids=4, n_probe=2, quantizer="head"))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q5_six_table_join_broadcasts_dims_and_pushes_dates(spark):
+    """The 6-table join: dimension sides broadcast (no shuffle of the
+    fact table for the joins) and the date window reaches the orders
+    scan as a pushed filter."""
+    from osm_render_spark.queries import build_queries
+
+    df = build_queries()["tpch_q5"].spark_fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed date filter
