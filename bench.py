@@ -234,7 +234,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
-        "metric": "headline suite wall (tile join + spatial ops + OLAP) at local[%d]" % cpus,
+        "metric": "headline suite best-of-2 sum (tile join + spatial ops + OLAP) at local[%d]" % cpus,
         "value": round(wall, 3),
         "unit": "sec",
         "queries": queries,

@@ -43,6 +43,10 @@ def connected_components(
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        # checkpoint: each round's convergence action would otherwise
+        # re-execute the whole upstream edge derivation (for
+        # dedup_clusters that's the LSH + Jaccard pipeline, per round)
+        .localCheckpoint()
     )
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component")

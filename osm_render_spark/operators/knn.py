@@ -53,10 +53,17 @@ def _local_topk_scored(queries: DataFrame, candidates: DataFrame, k: int) -> Dat
     and the query side must be driver-sized (3 numbers per query; ~24 MB
     per million queries). The distance matrix is chunked over queries so
     kernel memory stays O(batch × chunk), not O(batch × |queries|)."""
+    q_rows = queries.select("query_id", "qlon", "qlat").collect()
+    return _local_topk_scored_rows(q_rows, candidates, k)
+
+
+def _local_topk_scored_rows(q_rows, candidates: DataFrame, k: int) -> DataFrame:
+    """_local_topk_scored over ALREADY-collected query rows — callers
+    that had to collect for other reasons (the celled fallback gate)
+    skip a pointless driver→JVM→driver round trip of the query set."""
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select("query_id", "qlon", "qlat").collect()
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_lon = np.array([r["qlon"] for r in q_rows], dtype=np.float64)
     q_lat = np.array([r["qlat"] for r in q_rows], dtype=np.float64)
@@ -122,19 +129,19 @@ def knn_join(
     use: one query against a handful of edge paths).
     """
     if dist is None:
-        scored = _local_topk_scored(queries, candidates, k)
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("d2").asc(), F.col("cand_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "cand_id", "rank", "d2")
-        )
+        return _rank_scored(_local_topk_scored(queries, candidates, k), k)
     crossed = candidates.crossJoin(F.broadcast(queries)).withColumn("d2", dist)
-    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cand_id").asc())
+    return _rank_scored(crossed, k)
+
+
+def _rank_scored(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, cand_id, d2, ...) → top-k per query with the canonical
+    (d2 asc, cand_id asc) tie-break."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cand_id").asc()
+    )
     return (
-        crossed.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "d2")
     )
@@ -263,16 +270,16 @@ def knn_join_celled(
     # the kernel form needs them driver-side anyway) and gate on the
     # local count; a separate count() + kernel-collect would execute the
     # expensive ring-join/certificate subplan twice at build time
-    spark = unsafe.sparkSession
     unsafe_rows = unsafe.collect()
-    unsafe_local = spark.createDataFrame(
-        unsafe_rows, "query_id long, qlon double, qlat double"
-    )
     if fallback == "kernel" or len(unsafe_rows) > fallback_threshold:
         # size-gated pruned-kernel form (docstring): Cartesian-free plan,
-        # bounded window input
-        fb = knn_join(unsafe_local, candidates, k)
+        # bounded window input; the collected rows feed the kernel
+        # closure directly — no driver→JVM→driver round trip
+        fb = _rank_scored(_local_topk_scored_rows(unsafe_rows, candidates, k), k)
     else:
+        unsafe_local = unsafe.sparkSession.createDataFrame(
+            unsafe_rows, "query_id long, qlon double, qlat double"
+        )
         fb = knn_join(
             unsafe_local,
             candidates,

@@ -432,10 +432,19 @@ def resync_blob_boundary(f, start: int, file_size: int) -> int | None:
 
 def blob_index(data: bytes) -> list[tuple[int, int, str]]:
     """(offset, length, type) of every framed blob WITHOUT inflating —
-    the planet-scale range-read index (header scan only)."""
+    the planet-scale range-read index (header scan only). Raises on
+    corrupt framing: the walker stops silently at garbage (read_pbf's
+    tiling check handles that distributed case), so this direct helper
+    must verify the index covers the whole buffer itself."""
     import io
 
-    return list(scan_blob_index_stream(io.BytesIO(data)))
+    out = list(scan_blob_index_stream(io.BytesIO(data)))
+    end = out[-1][0] + out[-1][1] if out else 0
+    if end != len(data):
+        raise ValueError(
+            f"corrupt blob framing at byte {end} (buffer is {len(data)} bytes)"
+        )
+    return out
 
 
 def _open_stream(path_uri: str):
@@ -941,12 +950,17 @@ def read_pbf(
         # metadata-only listing: content is never selected, so the
         # binaryFile scan reads no payload bytes (pinned by test_pbf:
         # ReadSchema carries only path + length)
-        files = (
+        listing = (
             spark.read.format("binaryFile")
             .load(path)
             .select("path", F.col("length").alias("file_size"))
-            .where(F.col("file_size") > 0)
         )
+        # zero-byte files can't be split (sequence() needs a positive
+        # range); they also never appear here — the binaryFile source
+        # omits empty files from its listing on BOTH read paths, and an
+        # empty file frames no blobs, so nothing is lost. Non-empty
+        # files stay visible to the missing-file guard below.
+        files = listing.where(F.col("file_size") > 0)
         # parallel index of ONE huge file (the planet case): byte-range
         # splits, each resynchronized to the first true blob boundary —
         # without this the header walk of an 80 GB file is a single
@@ -1009,20 +1023,32 @@ def read_pbf(
         bad_row = F.when(
             F.col("prev_end").isNull(), F.col("offset") != 0
         ).otherwise(F.col("prev_end") != F.col("offset"))
+        # coalesce: SUM over an empty index is NULL, and a NULL guard
+        # column would crash the int() readback instead of diagnosing
         viol = idx.agg(
-            F.sum(F.when(bad_row, 1).otherwise(0)).alias("n_gaps"),
-            F.sum(
-                F.when(
-                    F.col("offset") + F.col("length") > F.col("file_size"), 1
-                ).otherwise(0)
+            F.coalesce(F.sum(F.when(bad_row, 1).otherwise(0)), F.lit(0)).alias(
+                "n_gaps"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("offset") + F.col("length") > F.col("file_size"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("n_overruns"),
         )
         tails = (
             idx.groupBy("path", "file_size")
             .agg(F.max(F.col("offset") + F.col("length")).alias("idx_end"))
             .agg(
-                F.sum(
-                    F.when(F.col("idx_end") != F.col("file_size"), 1).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("idx_end") != F.col("file_size"), 1).otherwise(
+                            0
+                        )
+                    ),
+                    F.lit(0),
                 ).alias("n_tails")
             )
         )
@@ -1030,7 +1056,7 @@ def read_pbf(
         # the row-wise checks above — count it explicitly or a whole
         # garbage file would vanish silently
         missing = (
-            files.join(idx.select("path").distinct(), "path", "left_anti")
+            listing.join(idx.select("path").distinct(), "path", "left_anti")
             .agg(F.count("*").alias("n_missing"))
         )
         guard = viol.crossJoin(tails).crossJoin(missing)

@@ -251,6 +251,33 @@ def test_unindexable_file_in_directory_fails_loudly(spark):
         with pytest.raises(Exception, match="unindexable|tiling"):
             nodes.count()
 
+    # ZERO-byte files never reach either path: Spark's binaryFile source
+    # itself omits them from the listing (verified — not our filter), so
+    # the behavior is identical for index and legacy modes and no blob
+    # data can be lost (an empty file frames nothing). Pin that both
+    # paths agree and succeed.
+    with tempfile.TemporaryDirectory() as d:
+        path = _scene_pbf(scene, d)
+        open(os.path.join(d, "empty.osm.pbf"), "wb").close()
+        assert _entity_sets(*read_pbf(spark, d)) == _entity_sets(
+            *read_pbf(spark, d, use_index=False)
+        )
+
+
+def test_blob_index_raises_on_corrupt_framing():
+    """Direct blob_index callers get a loud error on corrupt framing —
+    the walker stops silently (read_pbf's tiling check owns the
+    distributed case) so the helper validates coverage itself."""
+    import struct as _struct
+
+    scene = ALL_SCENES["minimal"]()
+    with tempfile.TemporaryDirectory() as d:
+        data = bytearray(open(_scene_pbf(scene, d), "rb").read())
+    idx = blob_index(bytes(data))
+    _struct.pack_into(">I", data, idx[len(idx) // 2][0], 0xFFFF)
+    with pytest.raises(ValueError, match="corrupt blob framing"):
+        blob_index(bytes(data))
+
 
 def test_scan_blob_index_stream_reads_headers_only():
     """The index scan must touch only framing headers: total bytes READ
