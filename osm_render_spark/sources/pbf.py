@@ -114,6 +114,65 @@ def zz_cumsum(buf) -> np.ndarray:
     return np.cumsum(zigzag_decode(decode_varints(buf)))
 
 
+def _batch_split(bufs: list[bytes]):
+    """Shared segmentation for the batched small-buffer decoders: ONE
+    vectorized decode over the concatenation of many tiny packed-varint
+    buffers, plus per-buffer varint counts. A planet way block carries
+    ~8000 ways × 3 packed fields of ~6 varints each — 24k per-buffer
+    python decodes cost ~100 ms/block; one flat pass is ~10×."""
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return None, None, lens
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    vals = decode_varints(flat)
+    ends = np.concatenate([[0], np.cumsum(((flat & 0x80) == 0).astype(np.int64))])
+    byte_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    counts = ends[byte_starts + lens] - ends[byte_starts]
+    return vals, counts, lens
+
+
+def _batch_decode_flat(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 values, per-buffer varint counts) — callers slice by
+    cumulative counts (np.split's per-segment view overhead is ~20×)."""
+    vals, counts, lens = _batch_split(bufs)
+    if vals is None:
+        return np.zeros(0, dtype=np.uint64), np.zeros(len(lens), dtype=np.int64)
+    return vals, counts
+
+
+def _batch_zz_cumsum_flat(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented zz_cumsum, flat form: per-buffer zigzag delta-decode
+    with the prefix sum RESET at each buffer boundary, one vectorized
+    pass. Matches zz_cumsum per buffer bitwise, including the mod-2^64
+    int64 wrap (uint64 running sum minus each segment's base wraps the
+    same)."""
+    vals, counts, lens = _batch_split(bufs)
+    if vals is None:
+        return np.zeros(0, dtype=np.int64), np.zeros(len(lens), dtype=np.int64)
+    d = zigzag_decode(vals).astype(np.uint64)
+    c = np.cumsum(d)
+    vstarts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    base = np.zeros(len(counts), dtype=np.uint64)
+    nz = counts > 0
+    base[nz] = c[vstarts[nz]] - d[vstarts[nz]]
+    out = (c - np.repeat(base, counts)).astype(np.int64)
+    return out, counts
+
+
+def batch_decode_varints(bufs: list[bytes]) -> list[np.ndarray]:
+    """Decode many small packed-varint buffers in one vectorized pass →
+    per-buffer uint64 arrays (same values as decode_varints per buffer)."""
+    flat, counts = _batch_decode_flat(bufs)
+    return np.split(flat, np.cumsum(counts)[:-1])
+
+
+def batch_zz_cumsum(bufs: list[bytes]) -> list[np.ndarray]:
+    """List-of-arrays view of _batch_zz_cumsum_flat (tests/parity)."""
+    flat, counts = _batch_zz_cumsum_flat(bufs)
+    return np.split(flat, np.cumsum(counts)[:-1])
+
+
 def _encode_varint(v: int) -> bytes:
     out = bytearray()
     v &= (1 << 64) - 1
@@ -514,6 +573,7 @@ def decode_block_columnar(raw: bytes) -> dict:
         return 1e-9 * (off + granularity * vals.astype(np.float64))
 
     plain_nodes, dense_nodes, ways, rels = [], [], [], []
+    way_raw: list[tuple] = []
     for g in groups:
         for num, _w, v in scan_fields(g):
             if num == 1:  # plain Node (non-dense variant)
@@ -599,14 +659,17 @@ def decode_block_columnar(raw: bytes) -> dict:
                         wid = fv
                     elif fn in (2, 3, 8):  # chunk-accumulate (see DenseNodes)
                         packed.setdefault(fn, bytearray()).extend(bytes(fv))
-
-                def _vals(fn: int) -> np.ndarray:
-                    return decode_varints(bytes(packed.get(fn, b"")))
-
-                keys, vals_ = _vals(2), _vals(3)
-                refs = zz_cumsum(bytes(packed.get(8, b"")))
-                tags = {strings[int(k)]: strings[int(x)] for k, x in zip(keys, vals_)}
-                ways.append((int(wid), refs.tolist(), tags))
+                # defer the packed-field decode: all ways' tiny buffers
+                # batch into one vectorized pass after the group walk
+                # (batch_decode_varints / batch_zz_cumsum)
+                way_raw.append(
+                    (
+                        int(wid),
+                        bytes(packed.get(2, b"")),
+                        bytes(packed.get(3, b"")),
+                        bytes(packed.get(8, b"")),
+                    )
+                )
             elif num == 4:  # Relation
                 rid = None
                 packed = {}
@@ -631,6 +694,24 @@ def decode_block_columnar(raw: bytes) -> dict:
                     for t, m, r in zip(types, memids, roles)
                 ]
                 rels.append((int(rid), members, tags))
+
+    # flush the deferred ways: three vectorized batch decodes over all
+    # ways' concatenated packed fields instead of 3 × n_ways tiny ones
+    if way_raw:
+        kflat, kcnt = _batch_decode_flat([w[1] for w in way_raw])
+        vflat, _vcnt = _batch_decode_flat([w[2] for w in way_raw])
+        rflat, rcnt = _batch_zz_cumsum_flat([w[3] for w in way_raw])
+        # one bulk tolist each, then python LIST slices per way — numpy
+        # per-segment views (np.split) cost ~20× for 8000 tiny segments
+        kl, vl, rl = kflat.tolist(), vflat.tolist(), rflat.tolist()
+        kb = np.concatenate([[0], np.cumsum(kcnt)]).tolist()
+        rb = np.concatenate([[0], np.cumsum(rcnt)]).tolist()
+        for i, (wid, _k, _v, _r) in enumerate(way_raw):
+            tags = {
+                strings[k]: strings[x]
+                for k, x in zip(kl[kb[i] : kb[i + 1]], vl[kb[i] : kb[i + 1]])
+            }
+            ways.append((wid, rl[rb[i] : rb[i + 1]], tags))
 
     # merge dense (columnar) + plain (row) nodes into one columnar form
     id_parts = [d[0] for d in dense_nodes]

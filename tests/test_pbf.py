@@ -431,6 +431,34 @@ def test_write_dense_pbf_roundtrips_through_read_pbf(spark, tmp_path):
         )
 
 
+def test_batched_small_buffer_decode_matches_per_buffer():
+    """The way-block batch decoders (one vectorized pass over all ways'
+    concatenated packed fields) must equal the per-buffer decoders on
+    mixed tiny buffers, including empties and int64-wrap deltas."""
+    from osm_render_spark.sources.pbf import (
+        batch_decode_varints,
+        batch_zz_cumsum,
+        zz_cumsum,
+    )
+
+    rng = np.random.default_rng(0)
+    bufs_plain, bufs_zz = [], []
+    for i in range(300):
+        n = int(rng.integers(0, 12))
+        vals = rng.integers(0, 2**63, n, dtype=np.int64).astype(np.uint64)
+        bufs_plain.append(b"".join(_encode_varint(int(v)) for v in vals))
+        sv = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+        if n:
+            sv[0] = [-(2**62), 2**62][i % 2]  # wrap stress
+        bufs_zz.append(_packed_zz(np.diff(sv, prepend=np.int64(0))) if n else b"")
+    for g, b in zip(batch_decode_varints(bufs_plain), bufs_plain):
+        want = decode_varints(np.frombuffer(b, np.uint8)) if b else []
+        assert list(g) == list(want)
+    for g, b in zip(batch_zz_cumsum(bufs_zz), bufs_zz):
+        want = zz_cumsum(b) if b else []
+        assert g.tolist() == list(want)
+
+
 @given(vals=st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=60))
 @settings(max_examples=150, deadline=None)
 @example(vals=[-(2**62), 2**62])  # int64-wrap regression (hypothesis find)
