@@ -188,6 +188,8 @@ def knn_join_celled(
       know their zoom keeps the unsafe set tiny should pass
       ``fallback="expr"`` explicitly.
     """
+    if fallback not in ("auto", "expr", "kernel"):
+        raise ValueError(f"fallback must be auto|expr|kernel, got {fallback!r}")
     n = 1 << zoom
     cand = candidates.withColumn(
         "cx", F.expr(f"CAST({_tx('lon', zoom)} AS BIGINT)")
@@ -217,6 +219,14 @@ def knn_join_celled(
     )
     if not exact:
         return ranked
+    if fallback != "expr":
+        # auto/kernel end in a build-time collect of the unsafe set, so
+        # without this the ring-join/window subplan would execute TWICE
+        # (once for the collect, once when the caller acts on the result).
+        # ranked is bounded at ≤ k rows per query (4 narrow columns) —
+        # checkpointing it lets the collect and the returned plan share
+        # one materialization. "expr" stays fully lazy, untouched.
+        ranked = ranked.localCheckpoint(eager=True)
 
     # --- exactness certificate per query (degree-space safe radius) -------
     # ring spans cells [qcx-1, qcx+2) × [qcy-1, qcy+2); its boundary in
@@ -255,8 +265,6 @@ def knn_join_celled(
     ).select("query_id", "qlon", "qlat")
     safe_ids = verdicts.join(unsafe, "query_id", "left_anti").select("query_id")
     exact_part = ranked.join(safe_ids, "query_id", "left_semi")
-    if fallback not in ("auto", "expr", "kernel"):
-        raise ValueError(f"fallback must be auto|expr|kernel, got {fallback!r}")
     if fallback == "expr":
         # expression form: fully lazy, fine while the unsafe set is tiny
         fb = knn_join(

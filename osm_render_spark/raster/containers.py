@@ -101,18 +101,29 @@ def decode_avi_frames(data: bytes) -> list[np.ndarray]:
     w = h = bits = None
     compression = None
     top_down = False  # DIB rows are bottom-up unless biHeight < 0
+    last_strh_type = b""  # fccType of the most recent strh chunk
     frames_raw: list[memoryview] = []
 
     # offset-carrying walker (LISTs recurse past their 4-byte list type)
     def walk2(pos: int, end: int) -> None:
-        nonlocal w, h, bits, compression, top_down
+        nonlocal w, h, bits, compression, top_down, last_strh_type
         while pos + 8 <= end:
             fourcc = bytes(buf[pos : pos + 4])
             (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
             body_start, body_end = pos + 8, pos + 8 + size
             if fourcc in (b"LIST", b"RIFF"):
                 walk2(body_start + 4, body_end)  # skip the 4-byte list type
+            elif fourcc == b"strh" and size >= 4:
+                last_strh_type = bytes(buf[body_start : body_start + 4])
             elif fourcc == b"strf" and size >= 20 and bits is None:
+                # strf's shape depends on the stream it describes: only
+                # the one following a 'vids' strh is a BITMAPINFOHEADER.
+                # An audio strl can legally precede the video strl — its
+                # strf is WAVEFORMATEX bytes and must be skipped, not
+                # parsed as garbage width/height/bpp.
+                if last_strh_type != b"vids":
+                    pos = body_end + (size & 1)
+                    continue
                 _sz, bw, bh, _planes, bc, comp = struct.unpack(
                     "<IiiHHI", buf[body_start : body_start + 20]
                 )

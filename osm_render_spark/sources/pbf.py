@@ -1104,68 +1104,71 @@ def read_pbf(
         bad_row = F.when(
             F.col("prev_end").isNull(), F.col("offset") != 0
         ).otherwise(F.col("prev_end") != F.col("offset"))
+        if cache_index:
+            # one header walk TOTAL: the guard's broadcast job (driver
+            # builds broadcast relations before submitting the main
+            # stage) populates this cache, and every later reference —
+            # the data branch plus all actions on the three returned
+            # DataFrames — reads it. ~30 bytes/blob, driver-trivial.
+            idx = idx.persist()
+        # ONE aggregation pass folds every integrity counter (the r3 code
+        # ran gaps/overruns/tails/missing as separate subplans, so a
+        # single action re-walked the headers ~5×; on a remote store each
+        # walk is many small range reads): per-path partials, then a
+        # metadata-sized outer join against the listing for missing files.
         # coalesce: SUM over an empty index is NULL, and a NULL guard
         # column would crash the int() readback instead of diagnosing
-        viol = idx.agg(
-            F.coalesce(F.sum(F.when(bad_row, 1).otherwise(0)), F.lit(0)).alias(
-                "n_gaps"
-            ),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("offset") + F.col("length") > F.col("file_size"), 1
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            ).alias("n_overruns"),
-        )
-        tails = (
-            idx.groupBy("path", "file_size")
-            .agg(F.max(F.col("offset") + F.col("length")).alias("idx_end"))
-            .agg(
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("idx_end") != F.col("file_size"), 1).otherwise(
-                            0
-                        )
-                    ),
-                    F.lit(0),
-                ).alias("n_tails")
-            )
+        per_path = idx.groupBy("path").agg(
+            F.sum(F.when(bad_row, 1).otherwise(0)).alias("p_gaps"),
+            F.sum(
+                F.when(
+                    F.col("offset") + F.col("length") > F.col("file_size"), 1
+                ).otherwise(0)
+            ).alias("p_overruns"),
+            F.max(F.col("offset") + F.col("length")).alias("idx_end"),
         )
         # a listed file that contributed ZERO index rows is invisible to
-        # the row-wise checks above — count it explicitly or a whole
-        # garbage file would vanish silently
-        missing = (
-            listing.join(idx.select("path").distinct(), "path", "left_anti")
-            .agg(F.count("*").alias("n_missing"))
+        # the row-wise checks above — the left join makes it a NULL
+        # partial row, counted as missing, so a whole garbage file can't
+        # vanish silently
+        guard = (
+            listing.join(per_path, "path", "left")
+            .agg(
+                F.coalesce(F.sum("p_gaps"), F.lit(0)).alias("n_gaps"),
+                F.coalesce(F.sum("p_overruns"), F.lit(0)).alias("n_overruns"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("idx_end") != F.col("file_size"), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_tails"),
+                F.coalesce(
+                    F.sum(F.when(F.col("idx_end").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_missing"),
+            )
         )
-        guard = viol.crossJoin(tails).crossJoin(missing)
-        # a SENTINEL row exists iff the check fails: without it a file
-        # whose corruption empties the OSMData set would return zero
-        # rows silently (the guard columns ride on data rows, and there
-        # would be none to carry them)
-        sentinel = guard.where(
-            (F.col("n_gaps") > 0)
-            | (F.col("n_overruns") > 0)
-            | (F.col("n_tails") > 0)
-            | (F.col("n_missing") > 0)
-        ).select(
-            F.lit("!tiling-violation").alias("path"),
+        # a CARRIER row always exists: without it a file whose corruption
+        # empties the OSMData set would return zero rows silently (the
+        # guard columns ride on data rows, and there would be none to
+        # carry them). It rides through the broadcast crossJoin like any
+        # data row and is skipped by the decode loop (offset < 0), so the
+        # guard subplan is referenced exactly ONCE — no sentinel branch
+        # re-running the aggregation.
+        carrier = spark.range(1).select(
+            F.lit("!guard-carrier").alias("path"),
             F.lit(-1).alias("blob_idx"),
             F.lit(-1).cast("long").alias("offset"),
             F.lit(-1).cast("long").alias("length"),
-            "n_gaps",
-            "n_overruns",
-            "n_tails",
-            "n_missing",
         )
         blobs = (
             idx.where(F.col("btype") == "OSMData")
             .select("path", "blob_idx", "offset", "length")
             .repartition(n_part, "path", "blob_idx")
+            .unionByName(carrier)
             .crossJoin(F.broadcast(guard))
-            .unionByName(sentinel)
         )
         if cache_index:
             blobs = blobs.persist()
@@ -1186,6 +1189,9 @@ def read_pbf(
                         "inspect the file; read_pbf(..., use_index=False) "
                         "reads whole files without the framing walk limits"
                     )
+            # the guard-carrier row exists only to ferry the counters
+            # above into partitions that might otherwise be empty
+            pdf = pdf[pdf["offset"] >= 0]
             # one handle per (file, task); each blob is one range read of
             # exactly [offset, offset+length) — the task's peak buffer is
             # a single compressed blob

@@ -49,6 +49,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -226,7 +227,11 @@ def exact_dedup_foreach_batch(out_path: str, seen_path: str):
         hashed = batch.withColumn("h", F.sha2(F.col("text"), 256))
         try:
             # read-or-absent probe instead of a filesystem check: works on
-            # any Hadoop-compatible store (os.path.exists is local-only)
+            # any Hadoop-compatible store (os.path.exists is local-only).
+            # Only the PATH_NOT_FOUND error *class* means "first batch" —
+            # any other failure (transient FS error, permission, corrupt
+            # footer) must propagate, or a silent skip of the seen-table
+            # anti-join would emit duplicates instead of failing.
             seen = (
                 spark.read.option("basePath", seen_path)
                 .parquet(seen_path)
@@ -234,8 +239,13 @@ def exact_dedup_foreach_batch(out_path: str, seen_path: str):
                 .select("h")
             )
             fresh = hashed.join(seen, "h", "left_anti")
-        except Exception as e:  # AnalysisException: PATH_NOT_FOUND (first batch)
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+        except AnalysisException as e:
+            cond = (
+                e.getCondition()
+                if hasattr(e, "getCondition")
+                else e.getErrorClass()
+            ) or ""
+            if cond != "PATH_NOT_FOUND":
                 raise
             fresh = hashed
         # one batch may legitimately carry a hash twice only on bloom

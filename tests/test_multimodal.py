@@ -160,6 +160,56 @@ def test_avi_top_down_rows_decode_unmirrored():
         assert (a[:, :, :3] == want[:, :, :3]).all()
 
 
+def test_avi_audio_strl_before_video_decodes():
+    """An AVI whose audio strl precedes the video strl is legal stream
+    order; the reader must match strf chunks to the preceding strh's
+    fccType, not grab the first strf in the file (which would parse
+    WAVEFORMATEX bytes as a BITMAPINFOHEADER)."""
+    import struct
+
+    import numpy as np
+
+    from osm_render_spark.raster.containers import decode_avi_frames, encode_avi
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 255, (7, 9, 4), dtype=np.uint8) for _ in range(2)]
+    for f in frames:
+        f[:, :, 3] = 255
+    avi = bytearray(encode_avi(frames, fps=5))
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    # audio strl: strh(fccType='auds') + strf(WAVEFORMATEX 18 bytes whose
+    # leading fields would read as nonsense width/height if misparsed)
+    auds_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"auds", b"\x00" * 4, 0, 0, 0, 0, 1, 8000, 0, 8000, 1, 0, 0, 0, 0, 0, 0,
+    )
+    wavefmt = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+    audio_strl = chunk(b"LIST", b"strl" + chunk(b"strh", auds_strh) + chunk(b"strf", wavefmt))
+
+    # splice the audio strl in as the FIRST child of hdrl, after avih
+    hdrl_pos = avi.find(b"hdrl")
+    assert hdrl_pos > 0
+    avih_size = struct.unpack("<I", avi[hdrl_pos + 8 : hdrl_pos + 12])[0]
+    insert_at = hdrl_pos + 4 + 8 + avih_size  # after the avih chunk
+    avi[insert_at:insert_at] = audio_strl
+    # fix up the two enclosing sizes: hdrl LIST and the RIFF header
+    hdrl_size_pos = hdrl_pos - 4
+    old_hdrl = struct.unpack("<I", avi[hdrl_size_pos : hdrl_size_pos + 4])[0]
+    avi[hdrl_size_pos : hdrl_size_pos + 4] = struct.pack("<I", old_hdrl + len(audio_strl))
+    old_riff = struct.unpack("<I", avi[4:8])[0]
+    avi[4:8] = struct.pack("<I", old_riff + len(audio_strl))
+
+    decoded = decode_avi_frames(bytes(avi))
+    assert len(decoded) == 2
+    for got, want in zip(decoded, frames):
+        assert (got[:, :, :3] == want[:, :, :3]).all()
+
+
 def test_bloom_n_hashes_validated():
     from osm_render_spark.streaming.dedup import streaming_dedup_bloom
 

@@ -22,7 +22,15 @@ from pyspark.sql import SparkSession
 
 def main() -> int:
     scene_name = sys.argv[1] if len(sys.argv) > 1 else "bridges"
-    ckpt = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="pipe_ckpt_")
+    auto_ckpt = len(sys.argv) <= 2
+    ckpt = sys.argv[2] if not auto_ckpt else tempfile.mkdtemp(prefix="pipe_ckpt_")
+    if auto_ckpt:
+        # an auto-created scratch checkpoint is removed at exit; a
+        # user-supplied dir (the reuse-the-cache workflow) is kept
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
 
     spark = SparkSession.builder.appName("osm_render_spark_pipeline").getOrCreate()
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
