@@ -817,6 +817,60 @@ ORDER BY revenue DESC, n_name
     return _sql_query(sql)
 
 
+def _q_tpch_q18() -> QueryDef:
+    """TPC-H Q18 shape (large-volume customers): an IN-subquery with a
+    grouped HAVING over the fact table, decorrelated by Catalyst into a
+    left-semi join against the re-aggregated lineitem, followed by a
+    top-k (LIMIT) over the final aggregate — the subquery/top-k-per-agg
+    surface the Q1/Q3/Q5 trio doesn't touch. Plan shape pinned in
+    tests/test_plans.py (semi join present, no per-row subquery).
+    l_quantity is integral in the testdata so the HAVING sum is
+    order-independent in DOUBLE; the output sum still accumulates in
+    DECIMAL per the engine-wide rule. Tie-break on o_orderkey makes the
+    LIMIT cut deterministic."""
+    sql = """
+SELECT c_custkey, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_custkey, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+    return _sql_query(sql)
+
+
+def _q_tpch_q17() -> QueryDef:
+    """TPC-H Q17 shape (small-quantity-order revenue), grouped by brand
+    so the result is a real table instead of one scalar: a CORRELATED
+    scalar subquery — each lineitem row compares against 0.2 × the mean
+    quantity of ITS OWN part — which Catalyst must decorrelate into an
+    aggregate-then-join (pinned in tests/test_plans.py). The per-part
+    AVG is exact in DOUBLE (integral quantities, counts ≪ 2^53), so the
+    filter is engine-independent; the revenue sum accumulates in
+    DECIMAL."""
+    sql = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (
+  SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+  FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+    return _sql_query(sql)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / text analysis / similarity
 # (operators.text defines one arithmetic, rendered into both dialects)
@@ -2034,6 +2088,8 @@ def build_queries() -> dict[str, QueryDef]:
         "tpch_q1": _q_tpch_q1(),
         "tpch_q3": _q_tpch_q3(),
         "tpch_q5": _q_tpch_q5(),
+        "tpch_q18": _q_tpch_q18(),
+        "tpch_q17": _q_tpch_q17(),
         "image_pipeline": _q_image_pipeline(),
         "dedup_exact": _q_dedup_exact(),
         "token_count": _q_token_count(),

@@ -241,3 +241,38 @@ def test_tpch_q5_six_table_join_broadcasts_dims_and_pushes_dates(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed date filter
+
+
+def test_tpch_q18_in_subquery_decorrelates_to_semi_join(spark):
+    """Q18's IN (SELECT ... GROUP BY ... HAVING) must plan as an
+    aggregate feeding a LeftSemi join — never a per-row subquery
+    execution (there is no such physical operator for IN over an agg,
+    but pin the semi join explicitly so a regression to e.g. a
+    BroadcastNestedLoopJoin over the whole fact table is caught)."""
+    from osm_render_spark.queries import build_queries
+
+    df = build_queries()["tpch_q18"].spark_fn(spark, SF)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the top-k LIMIT must plan as TakeOrderedAndProject, not a full
+    # global sort followed by a collect-limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q17_correlated_scalar_decorrelates_to_agg_join(spark):
+    """Q17's correlated scalar subquery (per-part mean quantity) must be
+    decorrelated: the per-part AVG becomes an Aggregate joined back on
+    l_partkey — two scans of lineitem, zero per-row subquery plans."""
+    from osm_render_spark.queries import build_queries
+
+    df = build_queries()["tpch_q17"].spark_fn(spark, SF)
+    plan = _plan(df)
+    # the decorrelated per-part aggregate appears as avg(l_quantity)
+    assert "avg(" in plan and "l_partkey" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # correlated-subquery leftovers would surface as a scalar-subquery
+    # node in the final plan
+    assert "scalar-subquery" not in plan.lower()
