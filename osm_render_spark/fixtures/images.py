@@ -5,8 +5,8 @@ caption:string, phash:int64), FIXTURES.md §1.
 Deterministic pure function of (n, seed): pixel content is solid base +
 gradient + filled polygons derived arithmetically from the row index
 (the RNG seeds only the lon/lat placement). PNG rows round-trip
-byte-stable; "jpeg" rows use the documented deterministic lossy stand-in
-and exercise the PSNR path.
+byte-stable; "jpeg" rows go through the REAL baseline JPEG codec
+(raster/jpeg.py) and exercise the lossy PSNR path.
 """
 
 from __future__ import annotations

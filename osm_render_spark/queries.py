@@ -1685,6 +1685,94 @@ FROM nation ORDER BY image_id
     return QueryDef(fn, duck)
 
 
+def _jpeg_test_image(k: int) -> "np.ndarray":
+    """Deterministic luma-dominant sinusoid — smooth content where the
+    JPEG PSNR floor is discriminative (a broken IDCT/Huffman/upsample
+    lands near 10 dB; the correct codec measures ≥ 27.7 dB over all 25
+    keys, floor set at 24)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:48, 0:48].astype(np.float64)
+    base = 128.0 + 90.0 * np.sin((x + 3 * k) / 7.0) * np.cos((y + 2 * k) / 9.0)
+    img = np.empty((48, 48, 3), np.uint8)
+    for c, s in enumerate((1.0, 0.92, 0.84)):
+        img[:, :, c] = np.floor(np.clip(base * s, 0.0, 255.0) + 0.5).astype(np.uint8)
+    return img
+
+
+def _jpeg_variant(k: int) -> tuple[int, str, int]:
+    """(quality, subsampling, restart_interval) rotated per key so the
+    25 oracle rows jointly cover 4:4:4, 4:2:0, restart markers, and 11
+    quality levels."""
+    return 85 + k % 11, ("444" if k % 2 else "420"), (3 if k % 3 == 0 else 0)
+
+
+def _q_jpeg_roundtrip() -> QueryDef:
+    """REAL baseline JPEG codec (raster/jpeg.py) under the oracle: per
+    nation key, encode a deterministic 48×48 image (quality/subsampling/
+    restart rotated per key), decode it back, and emit
+    (a) recovered dimensions, (b) a PSNR-vs-pre-encode verdict — the
+    codec-independent check: pre-encode pixels are ground truth no
+    decoder bug can fake — and (c) the decoded pixel-sum checksum,
+    which pins BIT-exact decode determinism across driver and executors
+    (the literal is computed driver-side at query-build time from the
+    same pure function; Arrow transport or executor-side numerical
+    drift would mismatch)."""
+    import numpy as np
+
+    from .raster.codec import psnr as _psnr
+    from .raster.jpeg import decode_jpeg, encode_jpeg
+
+    values = []
+    for k in range(25):
+        img = _jpeg_test_image(k)
+        q, sub, dri = _jpeg_variant(k)
+        dec = decode_jpeg(encode_jpeg(img, q, sub, dri))
+        cs = int(dec.astype(np.int64).sum() % 1000000007)
+        values.append(f"({k}, {cs})")
+    duck = f"""
+SELECT v.k AS k, 48 AS w, 48 AS h, 1 AS psnr_ok, v.checksum AS checksum
+FROM (VALUES {", ".join(values)}) AS v(k, checksum)
+JOIN nation ON n_nationkey = v.k
+ORDER BY k
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        keys = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(F.col("n_nationkey").cast("long").alias("k"))
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["k"]:
+                    k = int(k)
+                    img = _jpeg_test_image(k)
+                    q, sub, dri = _jpeg_variant(k)
+                    dec = decode_jpeg(encode_jpeg(img, q, sub, dri))
+                    rows.append(
+                        (
+                            k,
+                            dec.shape[1],
+                            dec.shape[0],
+                            int(_psnr(img, dec) >= 24.0),
+                            int(dec.astype(np.int64).sum() % 1000000007),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["k", "w", "h", "psnr_ok", "checksum"]
+                )
+
+        return keys.mapInPandas(
+            kernel, schema="k long, w int, h int, psnr_ok int, checksum long"
+        ).orderBy("k")
+
+    return QueryDef(fn, duck)
+
+
 def _q_way_tile_fanout() -> QueryDef:
     """The slippy fan-out's tile-assignment core as an exact oracle check:
     per 'way' (order), the bbox of its vertices (lineitem-derived points)
@@ -2091,6 +2179,7 @@ def build_queries() -> dict[str, QueryDef]:
         "tpch_q18": _q_tpch_q18(),
         "tpch_q17": _q_tpch_q17(),
         "image_pipeline": _q_image_pipeline(),
+        "jpeg_roundtrip": _q_jpeg_roundtrip(),
         "dedup_exact": _q_dedup_exact(),
         "token_count": _q_token_count(),
         "text_quality": _q_text_quality(),

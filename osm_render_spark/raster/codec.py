@@ -5,12 +5,12 @@ container). Encoder emits filter-0 scanlines (deterministic, byte-stable
 for the round-trip requirement in FIXTURES.md §1); decoder handles all
 five standard filters.
 
-"jpeg": this container has no JPEG codec, so rows with fmt='jpeg' use a
-clearly-marked DETERMINISTIC LOSSY STAND-IN (channel quantization +
-zlib), which exercises the PSNR≥40dB lossy-comparison path end-to-end
-with real Spark plumbing. Swap `encode_fake_jpeg`/`decode_fake_jpeg` for
-a real libjpeg binding in production — the Spark-side schema, batching
-and comparison logic do not change.
+JPEG: REAL baseline codec in raster/jpeg.py (pure numpy Huffman + DCT —
+see that module's docstring for the supported profile). fmt='jpeg' rows
+encode/decode through it; the earlier deterministic stand-in
+(`encode_fake_jpeg`/`decode_fake_jpeg`, FJPG magic) is kept only so
+blobs written by older fixtures still decode — `decode_image` dispatches
+on the leading bytes.
 """
 
 from __future__ import annotations
@@ -140,7 +140,12 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(img)
     if fmt == "jpeg":
-        return encode_fake_jpeg(img)
+        from .jpeg import encode_jpeg
+
+        # 4:4:4 at q90: dimension-true and PSNR-stable on the synthetic
+        # hard-edge fixture content (sharp polygon chroma edges are the
+        # adversarial case for subsampling)
+        return encode_jpeg(img, quality=90, subsampling="444")
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -148,7 +153,11 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
-        return decode_fake_jpeg(data)
+        if data[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(bytes(data))
+        return decode_fake_jpeg(data)  # legacy FJPG blobs
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

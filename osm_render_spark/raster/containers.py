@@ -137,10 +137,29 @@ def decode_avi_frames(data: bytes) -> list[np.ndarray]:
     if w is None or not frames_raw:
         raise ValueError("AVI missing strf header or frame chunks")
     if compression != 0:
-        name = struct.pack("<I", compression).decode("ascii", "replace")
+        fourcc_c = struct.pack("<I", compression)
+        if fourcc_c in (b"MJPG", b"mjpg", b"dmb1"):
+            # Motion-JPEG: every frame chunk is an independent baseline
+            # JPEG (raster/jpeg.py). Frames conventionally OMIT Huffman
+            # tables — the decoder installs the Annex K standard set.
+            from .jpeg import decode_jpeg
+
+            out = []
+            for raw in frames_raw:
+                rgb = decode_jpeg(bytes(raw))
+                fh, fw = rgb.shape[:2]
+                rgba = np.empty((fh, fw, 4), dtype=np.uint8)
+                if rgb.shape[2] == 1:
+                    rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = rgb[:, :, 0]
+                else:
+                    rgba[:, :, :3] = rgb
+                rgba[:, :, 3] = 255
+                out.append(rgba)
+            return out
+        name = fourcc_c.decode("ascii", "replace")
         raise NotImplementedError(
             f"AVI stream is compressed (fourcc {name!r}); decoding it needs "
-            "a codec library not in this container — only BI_RGB decodes"
+            "a codec this engine lacks — BI_RGB and MJPG decode"
         )
     if bits not in (24, 32):
         raise NotImplementedError(f"{bits}-bpp DIB not supported (24/32 only)")
@@ -163,13 +182,44 @@ def decode_avi_frames(data: bytes) -> list[np.ndarray]:
     return out
 
 
-def encode_avi(frames: list[np.ndarray], fps: int = 10, top_down: bool = False) -> bytes:
-    """(h, w, 4) RGBA frames → minimal spec-valid uncompressed AVI
-    (BI_RGB 24-bpp '00db' chunks; alpha dropped). ``top_down=True``
-    writes negative-biHeight top-down rows (the other legal DIB row
-    order) — used to pin the reader's handling of both variants."""
+def _strip_dht(jpeg: bytes) -> bytes:
+    """Remove DHT segments from a JPEG — the MJPEG convention (frames
+    imply the Annex K standard tables). Exercises the decoder's
+    omitted-DHT fallback, which is what real MJPG files need."""
+    out = bytearray(jpeg[:2])
+    pos = 2
+    while pos < len(jpeg):
+        marker = jpeg[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:
+            out += jpeg[pos:]
+            break
+        (seg_len,) = struct.unpack(">H", jpeg[pos + 2 : pos + 4])
+        if marker != 0xC4:
+            out += jpeg[pos : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    return bytes(out)
+
+
+def encode_avi(
+    frames: list[np.ndarray],
+    fps: int = 10,
+    top_down: bool = False,
+    codec: str = "rgb",
+    quality: int = 85,
+) -> bytes:
+    """(h, w, 4) RGBA frames → minimal spec-valid AVI. ``codec="rgb"``
+    (default): uncompressed BI_RGB 24-bpp '00db' chunks (alpha dropped);
+    ``top_down=True`` writes negative-biHeight top-down rows (the other
+    legal DIB row order) — used to pin the reader's handling of both
+    variants. ``codec="mjpg"``: each frame is an independent baseline
+    JPEG '00dc' chunk (raster/jpeg.py, 4:2:0 at ``quality``) with DHT
+    segments STRIPPED per the MJPEG convention."""
     if not frames:
         raise ValueError("no frames")
+    if codec not in ("rgb", "mjpg"):
+        raise ValueError(f"codec must be rgb or mjpg, got {codec!r}")
+    if codec == "mjpg":
+        return _encode_avi_mjpg(frames, fps, quality)
     h, w = frames[0].shape[:2]
     bpp = 3
     stride = (w * bpp + 3) & ~3
@@ -212,5 +262,48 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10, top_down: bool = False) 
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
     movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _encode_avi_mjpg(frames: list[np.ndarray], fps: int, quality: int) -> bytes:
+    from .jpeg import encode_jpeg
+
+    h, w = frames[0].shape[:2]
+    frame_bytes = [
+        _strip_dht(encode_jpeg(f[:, :, :3], quality=quality, subsampling="420"))
+        for f in frames
+    ]
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    max_sz = max(len(fb) for fb in frame_bytes)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, max_sz * fps, 0, 0x10, len(frames), 0, 1,
+        max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        max_sz, 0xFFFFFFFF & -1, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, struct.unpack("<I", b"MJPG")[0],
+        max_sz, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fb) for fb in frame_bytes))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -1,0 +1,699 @@
+"""Baseline JPEG (ITU-T T.81) codec — pure numpy + stdlib, same
+from-scratch discipline as codec.py's PNG (reference precedent: the
+PNG handling in OsmRender.m:101-135; the reference links a system image
+library, this engine carries its own codec because the container has
+none).
+
+Decoder: baseline sequential Huffman DCT (SOF0, and SOF1 which decodes
+identically at 8-bit precision), grayscale or 3-component YCbCr with
+any sampling factors 1..2 (4:4:4, 4:2:2, 4:2:0, 4:4:0), 8- and 16-bit
+quantization tables, restart markers, and the MJPEG convention of
+OMITTED Huffman tables (the Annex K standard tables are installed when
+a scan starts with none defined — this is what makes MJPG-in-AVI frames
+decodable, raster/containers.py). Progressive (SOF2), lossless,
+hierarchical, arithmetic-coded and 12-bit frames raise
+NotImplementedError naming the feature.
+
+Encoder: quality-scaled Annex K quantization tables (the public libjpeg
+scaling formula), the Annex K standard Huffman tables, optional 4:2:0
+subsampling and restart intervals. Exists so tests and fixtures are
+self-contained (no image library in the container) and to give the
+decoder a spec-honest adversary: every decoder feature above is pinned
+by decoding encoder output plus hand-spliced variations (tests).
+
+Scale note: entropy decode is a per-symbol python loop over a 16-bit
+table lookup (Huffman is inherently sequential *within* one image); the
+engine's parallel unit is the IMAGE — Arrow batches of independent blobs
+inside mapInPandas (raster/ops.py) — so a cluster decodes N images on N
+cores regardless of per-image cost. Everything after entropy decode
+(dequant, IDCT, upsample, color) is vectorized numpy across all blocks
+of the image.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+import numpy as np
+
+# --- public constants from ITU-T T.81 ------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1 / K.2 example quantization tables (natural order)
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 standard Huffman tables: (BITS[1..16], HUFFVAL)
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8-point DCT-II basis: D[u, x] = c(u)/2 * cos((2x+1)uπ/16)
+_D = np.empty((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _D[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+del _u, _c, _x
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic-coded sequential (SOF9)",
+    0xCA: "arithmetic-coded progressive (SOF10)",
+    0xCB: "arithmetic-coded lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+# --- Huffman table machinery ----------------------------------------------
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> list[tuple[int, int, int]]:
+    """(BITS, HUFFVAL) → [(symbol, code, length)] in canonical order."""
+    out = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], code, length))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """16-bit-peek lookup tables: lut_sym[peek16] / lut_len[peek16].
+    Python lists — int indexing beats numpy scalar dispatch in the
+    per-symbol loop (CLAUDE.md tiny-array trap). Cached by table content:
+    real streams reuse the 4 standard tables, and rebuilding 65536
+    entries per image would dominate small-image decode (~4 ms/table)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = [0] * 65536
+    length = [0] * 65536
+    for s, code, ln in _canonical_codes(bits, vals):
+        lo = code << (16 - ln)
+        hi = (code + 1) << (16 - ln)
+        sym[lo:hi] = [s] * (hi - lo)
+        length[lo:hi] = [ln] * (hi - lo)
+    _LUT_CACHE[key] = (sym, length)
+    return sym, length
+
+
+_ENC_CACHE: dict[tuple, dict[int, tuple[int, int]]] = {}
+
+
+def _encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    key = (tuple(bits), tuple(vals))
+    hit = _ENC_CACHE.get(key)
+    if hit is None:
+        hit = {s: (code, ln) for s, code, ln in _canonical_codes(bits, vals)}
+        _ENC_CACHE[key] = hit
+    return hit
+
+
+def _dht_payload(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+    bits, vals = table
+    return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+
+# --- bit I/O ---------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first reader over UNSTUFFED entropy bytes. Reads past the end
+    return 1-bits (the spec's pad value), so a final partially-padded
+    byte decodes without bounds branches in the hot loop."""
+
+    __slots__ = ("buf", "i", "n", "acc", "end")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.i = 0
+        self.n = 0
+        self.acc = 0
+        self.end = len(buf)
+
+    def _fill(self, need: int) -> None:
+        buf, i = self.buf, self.i
+        while self.n < need:
+            self.acc = (self.acc << 8) | (buf[i] if i < self.end else 0xFF)
+            i += 1
+            self.n += 8
+        self.i = i
+
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._fill(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill(k)
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12 EXTEND: s-bit magnitude → signed coefficient."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+# --- decoder ----------------------------------------------------------------
+
+_SCAN_END = re.compile(rb"\xff(?![\x00\xd0-\xd7])")
+_RST_SPLIT = re.compile(rb"\xff[\xd0-\xd7]")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w, 3) RGB uint8 (or (h, w, 1) for a
+    single-component grayscale frame)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, tuple[list[int], list[int]]] = {}
+    huff_ac: dict[int, tuple[list[int], list[int]]] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(comp_id, hi, vi, tq)])
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # no payload
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG {_SOF_UNSUPPORTED[marker]} decoding is not "
+                "implemented — baseline sequential (SOF0/SOF1) only"
+            )
+        if marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision (8 only)")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                tcth = body[o]
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                tbl = (bits, vals)
+                (huff_dc if tcth >> 4 == 0 else huff_ac)[tcth & 15] = tbl
+                o += 17 + nv
+        elif marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        body[o + 1 : o + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    o += 65
+                else:  # 16-bit table
+                    qt[tq] = np.frombuffer(
+                        body[o + 1 : o + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    o += 129
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — baseline has exactly one scan
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                scan_comps.append((cs, tdta >> 4, tdta & 15))
+            if not huff_dc and not huff_ac:
+                # MJPEG convention: frames carry no DHT; the standard
+                # Annex K tables are implied
+                huff_dc = {0: HUFF_DC_LUMA, 1: HUFF_DC_CHROMA}
+                huff_ac = {0: HUFF_AC_LUMA, 1: HUFF_AC_CHROMA}
+            return _decode_scan(
+                data, pos, frame, scan_comps, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / anything else with a length: skipped
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(data, pos, frame, scan_comps, qt, huff_dc, huff_ac, dri):
+    img_h, img_w, comps = frame
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcu_cols = -(-img_w // (8 * hmax))
+    mcu_rows = -(-img_h // (8 * vmax))
+    n_mcus = mcu_cols * mcu_rows
+
+    # per scan-component: LUTs, coefficient stores, block counts
+    luts = []
+    coefs = []
+    blocks_per_mcu = []
+    for cs, td, ta in scan_comps:
+        hi, vi, _tq = by_id[cs]
+        luts.append((_decode_lut(*huff_dc[td]), _decode_lut(*huff_ac[ta])))
+        blocks_per_mcu.append(hi * vi)
+        coefs.append(np.zeros((n_mcus * hi * vi, 64), dtype=np.int32))
+
+    # isolate the entropy stream: ends at the first marker that is not
+    # byte-stuffing and not RSTn; split on RSTn, unstuff each segment
+    m = _SCAN_END.search(data, pos)
+    scan_bytes = data[pos : m.start() if m else len(data)]
+    segments = [
+        s.replace(b"\xff\x00", b"\xff") for s in _RST_SPLIT.split(scan_bytes)
+    ]
+    expected_segments = (
+        -(-n_mcus // dri) if dri else 1
+    )
+    if len(segments) != expected_segments:
+        raise ValueError(
+            f"restart structure mismatch: {len(segments)} entropy segments "
+            f"for {n_mcus} MCUs at restart interval {dri}"
+        )
+
+    mcu = 0
+    for seg in segments:
+        bits = _BitReader(seg)
+        preds = [0] * len(scan_comps)
+        seg_mcus = min(dri, n_mcus - mcu) if dri else n_mcus
+        for _ in range(seg_mcus):
+            for ci in range(len(scan_comps)):
+                (dc_sym, dc_len), (ac_sym, ac_len) = luts[ci]
+                nb = blocks_per_mcu[ci]
+                store = coefs[ci]
+                base = mcu * nb
+                for b in range(nb):
+                    row = store[base + b]
+                    # DC
+                    p = bits.peek16()
+                    ln = dc_len[p]
+                    if ln == 0:
+                        raise ValueError("invalid DC Huffman code")
+                    bits.skip(ln)
+                    s = dc_sym[p]
+                    diff = _extend(bits.read(s), s) if s else 0
+                    preds[ci] += diff
+                    row[0] = preds[ci]
+                    # AC
+                    k = 1
+                    while k < 64:
+                        p = bits.peek16()
+                        ln = ac_len[p]
+                        if ln == 0:
+                            raise ValueError("invalid AC Huffman code")
+                        bits.skip(ln)
+                        rs = ac_sym[p]
+                        s = rs & 15
+                        if s == 0:
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        row[k] = _extend(bits.read(s), s)
+                        k += 1
+            mcu += 1
+
+    # vectorized reconstruction per component
+    planes = []
+    for ci, (cs, _td, _ta) in enumerate(scan_comps):
+        hi, vi, tq = by_id[cs]
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+        dq = coefs[ci].astype(np.float64) * qt[tq][ZIGZAG]  # still zigzag
+        nat = np.empty_like(dq)
+        nat[:, ZIGZAG] = dq  # dezigzag
+        F = nat.reshape(-1, 8, 8)
+        blocks = np.einsum("ux,nuv,vy->nxy", _D, F, _D) + 128.0
+        blocks = np.clip(np.floor(blocks + 0.5), 0, 255).astype(np.uint8)
+        plane = (
+            blocks.reshape(mcu_rows, mcu_cols, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcu_rows * vi * 8, mcu_cols * hi * 8)
+        )
+        comp_h = -(-img_h * vi // vmax)
+        comp_w = -(-img_w * hi // hmax)
+        plane = plane[:comp_h, :comp_w]
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        planes.append(plane[:img_h, :img_w])
+
+    if len(planes) == 1:
+        return planes[0][:, :, None].copy()
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# --- encoder ----------------------------------------------------------------
+
+def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality→scale mapping over the Annex K tables."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _subsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Box-mean downsample by (fy, fx) with edge replication to even
+    multiples first."""
+    if fy == 1 and fx == 1:
+        return plane
+    h, w = plane.shape
+    ph = -(-h // fy) * fy
+    pw = -(-w // fx) * fx
+    if ph != h or pw != w:
+        plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def _blockify(plane: np.ndarray, mcu_rows: int, mcu_cols: int, vi: int, hi: int) -> np.ndarray:
+    """Pad (edge) to the MCU grid and emit blocks in MCU order,
+    shape (mcu_rows*mcu_cols*vi*hi, 8, 8)."""
+    th, tw = mcu_rows * vi * 8, mcu_cols * hi * 8
+    h, w = plane.shape
+    if th != h or tw != w:
+        plane = np.pad(plane, ((0, th - h), (0, tw - w)), mode="edge")
+    return (
+        plane.reshape(mcu_rows, vi, 8, mcu_cols, hi, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w[, c]) uint8 → baseline JFIF bytes. c ∈ {1 gray, 3 RGB,
+    4 RGBA (alpha dropped — JPEG has no alpha)}. ``subsampling``:
+    "444" (no chroma subsampling) or "420" (2×2 box mean).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart path and is what a robust
+    encoder does for error resilience on large images)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 3, 4):
+        raise ValueError(f"unsupported channel count {c}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444 or 420, got {subsampling!r}")
+    gray = c == 1
+    qt0 = _scaled_qtable(QT_LUMA, quality)
+    qt1 = _scaled_qtable(QT_CHROMA, quality)
+
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        factors = [(1, 1)]
+        qtabs = [qt0]
+        tsel = [0]  # huffman/quant table class per component
+    else:
+        y, cb, cr = _to_ycbcr(img)
+        if subsampling == "420":
+            factors = [(2, 2), (1, 1), (1, 1)]  # (hi, vi)
+            planes = [y, _subsample(cb, 2, 2), _subsample(cr, 2, 2)]
+        else:
+            factors = [(1, 1), (1, 1), (1, 1)]
+            planes = [y, cb, cr]
+        qtabs = [qt0, qt1, qt1]
+        tsel = [0, 1, 1]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+    n_mcus = mcu_cols * mcu_rows
+
+    # DCT + quantize, all blocks per component at once
+    zz_all = []
+    for plane, (hi, vi), qtab in zip(planes, factors, qtabs):
+        blocks = _blockify(plane, mcu_rows, mcu_cols, vi, hi) - 128.0
+        F = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
+        qn = F.reshape(-1, 64)[:, ZIGZAG] / qtab[ZIGZAG]
+        q = np.where(qn >= 0, np.floor(qn + 0.5), -np.floor(-qn + 0.5))
+        zz_all.append(q.astype(np.int64))
+
+    dc_maps = [_encode_map(*HUFF_DC_LUMA), _encode_map(*HUFF_DC_CHROMA)]
+    ac_maps = [_encode_map(*HUFF_AC_LUMA), _encode_map(*HUFF_AC_CHROMA)]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) + bytes(
+        int(v) for v in qt0[ZIGZAG]
+    )
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([1]) + bytes(
+            int(v) for v in qt1[ZIGZAG]
+        )
+    # SOF0
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hi, vi = factors[i]
+        sof += bytes([i + 1, hi << 4 | vi, tsel[i]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    tables = [(0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA)]
+    if not gray:
+        tables += [(0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA)]
+    for tc, th, tbl in tables:
+        payload = _dht_payload(tc, th, tbl)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, tsel[i] << 4 | tsel[i]])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # entropy-coded scan
+    bw = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out += bw.buf
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            preds = [0] * nc
+        for ci in range(nc):
+            hi, vi = factors[ci]
+            dc_map, ac_map = dc_maps[tsel[ci]], ac_maps[tsel[ci]]
+            nb = hi * vi
+            for b in range(nb):
+                row = zz_all[ci][mcu * nb + b]
+                diff = int(row[0]) - preds[ci]
+                preds[ci] = int(row[0])
+                s = abs(diff).bit_length()
+                mag = diff + (1 << s) - 1 if diff < 0 else diff
+                code, ln = dc_map[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(mag, s)
+                run = 0
+                for k in range(1, 64):
+                    v = int(row[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_map[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    mag = v + (1 << s) - 1 if v < 0 else v
+                    code, ln = ac_map[run << 4 | s]
+                    bw.write(code, ln)
+                    bw.write(mag, s)
+                    run = 0
+                if run:
+                    code, ln = ac_map[0x00]
+                    bw.write(code, ln)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -609,10 +609,11 @@ def audio_features(audios: DataFrame, frame: int = 400) -> DataFrame:
 
 def sample_video_frames(videos: DataFrame, every_n: int) -> DataFrame:
     """Frame sampling over opaque video blobs. REAL decode for
-    uncompressed AVI (RIFF BI_RGB — raster/containers.py, no codec lib
-    needed) plus the deterministic fake_video_bytes fixture format;
-    compressed streams (h264/mjpeg/...) raise NotImplementedError naming
-    the fourcc (no codec library in this container)."""
+    uncompressed AVI (RIFF BI_RGB) and Motion-JPEG AVI (each frame an
+    independent baseline JPEG — raster/jpeg.py, including the
+    omitted-DHT convention), plus the deterministic fake_video_bytes
+    fixture format; other compressed streams (h264/xvid/...) raise
+    NotImplementedError naming the fourcc."""
 
     def kernel(batches):
         from .containers import decode_avi_frames

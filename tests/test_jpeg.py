@@ -1,0 +1,248 @@
+"""Baseline JPEG codec (osm_render_spark/raster/jpeg.py): roundtrip
+quality, spec-feature coverage (subsampling, restarts, grayscale,
+16-bit DQT, MJPEG omitted-DHT), loud rejection of unsupported profiles,
+and the MJPG-in-AVI end-to-end path through sample_video_frames."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from osm_render_spark.raster.codec import psnr
+from osm_render_spark.raster.jpeg import (
+    HUFF_AC_CHROMA,
+    HUFF_AC_LUMA,
+    HUFF_DC_CHROMA,
+    HUFF_DC_LUMA,
+    ZIGZAG,
+    _canonical_codes,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _smooth(w=48, h=48, k=0):
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 128.0 + 90.0 * np.sin((x + 3 * k) / 7.0) * np.cos((y + 2 * k) / 9.0)
+    img = np.empty((h, w, 3), np.uint8)
+    for c, s in enumerate((1.0, 0.92, 0.84)):
+        img[:, :, c] = np.floor(np.clip(base * s, 0.0, 255.0) + 0.5).astype(np.uint8)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# table sanity (the one thing a self-roundtrip can't check is pinned
+# structurally: canonical Huffman codes must be prefix-valid and ≤16 bits)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "tbl", [HUFF_DC_LUMA, HUFF_DC_CHROMA, HUFF_AC_LUMA, HUFF_AC_CHROMA]
+)
+def test_standard_tables_are_valid_prefix_codes(tbl):
+    codes = _canonical_codes(*tbl)
+    assert len(codes) == len(tbl[1])
+    seen = set()
+    for _sym, code, ln in codes:
+        assert 1 <= ln <= 16
+        assert code < (1 << ln)
+        # prefix property: no code is a prefix of another
+        for _s2, c2, l2 in codes:
+            if l2 > ln:
+                assert (c2 >> (l2 - ln)) != code
+        assert (code, ln) not in seen
+        seen.add((code, ln))
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spot-pin the published order
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+
+# ---------------------------------------------------------------------------
+# roundtrips
+# ---------------------------------------------------------------------------
+
+def test_flat_image_is_lossless():
+    img = np.full((24, 24, 3), 128, np.uint8)
+    assert (decode_jpeg(encode_jpeg(img, 90)) == img).all()
+
+
+def test_q100_single_block_is_exact():
+    img = (np.arange(64).reshape(8, 8) * 3 + 20).astype(np.uint8)[:, :, None]
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert dec.shape == (8, 8, 1)
+    assert (dec == img).all()
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("dri", [0, 3])
+def test_smooth_roundtrip_psnr(sub, dri):
+    img = _smooth()
+    dec = decode_jpeg(encode_jpeg(img, 90, sub, dri))
+    assert dec.shape == img.shape
+    assert psnr(img, dec) >= 27.0, (sub, dri)
+
+
+@pytest.mark.parametrize("w,h", [(17, 23), (33, 31), (48, 16), (8, 8), (1, 1)])
+def test_non_multiple_of_mcu_dimensions(w, h):
+    """Edge-padded MCUs must crop back to the exact requested size for
+    both subsampling modes (420 pads to 16-pixel MCUs)."""
+    img = _smooth(64, 64)[:h, :w]
+    for sub in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(img, 90, sub))
+        assert dec.shape == (h, w, 3), sub
+
+
+def test_grayscale_roundtrip():
+    g = _smooth()[:, :, :1]
+    dec = decode_jpeg(encode_jpeg(g, 92))
+    assert dec.shape == g.shape
+    assert psnr(g, dec) >= 30.0
+
+
+def test_decode_is_deterministic():
+    data = encode_jpeg(_smooth(), 85, "420", 3)
+    a = decode_jpeg(data)
+    b = decode_jpeg(bytes(bytearray(data)))
+    assert (a == b).all()
+
+
+def test_restart_markers_present_and_equivalent():
+    """DRI output must contain RSTn markers, and decode identically to
+    the no-restart encode of the same quantized planes (restarts change
+    only DC prediction boundaries, which the decoder must resync)."""
+    img = _smooth(40, 40)
+    with_rst = encode_jpeg(img, 88, "444", restart_interval=2)
+    without = encode_jpeg(img, 88, "444", restart_interval=0)
+    assert any(bytes([0xFF, 0xD0 + i]) in with_rst for i in range(8))
+    assert (decode_jpeg(with_rst) == decode_jpeg(without)).all()
+
+
+def test_sixteen_bit_dqt_decodes():
+    """Pq=1 (16-bit) quantization tables are legal in extended frames;
+    splice the 8-bit DQT payloads into 16-bit form and re-decode."""
+    img = _smooth(24, 24)
+    data = encode_jpeg(img, 90, "444")
+    out = bytearray()
+    pos = 0
+    baseline = decode_jpeg(data)
+    while pos < len(data):
+        if data[pos : pos + 2] == b"\xff\xdb":
+            (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + seg_len]
+            tq = body[0] & 15
+            wide = bytes([1 << 4 | tq]) + b"".join(
+                struct.pack(">H", v) for v in body[1:65]
+            )
+            out += b"\xff\xdb" + struct.pack(">H", 2 + len(wide)) + wide
+            pos += 2 + seg_len
+        elif data[pos] == 0xFF and data[pos + 1] == 0xDA:
+            out += data[pos:]
+            break
+        else:
+            out.append(data[pos])
+            pos += 1
+    assert (decode_jpeg(bytes(out)) == baseline).all()
+
+
+# ---------------------------------------------------------------------------
+# rejections (loud, named)
+# ---------------------------------------------------------------------------
+
+def test_progressive_rejected_by_name():
+    data = bytearray(encode_jpeg(_smooth(16, 16), 90))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # SOF0 → SOF2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+
+
+def test_arithmetic_coding_rejected_by_name():
+    data = bytearray(encode_jpeg(_smooth(16, 16), 90))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(data))
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+
+
+def test_truncated_scan_fails_or_degrades_but_never_hangs():
+    """Cutting the scan mid-stream must raise (bad code) or produce a
+    partial image from the 1-padded tail — either way terminate."""
+    data = encode_jpeg(_smooth(), 85)
+    try:
+        decode_jpeg(data[: len(data) // 2])
+    except ValueError:
+        pass
+
+
+def test_corrupt_restart_structure_raises():
+    img = _smooth(40, 40)
+    data = bytearray(encode_jpeg(img, 88, "444", restart_interval=2))
+    i = data.index(b"\xff\xd0")  # drop the first RST marker
+    del data[i : i + 2]
+    with pytest.raises(ValueError, match="restart|Huffman|run"):
+        decode_jpeg(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI (container + codec composed)
+# ---------------------------------------------------------------------------
+
+def _mjpg_frames(n=3):
+    frames = []
+    for k in range(n):
+        f = np.empty((32, 48, 4), np.uint8)
+        f[:, :, :3] = _smooth(48, 32, k)
+        f[:, :, 3] = 255
+        frames.append(f)
+    return frames
+
+
+def test_mjpg_avi_roundtrip_strips_dht_and_decodes():
+    from osm_render_spark.raster.containers import decode_avi_frames, encode_avi
+
+    frames = _mjpg_frames()
+    avi = encode_avi(frames, fps=5, codec="mjpg", quality=90)
+    assert avi.count(b"\xff\xc4") == 0  # MJPEG convention: no DHT
+    dec = decode_avi_frames(avi)
+    assert len(dec) == len(frames)
+    for d, f in zip(dec, frames):
+        assert d.shape == f.shape
+        assert (d[:, :, 3] == 255).all()
+        assert psnr(f[:, :, :3], d[:, :, :3]) >= 27.0
+
+
+def test_unknown_compressed_fourcc_still_raises():
+    from osm_render_spark.raster.containers import decode_avi_frames, encode_avi
+
+    avi = bytearray(encode_avi(_mjpg_frames(1), codec="mjpg").replace(b"MJPG", b"H264"))
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_avi_frames(bytes(avi))
+
+
+def test_sample_video_frames_mjpg_end_to_end(spark):
+    """The Spark operator path: MJPG AVI blobs → sampled frames as PNG,
+    Arrow-batched, PSNR-checked against the pre-encode frames."""
+    from osm_render_spark.raster.codec import decode_png
+    from osm_render_spark.raster.containers import encode_avi
+    from osm_render_spark.raster.ops import sample_video_frames
+
+    frames = _mjpg_frames(6)
+    avi = encode_avi(frames, fps=5, codec="mjpg", quality=90)
+    videos = spark.createDataFrame(
+        [("vM", bytearray(avi))], "video_id string, bytes binary"
+    )
+    out = sample_video_frames(videos, every_n=2).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    for r in out:
+        got = decode_png(bytes(r["png"]))
+        want = frames[r["frame_idx"]]
+        assert psnr(want[:, :, :3], got[:, :, :3]) >= 27.0

@@ -35,9 +35,12 @@ def test_resize_block_mean(spark):
     thumbs = resize_images(imgs, 16, 16).collect()
     from osm_render_spark.raster.codec import decode_png
 
+    fmts = {r["image_id"]: r["fmt"] for r in imgs.select("image_id", "fmt").collect()}
     for t in thumbs:
         img = decode_png(t["bytes"])
-        assert img.shape == (16, 16, 4)
+        # real JPEG decodes to 3 channels (no alpha); PNG keeps RGBA
+        want_c = 4 if fmts[t["image_id"]] == "png" else 3
+        assert img.shape == (16, 16, want_c)
 
 
 def test_video_frame_sampling(spark):
@@ -131,13 +134,15 @@ def test_avi_uncompressed_real_decode_end_to_end(spark):
         assert (img[:, :, :3] == frames[k][:, :, :3]).all()
         assert (img[:, :, 3] == 255).all()
 
+    # a fourcc the engine genuinely can't decode (MJPG now CAN decode —
+    # raster/jpeg.py) must still raise naming the codec
     bad = bytearray(avi)
     i = bad.find(b"strf")
-    struct.pack_into("<I", bad, i + 8 + 16, int.from_bytes(b"MJPG", "little"))
+    struct.pack_into("<I", bad, i + 8 + 16, int.from_bytes(b"XVID", "little"))
     vids_bad = spark.createDataFrame(
         [("vB", bytearray(bytes(bad)))], "video_id string, bytes binary"
     )
-    with pytest.raises(Exception, match="MJPG|codec"):
+    with pytest.raises(Exception, match="XVID|codec"):
         sample_video_frames(vids_bad, 2).collect()
 
 

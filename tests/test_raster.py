@@ -50,12 +50,26 @@ def test_png_gray_and_rgb():
     assert (decode_png(encode_png(rgb)) == rgb).all()
 
 
-def test_fake_jpeg_lossy_psnr_above_40db():
+def test_jpeg_lossy_psnr_above_40db():
+    """fmt='jpeg' rows now go through the REAL baseline codec
+    (raster/jpeg.py): RGBA in, (h, w, 3) RGB out (JPEG has no alpha),
+    measured 41.2 dB on this fixture at the encode_image defaults."""
     img = _img(7, 396, 396)
     dec = decode_image(encode_image(img, "jpeg"), "jpeg")
+    assert dec.shape == (396, 396, 3)
+    p = psnr(img[:, :, :3], dec)
+    assert p >= 40.0, f"JPEG PSNR {p:.1f} dB < 40"
+
+
+def test_legacy_fake_jpeg_blobs_still_decode():
+    """decode_image dispatches on magic: FJPG blobs written by older
+    fixture parquet keep decoding after the real-codec switch."""
+    from osm_render_spark.raster.codec import encode_fake_jpeg
+
+    img = _img(4, 32, 32)
+    dec = decode_image(encode_fake_jpeg(img), "jpeg")
     assert dec.shape == img.shape
-    p = psnr(img, dec)
-    assert p >= 40.0, f"lossy stand-in PSNR {p:.1f} dB < 40"
+    assert psnr(img, dec) >= 40.0
 
 
 def test_phash_deterministic_and_sensitive():
