@@ -40,6 +40,11 @@ HEADLINE = [
     "tpch_q5",
 ]
 
+# the r1/r2 headline set (pre-tpch_q5): reported as a subtotal in BOTH
+# timing series so every round since r1 stays comparable (r3 VERDICT
+# "what's wrong" #1 — the best-of-2 switch broke series continuity)
+LEGACY12 = [q for q in HEADLINE if q != "tpch_q5"]
+
 
 def _pbf_fixture(n_nodes: int) -> str:
     """Generate (once; /tmp-cached) the load-bound PBF decode fixture:
@@ -117,19 +122,25 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     for name in HEADLINE:
         defs[name].spark_fn(spark, sf_dir).count()
 
-    # best-of-2 per query (same convention as scale_job): the shared box
-    # shows 3-4× host-load swings between rounds — min-of-2 reports the
-    # engine's steady state rather than the co-tenants' schedule
+    # BOTH timing series per query (r3 VERDICT "what's wrong" #1):
+    # `queries_wall` = the first timed run (the r1/r2 convention, honest
+    # single-shot wall), `queries` = best-of-2 (the r3 convention — the
+    # shared box shows 3-4× host-load swings between runs, min-of-2
+    # reports the engine's steady state rather than the co-tenants'
+    # schedule). Round-over-round tracking can use either unbroken.
+    loadavg_before = os.getloadavg()
     queries: dict[str, float] = {}
+    queries_wall: dict[str, float] = {}
     total_rows = 0
     for name in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.time()
             df = defs[name].spark_fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.time() - t0)
-        queries[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        queries_wall[name] = round(runs[0], 3)
+        queries[name] = round(min(runs), 3)
         total_rows += n
     wall = sum(queries.values())
 
@@ -232,12 +243,21 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     img_sec = time.time() - t0
     imgs.unpersist()
 
+    loadavg_after = os.getloadavg()
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
         "metric": "headline suite best-of-2 sum (tile join + spatial ops + OLAP) at local[%d]" % cpus,
         "value": round(wall, 3),
         "unit": "sec",
         "queries": queries,
+        "queries_wall": queries_wall,
+        "value_wall": round(sum(queries_wall.values()), 3),
+        "legacy12_best_of_2": round(sum(queries[q] for q in LEGACY12), 3),
+        "legacy12_wall": round(sum(queries_wall[q] for q in LEGACY12), 3),
+        # host-load markers: 1-min loadavg before/after the query loop —
+        # tells a reader whether a swing is co-tenant noise or the engine
+        "loadavg_before": round(loadavg_before[0], 2),
+        "loadavg_after": round(loadavg_after[0], 2),
         "sf": float(sf_m.group(1)) if sf_m else None,
         "cpus": cpus,
         "rows_counted": total_rows,
