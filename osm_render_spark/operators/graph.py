@@ -5,17 +5,27 @@ edges; the unit of deduplication is the connected component (keep one
 canonical doc per cluster, drop the rest). Transitivity matters: a≈b
 and b≈c puts a and c in one cluster even when a≉c directly.
 
-Algorithm: distributed hash-min label propagation — every node starts
-labeled with its own id; each round every node takes the min of its
-label and its neighbors' labels; converged when no label changes. Each
-round is one shuffle-join + aggregate (Catalyst plans it as SMJ/HHJ with
-partial aggregation), and lineage is truncated per round with
-localCheckpoint so the plan doesn't grow with iterations. Rounds needed
-= graph diameter; near-dup graphs are overwhelmingly tiny cliques and
-short chains (diameter ≤ ~3), so 2-4 rounds converge. For adversarial
-long-path graphs the known O(log n)-round refinement is large-star/
-small-star (Kiveris et al., "Connected Components in MapReduce and
-Beyond") — same join primitives, noted here as the escalation path.
+Algorithms (``algorithm=`` on connected_components):
+
+* ``"hashmin"`` (default) — distributed hash-min label propagation:
+  every node starts labeled with its own id; each round every node
+  takes the min of its label and its neighbors' labels; converged when
+  no label changes. Each round is one shuffle-join + aggregate
+  (Catalyst plans it as SMJ/HHJ with partial aggregation), and lineage
+  is truncated per round with localCheckpoint so the plan doesn't grow
+  with iterations. Rounds needed = graph DIAMETER; near-dup graphs are
+  overwhelmingly tiny cliques and short chains (diameter ≤ ~3), so 2-4
+  rounds converge — the right default for dedup.
+* ``"star"`` — alternating large-star/small-star contraction (Kiveris
+  et al., "Connected Components in MapReduce and Beyond", public
+  algorithm): large-star links every strictly-larger neighbor of u to
+  min(Γ(u) ∪ {u}); small-star (on edges oriented max→min) links every
+  member of Γ(u) ∪ {u} except the min to the min. Each step halves
+  component "height", so convergence is O(log n) ROUNDS regardless of
+  diameter — the escalation path for adversarial long-path graphs
+  where hash-min would need diameter rounds (pinned by a 10k-node path
+  test converging in ≤ 2·log₂ n + 4 rounds). Both produce identical
+  output (equality pinned on the dedup_clusters edge set).
 """
 
 from __future__ import annotations
@@ -29,6 +39,7 @@ def connected_components(
     a: str = "a",
     b: str = "b",
     max_iter: int = 50,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """edges(a, b) → (node, component) where component = MIN node id in
     the node's connected component (the canonical-doc convention).
@@ -38,7 +49,11 @@ def connected_components(
 
     Deterministic: pure min-propagation, no RNG, no ordering
     sensitivity. Raises after ``max_iter`` rounds without convergence
-    (pathological diameter) instead of returning a wrong answer."""
+    instead of returning a wrong answer. ``algorithm="star"`` switches
+    to the O(log n)-round large-star/small-star contraction (module
+    docstring) for graphs whose diameter exceeds a sane round count."""
+    if algorithm not in ("hashmin", "star"):
+        raise ValueError(f"algorithm must be hashmin|star, got {algorithm!r}")
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -48,6 +63,8 @@ def connected_components(
         # dedup_clusters that's the LSH + Jaccard pipeline, per round)
         .localCheckpoint()
     )
+    if algorithm == "star":
+        return _star_components(sym, max_iter)
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )
@@ -78,6 +95,70 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "diameter exceeds the bound; raise max_iter or use a "
-        "star-contraction variant for adversarial graphs"
+        "diameter exceeds the bound; raise max_iter or pass "
+        'algorithm="star" (O(log n) rounds) for adversarial graphs'
+    )
+
+
+def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star contraction over a symmetric edge set.
+    Converged when a full L+S round leaves the (deduplicated) edge set
+    unchanged; the fixed point is a forest of stars (node → component
+    min), read back as the label table."""
+    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # drop self-loops: Γ(u) handles u implicitly via least(u, min(v)),
+    # and (x, x) edges would survive every round as noise
+    e = (
+        sym.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # --- large-star: ∀v ∈ Γ(u), v > u → (v, min(Γ(u) ∪ {u})) -----
+        nbr = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbr.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        e_l = (
+            nbr.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # --- small-star: orient max→min; ∀v ∈ Γ(u) ∪ {u} \ {m} → (v, m)
+        d = e_l.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins_s = d.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        members = d.union(mins_s.select("u", F.col("u").alias("v")))
+        e_s = (
+            members.join(mins_s, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixed point: the star edge set reproduces itself. Sets are
+        # distinct(), so equal counts + empty one-sided difference ⟺
+        # equality; isEmpty short-circuits.
+        if e_s.count() == e.count() and e_s.exceptAll(e).isEmpty():
+            links = e_s.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            )
+            return nodes.join(links, "node", "left").select(
+                "node",
+                F.coalesce(F.col("component"), F.col("node")).alias("component"),
+            )
+        e = e_s
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iter} rounds — "
+        "this exceeds the O(log n) bound; the edge table is likely "
+        "growing from upstream nondeterminism"
     )

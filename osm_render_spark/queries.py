@@ -1169,12 +1169,14 @@ ORDER BY kind, a, b
     return QueryDef(fn, duck())
 
 
-def _q_dedup_clusters() -> QueryDef:
+def _q_dedup_clusters(algorithm: str = "hashmin") -> QueryDef:
     """Duplicate-CLUSTER formation (operators.graph.connected_components)
     — the step after LSH in a real dedup pipeline: near-dup PAIRS
     (banding + word-trigram Jaccard ≥ 0.5, built from IDENTICAL shared
-    SQL in both engines) are edges; the engine runs distributed hash-min
-    label propagation, the oracle computes the same components with a
+    SQL in both engines) are edges; the engine runs the distributed
+    component algorithm (``algorithm``: hash-min label propagation, or
+    the O(log n)-round large-star/small-star contraction — both
+    oracle-checked), the oracle computes the same components with a
     DuckDB recursive CTE. The corpus adds chain variants (base ≈ v1 ≈ v2
     by appended words) so transitivity is exercised: clusters close over
     paths, not just direct edges."""
@@ -1266,7 +1268,7 @@ SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id
         loops = spark.sql(
             f"WITH {edges_sql(SPARK)} SELECT doc_id AS a, doc_id AS b FROM corpus"
         )
-        cc = connected_components(edges.unionAll(loops))
+        cc = connected_components(edges.unionAll(loops), algorithm=algorithm)
         return cc.select(
             F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
         ).orderBy("doc_id")
@@ -2190,6 +2192,7 @@ def build_queries() -> dict[str, QueryDef]:
         "minhash_candidate_pairs": _q_minhash_candidate_pairs(),
         "minhash_pairs_capped": _q_minhash_pairs_capped(),
         "dedup_clusters": _q_dedup_clusters(),
+        "dedup_clusters_star": _q_dedup_clusters(algorithm="star"),
         "simhash16": _q_simhash(),
         "ngram_jaccard": _q_ngram_jaccard(),
         "embedding_l2_top3": _q_embedding_l2_top3(),
