@@ -622,22 +622,32 @@ def query_ivf_index_quantized(
             qs = np.abs(qf).max(axis=1) / 127.0
             qs_safe = np.where(qs == 0.0, 1.0, qs)
             q8 = np.floor(qf / qs_safe[:, None] + 0.5).astype(np.int64)
-            den = np.linalg.norm(c8, axis=1) * np.linalg.norm(q8, axis=1)
-            den[den == 0] = 1.0
-            cos8 = (c8 * q8).sum(axis=1) / den
+            # pool ranking key, sqrt-free and ORACLE-EXACT: ‖q8‖ is
+            # constant per query, so ranking by sign(dot)·dot²/‖c8‖²
+            # equals ranking by int8 cosine — and every operand is an
+            # exact int64 (dot² ≤ (127²·dim)² < 2^53), so the single
+            # IEEE division is reproducible in SQL for the value hash
+            dot = (c8 * q8).sum(axis=1)
+            n2c = (c8 * c8).sum(axis=1)
+            n2c[n2c == 0] = 1
+            key8 = (
+                np.sign(dot).astype(np.float64)
+                * dot.astype(np.float64) ** 2
+                / n2c.astype(np.float64)
+            )
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
                     "cand_id": pdf[id_col],
-                    "cos8": cos8,
+                    "key8": key8,
                 }
             )
 
     scored8 = joined.mapInPandas(
-        score8, schema="query_id long, cand_id long, cos8 double"
+        score8, schema="query_id long, cand_id long, key8 double"
     )
     w8 = Window.partitionBy("query_id").orderBy(
-        F.col("cos8").desc(), F.col("cand_id").asc()
+        F.col("key8").desc(), F.col("cand_id").asc()
     )
     pool = (
         scored8.withColumn("r8", F.row_number().over(w8))

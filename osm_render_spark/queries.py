@@ -1946,6 +1946,176 @@ SELECT query_id, cand_id, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
     return QueryDef(fn, duck)
 
 
+def _q_ann_ivf_q8_top3() -> QueryDef:
+    """The PERSISTED quantized IVF path (build_ivf_index(quantize=True) →
+    query_ivf_index_quantized) under the oracle: DuckDB replicates the
+    head-quantizer centroid choice, list assignment, probe selection,
+    the per-vector symmetric int8 quantization of BOTH sides (shared
+    scheme with operators/quantize.py: max-abs/127 scale, floor(x+0.5)
+    codes), the integer int8 pool ranking (key = sign(dot)·dot²/‖c8‖² —
+    every operand an exact int64, the one division a reproducible IEEE
+    op), and the exact-cosine rerank of the 12-candidate pool. The
+    engine side actually writes and probes the on-disk index (parquet
+    lists + packed-int8 lists under the Spark files root)."""
+    duck = f"""
+WITH c AS (
+  SELECT vec_id AS cand_id, embedding FROM embeddings WHERE vec_id % 25 <> 0
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cand_id) - 1 AS list_id, embedding
+  FROM c ORDER BY cand_id LIMIT 16
+),
+ce AS (
+  SELECT list_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM cent
+),
+cnorm AS (
+  SELECT list_id, {_DEC_PROD.format(x='v', y='v')} AS s_nc FROM ce GROUP BY list_id
+),
+xe AS (
+  SELECT cand_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM c
+),
+xnorm AS (
+  SELECT cand_id, {_DEC_PROD.format(x='v', y='v')} AS s_nx FROM xe GROUP BY cand_id
+),
+adot AS (
+  SELECT x.cand_id, e.list_id, {_DEC_PROD.format(x='x.v', y='e.v')} AS s_dot
+  FROM xe x JOIN ce e USING (i) GROUP BY x.cand_id, e.list_id
+),
+akey AS (
+  SELECT cand_id, list_id, {_cos_rank_key('s_dot', 's_nc')} AS key
+  FROM adot JOIN cnorm USING (list_id)
+),
+assign AS (
+  SELECT cand_id, list_id FROM (
+    SELECT cand_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY cand_id ORDER BY key DESC, list_id) AS rn
+    FROM akey
+  ) t WHERE rn = 1
+),
+qe AS (
+  SELECT vec_id AS query_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+qdot AS (
+  SELECT q.query_id, e.list_id, {_DEC_PROD.format(x='q.v', y='e.v')} AS s_dot
+  FROM qe q JOIN ce e USING (i) GROUP BY q.query_id, e.list_id
+),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT query_id, list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY {_cos_rank_key('s_dot', 's_nc')} DESC, list_id
+           ) AS rn
+    FROM qdot JOIN cnorm USING (list_id)
+  ) t WHERE rn <= 4
+),
+-- per-vector symmetric int8 of both sides (operators/quantize.py scheme)
+cscale AS (
+  SELECT cand_id,
+         list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS s
+  FROM c GROUP BY cand_id, embedding
+),
+cq AS (
+  SELECT x.cand_id, x.i,
+         CASE WHEN cs.s = 0.0 THEN 0
+              ELSE CAST(FLOOR(CAST(x.v AS DOUBLE) / cs.s + 0.5) AS BIGINT)
+         END AS q8
+  FROM xe x JOIN cscale cs USING (cand_id)
+),
+qscale AS (
+  SELECT vec_id AS query_id,
+         list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS s
+  FROM embeddings WHERE vec_id % 25 = 0 GROUP BY vec_id, embedding
+),
+qq AS (
+  SELECT q.query_id, q.i,
+         CASE WHEN qs.s = 0.0 THEN 0
+              ELSE CAST(FLOOR(CAST(q.v AS DOUBLE) / qs.s + 0.5) AS BIGINT)
+         END AS q8
+  FROM qe q JOIN qscale qs USING (query_id)
+),
+cn8 AS (
+  SELECT cand_id, CAST(SUM(q8 * q8) AS BIGINT) AS n2 FROM cq GROUP BY cand_id
+),
+-- int8 pool scoring within probed lists only
+p8 AS (
+  SELECT pr.query_id, a.cand_id,
+         CAST(SUM(qq.q8 * cq.q8) AS BIGINT) AS dot
+  FROM probes pr
+  JOIN assign a USING (list_id)
+  JOIN qq ON qq.query_id = pr.query_id
+  JOIN cq ON cq.cand_id = a.cand_id AND cq.i = qq.i
+  GROUP BY pr.query_id, a.cand_id
+),
+pool AS (
+  SELECT query_id, cand_id FROM (
+    SELECT p8.query_id, p8.cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p8.query_id
+             ORDER BY
+               CASE WHEN p8.dot >= 0
+                    THEN CAST(p8.dot AS DOUBLE) * CAST(p8.dot AS DOUBLE)
+                         / CAST(CASE WHEN n8.n2 = 0 THEN 1 ELSE n8.n2 END AS DOUBLE)
+                    ELSE -(CAST(p8.dot AS DOUBLE) * CAST(p8.dot AS DOUBLE)
+                         / CAST(CASE WHEN n8.n2 = 0 THEN 1 ELSE n8.n2 END AS DOUBLE))
+               END DESC, p8.cand_id
+           ) AS rn8
+    FROM p8 JOIN cn8 n8 USING (cand_id)
+  ) t WHERE rn8 <= 12
+),
+-- exact float rerank of the pool
+pdot AS (
+  SELECT pl.query_id, pl.cand_id, {_DEC_PROD.format(x='q.v', y='x.v')} AS s_dot
+  FROM pool pl
+  JOIN qe q ON q.query_id = pl.query_id
+  JOIN xe x ON x.cand_id = pl.cand_id AND x.i = q.i
+  GROUP BY pl.query_id, pl.cand_id
+),
+r AS (
+  SELECT pd.query_id, pd.cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY pd.query_id
+           ORDER BY {_cos_rank_key('pd.s_dot', 'xn.s_nx')} DESC, pd.cand_id
+         ) AS rank
+  FROM pdot pd JOIN xnorm xn ON xn.cand_id = pd.cand_id
+)
+SELECT query_id, cand_id, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from pyspark import SparkFiles
+
+        from .operators.similarity import (
+            build_ivf_index,
+            query_ivf_index_quantized,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.expr("vec_id % 25 = 0")).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        c = emb.where(F.expr("vec_id % 25 <> 0"))
+        # session-scoped on-disk index (same lifetime scoping as
+        # pbf_roundtrip): Spark removes its files root at shutdown
+        d = os.path.join(SparkFiles.getRootDirectory(), "ivf_q8_oracle")
+        build_ivf_index(c, d, n_centroids=16, quantizer="head", quantize=True)
+        return (
+            query_ivf_index_quantized(
+                spark, d, q, 3, n_probe=4, rerank_factor=4
+            )
+            .select("query_id", "cand_id", "rank")
+            .orderBy("query_id", "rank")
+        )
+
+    return QueryDef(fn, duck)
+
+
 def _q_slippy_render() -> QueryDef:
     """Multi-tile slippy render over testdata-derived polygon ways,
     oracle-checked on the per-tile MANIFEST (which tiles exist, how many
@@ -2201,6 +2371,7 @@ def build_queries() -> dict[str, QueryDef]:
         "token_count_regex": _q_token_count_regex(),
         "cosine_near_dups": _q_cosine_near_dups(),
         "ann_ivf_top3": _q_ann_ivf_top3(),
+        "ann_ivf_q8_top3": _q_ann_ivf_q8_top3(),
         "way_tile_fanout": _q_way_tile_fanout(),
         "slippy_render": _q_slippy_render(),
         "pbf_roundtrip": _q_pbf_roundtrip(),
