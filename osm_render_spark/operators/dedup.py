@@ -264,3 +264,84 @@ def lsh_candidate_pairs(
     if return_stats:
         return pairs, dropped
     return pairs
+
+
+def hamming_near_dups(
+    df: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bucket_cap: int = 4096,
+    return_stats: bool = False,
+):
+    """EXACT Hamming near-dup pairs over a 64-bit hash column — the image
+    analog of text SimHash dedup, run directly on the input_hint table's
+    ``phash`` column (BASELINE.json input_hint; phash64 in raster/codec).
+
+    Pigeonhole-complete, not approximate: a pair at Hamming distance
+    d <= max_hamming < n_bands differs in at most ``max_hamming`` of the
+    ``n_bands`` disjoint bit bands, so at least one band value is EQUAL
+    and the pair surfaces in that band's equi-join bucket. Banding is
+    therefore a pure physical rewrite of the quadratic all-pairs filter
+    (unlike MinHash-LSH, whose banding is probabilistic).
+
+    Scale shape (10^12 images): band extraction is codegen column
+    arithmetic (shiftrightunsigned keeps negative hashes logical); one
+    shuffle per band on the 16-bit band value + band index; pair fan-out
+    happens only inside buckets, and buckets over ``bucket_cap`` rows are
+    dropped JVM-side BEFORE the fan-out (broadcast anti-join — a bucket
+    of m rows yields m(m-1)/2 pairs) with drop accounting via
+    ``return_stats=True``. The exact ``bit_count(xor)`` verify is codegen
+    too — no Python anywhere.
+
+    Output: (a, b, hamming, n_bands_hit) with a < b, one row per pair.
+    """
+    if not 0 < n_bands <= 64:
+        raise ValueError(f"n_bands must be in 1..64, got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"completeness needs max_hamming < n_bands "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands}): a pair "
+            f"differing in n_bands bits can differ in every band"
+        )
+    w = 64 // n_bands
+    h = F.col(hash_col).cast("long")
+    bands = []
+    for b in range(n_bands):
+        shifted = F.shiftrightunsigned(h, b * w)
+        # the last band keeps the remainder bits; logical shift already
+        # zero-fills, so no mask is needed there
+        bval = shifted if b == n_bands - 1 else shifted.bitwiseAND(F.lit((1 << w) - 1))
+        bands.append(
+            df.select(
+                F.lit(b).alias("band"),
+                bval.alias("bval"),
+                F.col(id_col).alias("_id"),
+                h.alias("_h"),
+            )
+        )
+    allb = bands[0]
+    for part in bands[1:]:
+        allb = allb.unionByName(part)
+    sizes = allb.groupBy("band", "bval").agg(F.count("*").alias("n_rows"))
+    dropped = sizes.where(F.col("n_rows") > bucket_cap)
+    kept = allb.join(
+        F.broadcast(dropped.select("band", "bval")), ["band", "bval"], "left_anti"
+    )
+    left = kept.select("band", "bval", F.col("_id").alias("a"), F.col("_h").alias("_ha"))
+    right = kept.select("band", "bval", F.col("_id").alias("b"), F.col("_h").alias("_hb"))
+    pairs = (
+        left.join(right, ["band", "bval"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .groupBy("a", "b")
+        .agg(
+            F.first("hamming").alias("hamming"),
+            F.count("*").alias("n_bands_hit"),
+        )
+    )
+    if return_stats:
+        return pairs, dropped
+    return pairs

@@ -1276,6 +1276,76 @@ SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id
     return QueryDef(fn, duck())
 
 
+def _phash_rows_sql(dialect: str) -> str:
+    """Shared-arithmetic SQL building a deterministic 63-bit 'phash'
+    corpus from the part table: four LCG band values packed into one
+    BIGINT (top band 15 bits so the pack stays positive in signed
+    int64), plus planted near-duplicate rows for every third key at
+    Hamming distance 3 (bits 0/20/40 — three DIFFERENT 16-bit bands)
+    or 1 (bit 5). XOR is spelled with the carry identity
+    x^m = x + m - 2*(x&m) so the text runs unmodified in both engines
+    (DuckDB's ^ is exponentiation; its xor() has no Spark twin)."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+base AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+hv AS (
+  SELECT k,
+         ((k * 2654435761 + 101) % 65536)
+       + ((k * 40503 + 257) % 65536) * 65536
+       + ((k * 48271 + 11) % 65536) * 4294967296
+       + ((k * 69621 + 7) % 32768) * 281474976710656 AS h,
+         CASE WHEN k % 2 = 0 THEN 1099512676353 ELSE 32 END AS m
+  FROM base
+),
+rows AS (
+  SELECT 'a' || lpad(CAST(k AS {s}), 6, '0') AS id, h FROM hv
+  UNION ALL
+  SELECT 'b' || lpad(CAST(k AS {s}), 6, '0') AS id,
+         h + m - 2 * (h & m) AS h
+  FROM hv WHERE k % 3 = 0
+)"""
+
+
+def _q_phash_near_dups() -> QueryDef:
+    """Banded Hamming near-dup join over a 64-bit perceptual-hash column
+    (operators/dedup.hamming_near_dups) — the image-dedup analog of
+    SimHash: pigeonhole-complete banding (hamming <= 3 < 4 bands ==> at
+    least one equal 16-bit band), bucket equi-join, exact bit_count(xor)
+    verify. The oracle computes the ground truth as the quadratic
+    all-pairs filter, so the banding rewrite itself is what's checked:
+    any pair the bands miss (or invent) hash-mismatches."""
+    duck = f"""
+WITH {_phash_rows_sql("duck")}
+SELECT r1.id AS id_a, r2.id AS id_b,
+       CAST(bit_count(xor(r1.h, r2.h)) AS INT) AS hamming
+FROM rows r1 JOIN rows r2 ON r1.id < r2.id
+WHERE bit_count(xor(r1.h, r2.h)) <= 3
+ORDER BY id_a, id_b
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.dedup import hamming_near_dups
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        register_views(spark, sf_dir)
+        rows = spark.sql(
+            f"WITH {_phash_rows_sql('spark')} SELECT id, h FROM rows"
+        )
+        pairs = hamming_near_dups(
+            rows, id_col="id", hash_col="h", max_hamming=3, n_bands=4
+        )
+        return (
+            pairs.select(
+                F.col("a").alias("id_a"),
+                F.col("b").alias("id_b"),
+                F.col("hamming").cast("int").alias("hamming"),
+            )
+            .orderBy("id_a", "id_b")
+        )
+
+    return QueryDef(fn, duck)
+
+
 def _q_simhash() -> QueryDef:
     def make(d) -> str:
         from .operators.text import simhash_bit_terms, word_keys_sql
@@ -2364,6 +2434,7 @@ def build_queries() -> dict[str, QueryDef]:
         "dedup_clusters": _q_dedup_clusters(),
         "dedup_clusters_star": _q_dedup_clusters(algorithm="star"),
         "simhash16": _q_simhash(),
+        "phash_near_dups": _q_phash_near_dups(),
         "ngram_jaccard": _q_ngram_jaccard(),
         "embedding_l2_top3": _q_embedding_l2_top3(),
         "ann_lsh_bucket": _q_ann_lsh_bucket(),

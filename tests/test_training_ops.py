@@ -608,3 +608,105 @@ def test_q8_store_kernel_matches_hof_quantizer(spark):
         kb, ks = kern[vid]
         assert hb == kb, vid
         assert abs(hs - ks) < 1e-15, vid
+
+
+# ---------------------------------------------------------------------------
+# phash Hamming near-dups (banded exact join)
+# ---------------------------------------------------------------------------
+
+def _brute_hamming_pairs(rows, max_h):
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, ha), (ib, hb) = rows[i], rows[j]
+            d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= max_h:
+                a, b = sorted((ia, ib))
+                out.add((a, b, d))
+    return out
+
+
+def test_hamming_near_dups_matches_brute_force(spark):
+    """Banding == the quadratic all-pairs filter on random 64-bit hashes
+    with planted <=3-bit perturbations (incl. negative int64 hashes —
+    the logical-shift band path)."""
+    from osm_render_spark.operators.dedup import hamming_near_dups
+
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(0, 1 << 64, size=300, dtype=np.uint64)
+    rows = [(f"r{i:04d}", int(h)) for i, h in enumerate(hashes)]
+    # plant near dups: flip 1..3 bits of every 10th hash
+    for i in range(0, 300, 10):
+        nbits = 1 + (i // 10) % 3
+        m = 0
+        for b in range(nbits):
+            m |= 1 << ((i * 7 + b * 21) % 64)
+        rows.append((f"p{i:04d}", int(hashes[i]) ^ m))
+    signed = [(rid, h - (1 << 64) if h >= 1 << 63 else h) for rid, h in rows]
+    assert any(h < 0 for _, h in signed)  # negative path exercised
+    df = spark.createDataFrame(signed, "image_id string, phash long")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in hamming_near_dups(df, max_hamming=3, n_bands=4).collect()
+    }
+    want = _brute_hamming_pairs([(rid, h & 0xFFFFFFFFFFFFFFFF) for rid, h in signed], 3)
+    assert got == want
+    assert len(want) >= 30  # the planted pairs actually exist
+
+
+def test_hamming_near_dups_on_real_image_phashes(spark):
+    """End-to-end on the input_hint shape: phash64 of slightly-perturbed
+    fixture images lands within the Hamming budget and the operator
+    surfaces exactly the brute-force pair set."""
+    from osm_render_spark.fixtures.images import image_pixels
+    from osm_render_spark.operators.dedup import hamming_near_dups
+    from osm_render_spark.raster.codec import phash64
+
+    rows = []
+    planted = 0
+    for i in range(40):
+        img = image_pixels(i, 64, 64)
+        h = phash64(img)
+        rows.append((f"img{i:03d}", h - (1 << 64) if h >= 1 << 63 else h))
+        # +1 brightness on one quadrant: tiny DCT shift -> few-bit drift
+        pert = img.copy()
+        pert[:32, :32, :3] = np.minimum(pert[:32, :32, :3], 254) + 1
+        hp = phash64(pert)
+        d = bin(h ^ hp).count("1")
+        if 0 < d <= 3:
+            rows.append((f"img{i:03d}p", hp - (1 << 64) if hp >= 1 << 63 else hp))
+            planted += 1
+    assert planted >= 5, f"fixture produced only {planted} near-dup images"
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in hamming_near_dups(df, max_hamming=3, n_bands=4).collect()
+    }
+    want = _brute_hamming_pairs([(rid, h & 0xFFFFFFFFFFFFFFFF) for rid, h in rows], 3)
+    assert got == want
+    ids = {rid for rid, _ in rows}
+    planted_pairs = {(rid, rid + "p") for rid, _ in rows if rid + "p" in ids}
+    assert {(a, b) for a, b, _ in got} >= planted_pairs
+
+
+def test_hamming_near_dups_plan_and_guards(spark):
+    """No Cartesian/nested-loop join in the plan (bucket equi-join only);
+    oversized buckets drop with accounting; incomplete parameterizations
+    are rejected loudly."""
+    from osm_render_spark.operators.dedup import hamming_near_dups
+
+    df = spark.createDataFrame(
+        [(f"i{i}", i % 4) for i in range(64)], "image_id string, phash long"
+    )
+    pairs = hamming_near_dups(df, max_hamming=2, n_bands=4, bucket_cap=4096)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 4 hash values over 64 rows -> every bucket holds 16 ids > cap 8
+    capped, dropped = hamming_near_dups(
+        df, max_hamming=2, n_bands=4, bucket_cap=8, return_stats=True
+    )
+    assert capped.count() == 0
+    assert dropped.count() > 0
+    with pytest.raises(ValueError, match="completeness"):
+        hamming_near_dups(df, max_hamming=4, n_bands=4)
