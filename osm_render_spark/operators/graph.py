@@ -40,6 +40,7 @@ def connected_components(
     b: str = "b",
     max_iter: int = 50,
     algorithm: str = "hashmin",
+    check_every: int = 2,
 ) -> DataFrame:
     """edges(a, b) → (node, component) where component = MIN node id in
     the node's connected component (the canonical-doc convention).
@@ -51,9 +52,19 @@ def connected_components(
     sensitivity. Raises after ``max_iter`` rounds without convergence
     instead of returning a wrong answer. ``algorithm="star"`` switches
     to the O(log n)-round large-star/small-star contraction (module
-    docstring) for graphs whose diameter exceeds a sane round count."""
+    docstring) for graphs whose diameter exceeds a sane round count.
+
+    ``check_every`` batches that many propagation steps between
+    convergence checks: the checkpoint + changed-count driver action
+    runs once per batch instead of once per step (each unchecked step
+    only deepens lineage by one join). Sound because labels only ever
+    DECREASE: if the batch's LAST step changed nothing the table is a
+    fixpoint, regardless of earlier steps — at worst the final batch
+    runs check_every-1 no-op steps past convergence."""
     if algorithm not in ("hashmin", "star"):
         raise ValueError(f"algorithm must be hashmin|star, got {algorithm!r}")
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -69,7 +80,7 @@ def connected_components(
         "node", F.col("node").alias("component")
     )
     labels = labels.localCheckpoint()
-    for _ in range(max_iter):
+    for r in range(max_iter):
         # min neighbor label per node (self-loops make this include the
         # node's own label, so LEAST with the current label is implied)
         nbr_min = (
@@ -88,11 +99,17 @@ def connected_components(
                 (F.col("nbr_component") < F.col("component")).alias("_changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint()
-        changed = new_labels.where(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            return labels
+        if (r + 1) % check_every == 0 or r == max_iter - 1:
+            new_labels = new_labels.localCheckpoint()
+            changed = new_labels.where(F.col("_changed")).count()
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                return labels
+        else:
+            # lazy checkpoint: no driver action now, but lineage is
+            # truncated (and blocks cached) when the batch-end count
+            # materializes the chain — one action per batch total
+            labels = new_labels.localCheckpoint(eager=False).drop("_changed")
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "diameter exceeds the bound; raise max_iter or pass "

@@ -100,3 +100,21 @@ def test_connected_components_transitive_chain(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20}
+
+
+def test_check_every_batching_matches_per_round(spark):
+    """check_every batches propagation steps between convergence
+    actions; outputs must be identical to per-round checking, and a
+    batch boundary landing exactly on the convergence round must not
+    mask it (a path graph needs diameter rounds — odd AND even cases)."""
+    for n in (7, 8):
+        rows = [(i, i + 1) for i in range(n - 1)] + [(i, i) for i in range(n)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        want = {r["node"]: r["component"] for r in connected_components(df, check_every=1).collect()}
+        assert want == {i: 0 for i in range(n)}
+        for ce in (2, 3, 5):
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(df, check_every=ce).collect()
+            }
+            assert got == want, f"n={n} check_every={ce}"
