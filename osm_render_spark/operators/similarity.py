@@ -469,7 +469,9 @@ def build_ivf_index(
     n_centroids: int | None = None,
     id_col: str = "vec_id",
     quantizer: str = "kmeans",
-    quantize: bool = False,
+    quantize: bool | str = False,
+    pq_m: int = 8,
+    pq_ksub: int = 256,
 ) -> None:
     """Persist an IVF index: centroids (tiny parquet) + the corpus
     written PARTITIONED BY list_id. This is the build-once/probe-many
@@ -480,14 +482,25 @@ def build_ivf_index(
     with ann_ivf_topk (_assign_to_lists/_probe_df/_score_and_rank), so
     the persisted index can never drift from the in-memory operator.
 
-    ``quantize=True`` additionally writes ``lists_q8``: per-vector
-    symmetric int8 codes + scale (operators/quantize.py scheme),
-    partitioned identically — the probe-phase store for
+    ``quantize=True`` (or ``"sq8"``) additionally writes ``lists_q8``:
+    per-vector symmetric int8 codes + scale (operators/quantize.py
+    scheme), partitioned identically — the probe-phase store for
     query_ivf_index_quantized, ~4× fewer bytes than the float lists
-    (pinned by a size-ratio test)."""
+    (pinned by a size-ratio test). ``quantize="pq"`` instead writes
+    ``lists_pq`` (product-quantization codes, pq_m BYTES per vector —
+    the standard IVF-PQ layout, Jégou et al. 2011) plus the tiny
+    ``pq_codebooks`` table, the probe store for query_ivf_index_pq:
+    at dim=64/float32 that's 256 B → 8 B, a 32× probe-byte cut."""
+    if quantize not in (False, True, "sq8", "pq"):
+        raise ValueError(f"quantize must be False|True|'sq8'|'pq', got {quantize!r}")
+    sq8 = quantize in (True, "sq8")
+    pq = quantize == "pq"
     c_mat = _resolve_centroids(embeddings, n_centroids, id_col, quantizer)
+    books = (
+        _train_pq_codebooks(embeddings, id_col, pq_m, pq_ksub) if pq else None
+    )
     lists = _assign_to_lists(embeddings, c_mat, id_col)
-    if quantize:
+    if sq8 or pq:
         # two writes read the assignment — persist so the Arrow argmax
         # pass runs once, release before returning
         lists = lists.persist()
@@ -499,14 +512,29 @@ def build_ivf_index(
         base.write.mode("overwrite").partitionBy("list_id", "batch_id").parquet(
             f"{path}/lists"
         )
-        if quantize:
+        if sq8:
             _quantize_lists_q8(lists, id_col).withColumn(
                 "batch_id", F.lit(-1)
             ).write.mode("overwrite").partitionBy("list_id", "batch_id").parquet(
                 f"{path}/lists_q8"
             )
+        if pq:
+            _encode_pq_lists(lists, id_col, books).withColumn(
+                "batch_id", F.lit(-1)
+            ).write.mode("overwrite").partitionBy("list_id", "batch_id").parquet(
+                f"{path}/lists_pq"
+            )
+            spark = embeddings.sparkSession
+            book_rows = [
+                (int(j), int(c), [float(v) for v in books[j, c]])
+                for j in range(books.shape[0])
+                for c in range(books.shape[1])
+            ]
+            spark.createDataFrame(
+                book_rows, "sub_idx long, code long, centroid array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
     finally:
-        if quantize:
+        if sq8 or pq:
             lists.unpersist()
     spark = embeddings.sparkSession
     cent_rows = [
@@ -574,6 +602,181 @@ def _quantize_lists_q8(lists: DataFrame, id_col: str) -> DataFrame:
     return lists.mapInPandas(
         kernel, schema=f"list_id long, {id_col} long, codes binary, scale double"
     )
+
+
+def _train_pq_codebooks(
+    embeddings: DataFrame,
+    id_col: str,
+    pq_m: int,
+    pq_ksub: int,
+    sample_n: int = 4096,
+    iters: int = 5,
+):
+    """Product-quantization codebooks (pq_m, ksub, dsub): split the
+    vector into pq_m contiguous sub-vectors and run plain-L2 Lloyd
+    k-means independently per sub-space, on the same deterministic
+    hash-ordered driver-sized sample discipline as _kmeans_centroids
+    (train on a sample, encode everything — the standard PQ recipe).
+    Deterministic: no RNG; init = evenly-spaced sample rows; empty
+    clusters keep their previous codeword."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, "embedding")
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    dim = m.shape[1]
+    if dim % pq_m != 0:
+        raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
+    dsub = dim // pq_m
+    ksub = min(pq_ksub, len(m))
+    books = np.empty((pq_m, ksub, dsub), dtype=np.float64)
+    init_idx = np.linspace(0, len(m) - 1, ksub).astype(np.int64)
+    for j in range(pq_m):
+        x = m[:, j * dsub : (j + 1) * dsub]
+        cent = x[init_idx].copy()
+        for _ in range(iters):
+            # nearest codeword by L2 == argmax(x·c - ‖c‖²/2)
+            score = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)[None, :]
+            assign = score.argmax(axis=1)
+            for c in range(ksub):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _encode_pq_lists(lists: DataFrame, id_col: str, books) -> DataFrame:
+    """(list_id, id, embedding) → (list_id, id, codes BINARY of pq_m
+    bytes): nearest codeword per sub-space, one numpy pass per Arrow
+    batch. ksub ≤ 256 so a code is exactly one uint8."""
+    import numpy as np
+    import pandas as pd
+
+    pq_m, ksub, dsub = books.shape
+    if ksub > 256:
+        raise ValueError(f"ksub {ksub} > 256 does not fit a byte code")
+    half_n2 = 0.5 * (books * books).sum(axis=2)  # (m, ksub)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = np.empty((len(x), pq_m), dtype=np.uint8)
+            for j in range(pq_m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                score = sub @ books[j].T - half_n2[j][None, :]
+                codes[:, j] = score.argmax(axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "list_id": pdf["list_id"],
+                    id_col: pdf[id_col],
+                    "codes": [r.tobytes() for r in codes],
+                }
+            )
+
+    return lists.mapInPandas(
+        kernel, schema=f"list_id long, {id_col} long, codes binary"
+    )
+
+
+def query_ivf_index_pq(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    rerank_factor: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index (build_ivf_index(quantize='pq')):
+    the probe phase scans ``lists_pq`` — pq_m BYTES per vector, pruned
+    to the probed list partitions — and scores by asymmetric distance
+    computation (ADC): per query build the (pq_m, ksub) inner-product
+    table q_subⱼ·cⱼ,ₖ once, then each candidate's approximate dot is
+    pq_m table lookups summed, and its approximate norm comes from the
+    precomputed per-codeword ‖c‖² table. The top rerank_factor·k pool
+    per query (broadcast-sized) joins back to the float lists for the
+    exact float64 rerank, so PQ error costs recall only when the true
+    neighbor falls out of the pool — with full probes and a pool
+    covering the corpus the result EQUALS brute force (pinned).
+    Returns (query_id, cand_id, rank, cos)."""
+    import numpy as np
+    import pandas as pd
+
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    probes = _probe_df(spark, c_mat, queries.collect(), n_probe)
+    probed = sorted({r["list_id"] for r in probes.select("list_id").collect()})
+    book_rows = (
+        spark.read.parquet(f"{path}/pq_codebooks").orderBy("sub_idx", "code").collect()
+    )
+    pq_m = 1 + max(r["sub_idx"] for r in book_rows)
+    ksub = len(book_rows) // pq_m
+    dsub = len(book_rows[0]["centroid"])
+    books = np.array([r["centroid"] for r in book_rows], dtype=np.float64).reshape(
+        pq_m, ksub, dsub
+    )
+    n2_table = (books * books).sum(axis=2)  # (m, ksub)
+    pq_lists = spark.read.parquet(f"{path}/lists_pq").where(
+        F.col("list_id").isin(*probed)
+    )
+    joined = pq_lists.join(F.broadcast(probes), "list_id")
+    jar = np.arange(pq_m)
+
+    def score_pq(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"]]
+            ).astype(np.int64)  # (n, pq_m)
+            keys = np.empty(len(pdf), dtype=np.float64)
+            qids = pdf["query_id"].to_numpy()
+            emb = pdf["q_embedding"].to_numpy()
+            for q in np.unique(qids):
+                mask = qids == q
+                qv = np.array(emb[mask.argmax()], dtype=np.float64)
+                ip = np.einsum("kcd,kd->kc", books, qv.reshape(pq_m, dsub))
+                sub = codes[mask]  # (nq, pq_m)
+                dots = ip[jar[None, :], sub].sum(axis=1)
+                n2 = n2_table[jar[None, :], sub].sum(axis=1)
+                n2[n2 == 0] = 1.0
+                keys[mask] = dots / np.sqrt(n2)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf[id_col],
+                    "keypq": keys,
+                }
+            )
+
+    scored = joined.mapInPandas(
+        score_pq, schema="query_id long, cand_id long, keypq double"
+    )
+    wpq = Window.partitionBy("query_id").orderBy(
+        F.col("keypq").desc(), F.col("cand_id").asc()
+    )
+    pool = (
+        scored.withColumn("rpq", F.row_number().over(wpq))
+        .where(F.col("rpq") <= rerank_factor * k)
+        .select("query_id", "cand_id")
+    )
+    flat = spark.read.parquet(f"{path}/lists").where(
+        F.col("list_id").isin(*probed)
+    )
+    q_emb = probes.select("query_id", "q_embedding").dropDuplicates(["query_id"])
+    rejoined = (
+        flat.join(F.broadcast(pool), flat[id_col] == pool.cand_id)
+        .drop("cand_id")
+        .join(F.broadcast(q_emb), "query_id")
+    )
+    return _score_and_rank(rejoined, k, id_col)
 
 
 def query_ivf_index_quantized(
@@ -697,20 +900,24 @@ def ivf_append_foreach_batch(path: str, id_col: str = "vec_id"):
         )
         c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
         lists = _assign_to_lists(batch, c_mat, id_col)
-        try:
-            spark.read.parquet(f"{path}/lists_q8").schema
-            has_q8 = True
-        except AnalysisException as e:
-            cond = (
-                e.getCondition()
-                if hasattr(e, "getCondition")
-                else e.getErrorClass()
-            ) or ""
-            if cond != "PATH_NOT_FOUND":
-                raise
-            has_q8 = False
-        if has_q8:
-            lists = lists.persist()  # two writes, one assignment pass
+        def _store_exists(sub: str) -> bool:
+            try:
+                spark.read.parquet(f"{path}/{sub}").schema
+                return True
+            except AnalysisException as e:
+                cond = (
+                    e.getCondition()
+                    if hasattr(e, "getCondition")
+                    else e.getErrorClass()
+                ) or ""
+                if cond != "PATH_NOT_FOUND":
+                    raise
+                return False
+
+        has_q8 = _store_exists("lists_q8")
+        has_pq = _store_exists("lists_pq")
+        if has_q8 or has_pq:
+            lists = lists.persist()  # extra writes, one assignment pass
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         old = spark.conf.get(mode_key, "static")
         spark.conf.set(mode_key, "dynamic")
@@ -725,9 +932,24 @@ def ivf_append_foreach_batch(path: str, id_col: str = "vec_id"):
                 ).write.mode("overwrite").partitionBy(
                     "list_id", "batch_id"
                 ).parquet(f"{path}/lists_q8")
+            if has_pq:
+                book_rows = (
+                    spark.read.parquet(f"{path}/pq_codebooks")
+                    .orderBy("sub_idx", "code")
+                    .collect()
+                )
+                pq_m = 1 + max(r["sub_idx"] for r in book_rows)
+                books = np.array(
+                    [r["centroid"] for r in book_rows], dtype=np.float64
+                ).reshape(pq_m, len(book_rows) // pq_m, -1)
+                _encode_pq_lists(lists, id_col, books).withColumn(
+                    "batch_id", F.lit(int(batch_id))
+                ).write.mode("overwrite").partitionBy(
+                    "list_id", "batch_id"
+                ).parquet(f"{path}/lists_pq")
         finally:
             spark.conf.set(mode_key, old)
-            if has_q8:
+            if has_q8 or has_pq:
                 lists.unpersist()
 
     return process

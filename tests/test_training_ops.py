@@ -710,3 +710,150 @@ def test_hamming_near_dups_plan_and_guards(spark):
     assert dropped.count() > 0
     with pytest.raises(ValueError, match="completeness"):
         hamming_near_dups(df, max_hamming=4, n_bands=4)
+
+
+def test_ivf_pq_probe_recall_bytes_and_pruning(spark, tmp_path):
+    """IVF-PQ: the code store is ≤ 20% of the float lists' bytes (8 B
+    codes vs 256 B vectors before parquet framing), its probe plan
+    prunes partitions, and recall@3 of the ADC-probe + float64-rerank
+    path vs the float index is ≥ 0.95 on a clustered corpus."""
+    import os
+
+    from osm_render_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+        query_ivf_index_pq,
+    )
+
+    rng = np.random.default_rng(29)
+    centers = rng.normal(size=(8, 64)) * 4.0
+    vecs = np.concatenate(
+        [c + rng.normal(size=(100, 64)) for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where(df.vec_id % 80 == 0).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("q_embedding")
+    )
+    path = str(tmp_path / "ivf_pq")
+    build_ivf_index(df, path, n_centroids=8, quantizer="kmeans", quantize="pq")
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    flat_b, pq_b = dir_bytes(f"{path}/lists"), dir_bytes(f"{path}/lists_pq")
+    assert pq_b < 0.2 * flat_b, (pq_b, flat_b)
+
+    got_pq = query_ivf_index_pq(spark, path, queries, 3, n_probe=2)
+    plan = got_pq._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "list_id" in l]
+    assert pf, "probe scan does not prune list partitions"
+
+    want = {}
+    for r in query_ivf_index(spark, path, queries, 3, n_probe=2).collect():
+        want.setdefault(r["query_id"], set()).add(r["cand_id"])
+    got, got_ranks = {}, {}
+    for r in got_pq.collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        got_ranks[(r["query_id"], r["rank"])] = r["cand_id"]
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    total = sum(len(s) for s in want.values())
+    assert hits / total >= 0.95, (hits, total)
+    for q in want:
+        assert all((q, i) in got_ranks for i in (1, 2, 3))
+
+
+def test_ivf_pq_full_probe_big_pool_equals_brute_force(spark, tmp_path):
+    """With every list probed and a pool covering the corpus, the exact
+    float64 rerank makes IVF-PQ EQUAL brute-force cosine top-k — PQ
+    error can only cost pool membership, never final ranking."""
+    from osm_render_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        query_ivf_index_pq,
+    )
+
+    rng = np.random.default_rng(41)
+    vecs = rng.normal(size=(160, 32)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where(df.vec_id < 3).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("q_embedding")
+    )
+    path = str(tmp_path / "ivf_pq_full")
+    build_ivf_index(
+        df, path, n_centroids=4, quantizer="head", quantize="pq", pq_m=4, pq_ksub=64
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cos"], 9))
+        for r in query_ivf_index_pq(
+            spark, path, queries, 5, n_probe=4, rerank_factor=100
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["cand_id"], round(r["cos"], 9))
+        for r in cosine_topk(df, queries, 5).collect()
+    }
+    assert got == want
+
+
+def test_ivf_pq_streaming_append_and_replay(spark, tmp_path):
+    """PQ store follows streaming appends: appended vectors become
+    probe candidates (codes encoded with the BUILD-time codebooks — the
+    fixed-quantizer maintenance contract), and a replayed batch leaves
+    probe results unchanged."""
+    from pyspark.sql import functions as F
+
+    from osm_render_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_append_foreach_batch,
+        query_ivf_index_pq,
+    )
+
+    rng = np.random.default_rng(43)
+    vecs = rng.normal(size=(120, 32)).astype(np.float32)
+
+    def df_of(lo, hi):
+        return spark.createDataFrame(
+            [(int(i), [float(v) for v in vecs[i]]) for i in range(lo, hi)],
+            "vec_id long, embedding array<float>",
+        )
+
+    base, b0 = df_of(0, 90), df_of(90, 120)
+    queries = df_of(0, 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    path = str(tmp_path / "ivf_pq_inc")
+    build_ivf_index(
+        base, path, n_centroids=4, quantizer="head", quantize="pq", pq_m=4, pq_ksub=64
+    )
+    fn = ivf_append_foreach_batch(path)
+    fn(b0, 0)
+    # full probe + corpus-sized pool -> exact == brute force over ALL
+    # 120 vectors, so appended ids necessarily participate
+    def probe():
+        return {
+            (r["query_id"], r["rank"]): r["cand_id"]
+            for r in query_ivf_index_pq(
+                spark, path, queries, 5, n_probe=4, rerank_factor=100
+            ).collect()
+        }
+
+    got = probe()
+    want = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in cosine_topk(df_of(0, 120), queries, 5).collect()
+    }
+    assert got == want
+    fn(b0, 0)  # crash replay
+    assert probe() == got
