@@ -443,6 +443,134 @@ def skew_job(cpus: int, n_points: int = 20_000_000, hot_frac: float = 0.3) -> di
     }
 
 
+def ann_job(cpus: int, n_vecs: int = 200_000, dim: int = 64) -> dict:
+    """Measured ANN probe-store comparison (the PERF.md byte hierarchy):
+    build ONE persisted IVF index carrying all three stores (float /
+    SQ8 / PQ), then probe the same 512-query batch through each path
+    and report wall (best-of-2), on-disk store bytes, and recall@10 of
+    the quantized paths vs the float path. Deterministic clustered
+    corpus (shader-hash pseudo-noise around 64 centers) generated on
+    executors — no driver materialization of the corpus."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_render_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+        query_ivf_index_pq,
+        query_ivf_index_quantized,
+    )
+    from osm_render_spark.session import get_spark
+
+    spark = get_spark("ann_job", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    rng = np.random.default_rng(0)
+    centers = (rng.normal(size=(64, dim)) * 4.0).astype(np.float64)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            # deterministic per-id pseudo-noise, independent of batching
+            phase = np.outer(ids + 1.0, np.arange(1, dim + 1) * 0.7391)
+            noise = np.modf(np.abs(np.sin(phase)) * 43758.5453)[0] - 0.5
+            vecs = centers[ids % 64] + noise
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [r.astype(np.float32).tolist() for r in vecs]}
+            )
+
+    corpus = spark.range(0, n_vecs, 1, cpus * 2).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>"
+    )
+    queries = (
+        spark.range(0, 512)
+        .withColumnRenamed("id", "vec_id")
+        .join(corpus, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
+    )
+    path = tempfile.mkdtemp(prefix="annbench_")
+    try:
+        t0 = _t.time()
+        build_ivf_index(
+            corpus, path, n_centroids=64, quantizer="kmeans", quantize="both"
+        )
+        build_s = _t.time() - t0
+
+        def dir_bytes(sub):
+            total = 0
+            for r, _d, fs in os.walk(f"{path}/{sub}"):
+                total += sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+            return total
+
+        runs = {
+            "flat": lambda: query_ivf_index(spark, path, queries, 10, n_probe=4),
+            "sq8": lambda: query_ivf_index_quantized(spark, path, queries, 10, n_probe=4),
+            "pq": lambda: query_ivf_index_pq(spark, path, queries, 10, n_probe=4),
+            # the PQ recall dial: a bigger exact-rerank pool trades a few
+            # hundred float-row fetches per query for recall — the pool
+            # join stays broadcast-sized either way
+            "pq_r64": lambda: query_ivf_index_pq(
+                spark, path, queries, 10, n_probe=4, rerank_factor=64
+            ),
+        }
+        walls, tops, sumcos = {}, {}, {}
+        for label, fn in runs.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.time()
+                rows = fn().collect()
+                best = min(best, _t.time() - t0)
+            walls[label] = round(best, 3)
+            top, sc = {}, {}
+            for r in rows:
+                top.setdefault(r["query_id"], set()).add(r["cand_id"])
+                sc[r["query_id"]] = sc.get(r["query_id"], 0.0) + r["cos"]
+            tops[label], sumcos[label] = top, sc
+        recall, regret = {}, {}
+        for label in ("sq8", "pq", "pq_r64"):
+            hits = sum(len(tops["flat"][q] & tops[label].get(q, set())) for q in tops["flat"])
+            total = sum(len(s) for s in tops["flat"].values())
+            recall[label] = round(hits / total, 4)
+            # near-tie corpora make set recall pessimistic: a "miss" whose
+            # cosine matches the true top-10 to 4 decimals is not a loss.
+            # regret = mean per-returned-row cosine shortfall vs flat
+            regret[label] = round(
+                sum(
+                    sumcos["flat"][q] - sumcos[label].get(q, 0.0)
+                    for q in sumcos["flat"]
+                )
+                / (10.0 * len(sumcos["flat"])),
+                6,
+            )
+        out = {
+            "cpus": cpus,
+            "n_vecs": n_vecs,
+            "dim": dim,
+            "n_queries": 512,
+            "build_sec": round(build_s, 3),
+            "store_bytes": {
+                "flat": dir_bytes("lists"),
+                "sq8": dir_bytes("lists_q8"),
+                "pq": dir_bytes("lists_pq"),
+            },
+            "probe_wall_sec": walls,
+            "recall_at10_vs_flat": recall,
+            "mean_cos_regret_at10": regret,
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        spark.stop()
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -459,6 +587,10 @@ def main() -> int:
 
     if "--skew" in sys.argv:
         print(json.dumps(skew_job(cpus)))
+        return 0
+
+    if "--ann" in sys.argv:
+        print(json.dumps(ann_job(cpus)))
         return 0
 
     if "--scaling" in sys.argv:
