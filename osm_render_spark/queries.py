@@ -1346,6 +1346,76 @@ ORDER BY id_a, id_b
     return QueryDef(fn, duck)
 
 
+def _q_phash_dedup_clusters() -> QueryDef:
+    """The full image-dedup pipeline end-to-end: banded Hamming
+    near-dup pairs over the phash corpus (operators/dedup.
+    hamming_near_dups) become edges, operators/graph.
+    connected_components closes them transitively, and one canonical
+    (min-id) image labels each cluster — the image twin of
+    dedup_clusters. The corpus plants CHAINS (a ≈ b at hamming ≤ 3,
+    b ≈ c at hamming 3, a vs c at hamming 6) so cluster closure over
+    paths is exercised, not just direct pairs. Oracle: DuckDB computes
+    edges as the quadratic all-pairs filter and components with a
+    recursive CTE."""
+
+    def rows3(dialect: str) -> str:
+        # extend the phash corpus with a second-hop variant: c = b XOR
+        # (bits 10/30/50 — three more distinct bands), giving
+        # hamming(b,c)=3 but hamming(a,c)=6; same carry-identity XOR
+        return f"""{_phash_rows_sql(dialect)},
+rows3 AS (
+  SELECT id, h FROM rows
+  UNION ALL
+  SELECT 'c' || substr(id, 2) AS id,
+         (h + m2 - 2 * (h & m2)) AS h
+  FROM (
+    SELECT id, h, 1125900980585472 AS m2 FROM rows WHERE id LIKE 'b%'
+  ) bv
+  WHERE CAST(substr(id, 2) AS BIGINT) % 6 = 0
+)"""
+
+    duck = f"""
+WITH RECURSIVE {rows3("duck")},
+edges AS (
+  SELECT r1.id AS a, r2.id AS b
+  FROM rows3 r1 JOIN rows3 r2 ON r1.id < r2.id
+  WHERE bit_count(xor(r1.h, r2.h)) <= 3
+),
+sym AS (
+  SELECT a AS n, b AS m FROM edges
+  UNION
+  SELECT b AS n, a AS m FROM edges
+  UNION
+  SELECT id AS n, id AS m FROM rows3
+),
+reach(n, m) AS (
+  SELECT n, m FROM sym
+  UNION
+  SELECT reach.n, sym.m FROM reach JOIN sym ON sym.n = reach.m
+)
+SELECT n AS image_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+ORDER BY image_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.dedup import hamming_near_dups
+        from .operators.graph import connected_components
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        register_views(spark, sf_dir)
+        rows = spark.sql(f"WITH {rows3('spark')} SELECT id, h FROM rows3")
+        pairs = hamming_near_dups(
+            rows, id_col="id", hash_col="h", max_hamming=3, n_bands=4
+        ).select("a", "b")
+        loops = rows.select(F.col("id").alias("a"), F.col("id").alias("b"))
+        cc = connected_components(pairs.unionAll(loops))
+        return cc.select(
+            F.col("node").alias("image_id"), F.col("component").alias("cluster_id")
+        ).orderBy("image_id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_simhash() -> QueryDef:
     def make(d) -> str:
         from .operators.text import simhash_bit_terms, word_keys_sql
@@ -2435,6 +2505,7 @@ def build_queries() -> dict[str, QueryDef]:
         "dedup_clusters_star": _q_dedup_clusters(algorithm="star"),
         "simhash16": _q_simhash(),
         "phash_near_dups": _q_phash_near_dups(),
+        "phash_dedup_clusters": _q_phash_dedup_clusters(),
         "ngram_jaccard": _q_ngram_jaccard(),
         "embedding_l2_top3": _q_embedding_l2_top3(),
         "ann_lsh_bucket": _q_ann_lsh_bucket(),
