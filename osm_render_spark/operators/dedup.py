@@ -321,9 +321,7 @@ def hamming_near_dups(
                 h.alias("_h"),
             )
         )
-    allb = bands[0]
-    for part in bands[1:]:
-        allb = allb.unionByName(part)
+    allb = _union_bands(bands)
     sizes = allb.groupBy("band", "bval").agg(F.count("*").alias("n_rows"))
     dropped = sizes.where(F.col("n_rows") > bucket_cap)
     kept = allb.join(

@@ -1282,9 +1282,15 @@ def _phash_rows_sql(dialect: str) -> str:
     BIGINT (top band 15 bits so the pack stays positive in signed
     int64), plus planted near-duplicate rows for every third key at
     Hamming distance 3 (bits 0/20/40 — three DIFFERENT 16-bit bands)
-    or 1 (bit 5). XOR is spelled with the carry identity
-    x^m = x + m - 2*(x&m) so the text runs unmodified in both engines
-    (DuckDB's ^ is exponentiation; its xor() has no Spark twin)."""
+    or 1 (bit 5). XOR is spelled with the carry identity in its
+    overflow-safe association x^m = (x - (x&m)) + (m - (x&m)) — both
+    operands nonnegative and the sum < 2^63 even when x sits near the
+    int64 max (the naive x + m - 2*(x&m) raises ARITHMETIC_OVERFLOW /
+    OutOfRange in BOTH engines at sf ≥ 0.1, where part keys push h
+    within 2^50 of the max) — so one text runs unmodified in both
+    engines (DuckDB's ^ is exponentiation; its xor() has no Spark
+    twin). lpad width 10 covers part keys through sf 100+ without
+    truncation-induced id collisions."""
     s = "STRING" if dialect == "spark" else "VARCHAR"
     return f"""
 base AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
@@ -1298,10 +1304,10 @@ hv AS (
   FROM base
 ),
 rows AS (
-  SELECT 'a' || lpad(CAST(k AS {s}), 6, '0') AS id, h FROM hv
+  SELECT 'a' || lpad(CAST(k AS {s}), 10, '0') AS id, h FROM hv
   UNION ALL
-  SELECT 'b' || lpad(CAST(k AS {s}), 6, '0') AS id,
-         h + m - 2 * (h & m) AS h
+  SELECT 'b' || lpad(CAST(k AS {s}), 10, '0') AS id,
+         (h - (h & m)) + (m - (h & m)) AS h
   FROM hv WHERE k % 3 = 0
 )"""
 
@@ -1361,13 +1367,15 @@ def _q_phash_dedup_clusters() -> QueryDef:
     def rows3(dialect: str) -> str:
         # extend the phash corpus with a second-hop variant: c = b XOR
         # (bits 10/30/50 — three more distinct bands), giving
-        # hamming(b,c)=3 but hamming(a,c)=6; same carry-identity XOR
+        # hamming(b,c)=3 but hamming(a,c)=6; overflow-safe XOR identity
+        # (bit 50 rides within 2^50 of the int64 max at sf ≥ 0.1, so
+        # the naive h + m2 - 2*(h&m2) association would raise)
         return f"""{_phash_rows_sql(dialect)},
 rows3 AS (
   SELECT id, h FROM rows
   UNION ALL
   SELECT 'c' || substr(id, 2) AS id,
-         (h + m2 - 2 * (h & m2)) AS h
+         (h - (h & m2)) + (m2 - (h & m2)) AS h
   FROM (
     SELECT id, h, 1125900980585472 AS m2 FROM rows WHERE id LIKE 'b%'
   ) bv
