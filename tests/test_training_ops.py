@@ -857,3 +857,48 @@ def test_ivf_pq_streaming_append_and_replay(spark, tmp_path):
     assert got == want
     fn(b0, 0)  # crash replay
     assert probe() == got
+
+
+def test_ivf_build_both_stores_probe_identically(spark, tmp_path):
+    """quantize='both' (the bench --ann layout) writes all three stores
+    in one build; the SQ8 and PQ probe paths both answer from it."""
+    from osm_render_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+        query_ivf_index_pq,
+        query_ivf_index_quantized,
+    )
+
+    rng = np.random.default_rng(47)
+    vecs = rng.normal(size=(120, 32)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where(df.vec_id < 2).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("q_embedding")
+    )
+    path = str(tmp_path / "ivf_both")
+    build_ivf_index(
+        df, path, n_centroids=4, quantizer="head", quantize="both", pq_m=4, pq_ksub=64
+    )
+    flat = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in query_ivf_index(spark, path, queries, 5, n_probe=4).collect()
+    }
+    # full probe: SQ8 pool + exact rerank == flat; PQ with corpus pool == flat
+    sq8 = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in query_ivf_index_quantized(
+            spark, path, queries, 5, n_probe=4, rerank_factor=100
+        ).collect()
+    }
+    pq = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in query_ivf_index_pq(
+            spark, path, queries, 5, n_probe=4, rerank_factor=100
+        ).collect()
+    }
+    assert sq8 == flat and pq == flat
+    with pytest.raises(ValueError, match="quantize"):
+        build_ivf_index(df, str(tmp_path / "bad"), quantize="sq4")
