@@ -846,6 +846,37 @@ LIMIT 100
     return _sql_query(sql)
 
 
+def _q_rollup_revenue() -> QueryDef:
+    """GROUP BY ROLLUP — the multi-level aggregation surface (Catalyst
+    plans it as one Expand operator feeding a single hash aggregate:
+    every input row fans out once per grouping set, so subtotals and
+    the grand total cost ONE shuffle, not one job per level — the 100 TB
+    reason to use ROLLUP instead of unioned re-aggregations). GROUPING()
+    flags disambiguate subtotal rows from any real NULL key; sums
+    accumulate in DECIMAL per the engine-wide rule; identical SQL text
+    runs on both engines."""
+    return _sql_query("""
+WITH base AS (
+  SELECT n_name,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+         CAST(o_totalprice AS DECIMAL(38,6)) AS price
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+)
+SELECT
+  COALESCE(n_name, 'ALL') AS nation,
+  COALESCE(yr, -1) AS order_year,
+  CAST(GROUPING(n_name) AS INT) AS g_nation,
+  CAST(GROUPING(yr) AS INT) AS g_year,
+  CAST(SUM(price) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM base
+GROUP BY ROLLUP(n_name, yr)
+ORDER BY g_nation, g_year, nation, order_year
+""")
+
+
 def _q_tpch_q17() -> QueryDef:
     """TPC-H Q17 shape (small-quantity-order revenue), grouped by brand
     so the result is a real table instead of one scalar: a CORRELATED
@@ -2498,6 +2529,7 @@ def build_queries() -> dict[str, QueryDef]:
         "tpch_q5": _q_tpch_q5(),
         "tpch_q18": _q_tpch_q18(),
         "tpch_q17": _q_tpch_q17(),
+        "rollup_revenue": _q_rollup_revenue(),
         "image_pipeline": _q_image_pipeline(),
         "jpeg_roundtrip": _q_jpeg_roundtrip(),
         "dedup_exact": _q_dedup_exact(),

@@ -276,3 +276,17 @@ def test_tpch_q17_correlated_scalar_decorrelates_to_agg_join(spark):
     # correlated-subquery leftovers would surface as a scalar-subquery
     # node in the final plan
     assert "scalar-subquery" not in plan.lower()
+
+
+def test_rollup_plans_as_single_expand_aggregate(spark):
+    """ROLLUP must compile to ONE Expand feeding one aggregation chain
+    (each row fans out per grouping set before a single shuffle) —
+    never a union of per-level jobs or re-scans of the joined base."""
+    from osm_render_spark.queries import build_queries
+
+    df = build_queries()["rollup_revenue"].spark_fn(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan
+    # dims broadcast; the fact side shuffles only for the aggregate
+    assert "BroadcastHashJoin" in plan
