@@ -846,6 +846,38 @@ LIMIT 100
     return _sql_query(sql)
 
 
+def _q_stratified_split() -> QueryDef:
+    """Deterministic dataset splitting + stratified sampling — the
+    train/val/test step every training-data pipeline runs before
+    anything else. Split assignment is a pure arithmetic hash of the id
+    (NOT xxhash64 — the two engines' hash functions differ; an LCG in
+    shared SQL is engine-identical and just as uniform for bucketing),
+    so membership is stable under reprocessing, repartitioning, and
+    appends — no RNG, no sampleBy nondeterminism. The stratified flag
+    takes the first N per language by (hash, id) — an exact per-stratum
+    quota via one window, not an approximate fraction. Scale shape:
+    split tagging is codegen column arithmetic (no shuffle); the
+    stratified window shuffles once on the stratum key."""
+    return _sql_query("""
+WITH tagged AS (
+  SELECT doc_id, lang,
+         ((doc_id * 1103515245 + 12345) % 2147483648) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, h,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM tagged
+)
+SELECT doc_id, lang,
+       CASE WHEN h % 10 < 8 THEN 'train'
+            WHEN h % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(CASE WHEN rn <= 20 THEN 1 ELSE 0 END AS INT) AS in_stratified_sample
+FROM ranked ORDER BY doc_id
+""")
+
+
 def _q_rollup_revenue() -> QueryDef:
     """GROUP BY ROLLUP — the multi-level aggregation surface (Catalyst
     plans it as one Expand operator feeding a single hash aggregate:
@@ -2530,6 +2562,7 @@ def build_queries() -> dict[str, QueryDef]:
         "tpch_q18": _q_tpch_q18(),
         "tpch_q17": _q_tpch_q17(),
         "rollup_revenue": _q_rollup_revenue(),
+        "stratified_split": _q_stratified_split(),
         "image_pipeline": _q_image_pipeline(),
         "jpeg_roundtrip": _q_jpeg_roundtrip(),
         "dedup_exact": _q_dedup_exact(),
