@@ -44,6 +44,16 @@ HEADLINE = [
 # timing series so every round since r1 stays comparable (r3 VERDICT
 # "what's wrong" #1 — the best-of-2 switch broke series continuity)
 LEGACY12 = [q for q in HEADLINE if q != "tpch_q5"]
+# round-4 additions, timed separately so the 13-query series stays
+# comparable round-over-round (see run_suite)
+EXTRA = [
+    "phash_near_dups",
+    "phash_dedup_clusters",
+    "rollup_revenue",
+    "stratified_split",
+    "tpch_q18",
+    "tpch_q17",
+]
 
 
 def _pbf_fixture(n_nodes: int) -> str:
@@ -143,6 +153,20 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         queries[name] = round(min(runs), 3)
         total_rows += n
     wall = sum(queries.values())
+
+    # round-4+ queries measured OUTSIDE the headline series: `value` and
+    # `queries` keep the unbroken 13-query comparison across rounds
+    # (the exact comparability break the r3 verdict flagged), while the
+    # new operators' perf stays visible
+    extra_queries: dict[str, float] = {}
+    for name in EXTRA:
+        defs[name].spark_fn(spark, sf_dir).count()  # warm
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            defs[name].spark_fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        extra_queries[name] = round(min(runs), 3)
 
     # throughput metric per BASELINE.md: tile assignments + joined rows per sec
     from pyspark.sql import functions as F
@@ -254,6 +278,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "value_wall": round(sum(queries_wall.values()), 3),
         "legacy12_best_of_2": round(sum(queries[q] for q in LEGACY12), 3),
         "legacy12_wall": round(sum(queries_wall[q] for q in LEGACY12), 3),
+        "extra_queries": extra_queries,
         # host-load markers: 1-min loadavg before/after the query loop —
         # tells a reader whether a swing is co-tenant noise or the engine
         "loadavg_before": round(loadavg_before[0], 2),
