@@ -76,40 +76,43 @@ def connected_components(
     )
     if algorithm == "star":
         return _star_components(sym, max_iter)
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("component")
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # guarantee a self-loop for EVERY node: min-over-neighbors then
+    # includes the node's own label, so one join+aggregate IS the whole
+    # propagation step — no second join to LEAST against the old table
+    sym = (
+        sym.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .distinct()
+        .localCheckpoint()
     )
-    labels = labels.localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint()
+    batch_start = labels
     for r in range(max_iter):
-        # min neighbor label per node (self-loops make this include the
-        # node's own label, so LEAST with the current label is implied)
-        nbr_min = (
+        new_labels = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("_changed"),
-            )
+            .agg(F.min("component").alias("component"))
+            .withColumnRenamed("src", "node")
         )
         if (r + 1) % check_every == 0 or r == max_iter - 1:
             new_labels = new_labels.localCheckpoint()
-            changed = new_labels.where(F.col("_changed")).count()
-            labels = new_labels.drop("_changed")
+            # labels only DECREASE, so batch-start == batch-end means no
+            # label moved in ANY step of the batch — a fixpoint
+            changed = (
+                new_labels.alias("n")
+                .join(batch_start.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            batch_start = labels
             if changed == 0:
                 return labels
         else:
             # lazy checkpoint: no driver action now, but lineage is
             # truncated (and blocks cached) when the batch-end count
             # materializes the chain — one action per batch total
-            labels = new_labels.localCheckpoint(eager=False).drop("_changed")
+            labels = new_labels.localCheckpoint(eager=False)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "diameter exceeds the bound; raise max_iter or pass "
