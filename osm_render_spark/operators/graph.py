@@ -148,7 +148,9 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: no driver action here — e_s's count materializes it,
+            # truncating lineage at the same point
+            .localCheckpoint(eager=False)
         )
         # --- small-star: orient max→min; ∀v ∈ Γ(u) ∪ {u} \ {m} → (v, m)
         d = e_l.select(

@@ -98,3 +98,32 @@ def test_latitude_clamp_monotonic(lat):
     y1 = merc_xy(np.array([0.0]), np.array([lat]), 10)[1][0]
     y2 = merc_xy(np.array([0.0]), np.array([min(lat + 1.0, 90.0)]), 10)[1][0]
     assert y2 <= y1 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# overflow-safe SQL XOR identity (queries._phash_rows_sql)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given as _given
+from hypothesis import strategies as _st
+
+
+@_given(
+    x=_st.integers(min_value=0, max_value=(1 << 63) - 1),
+    m=_st.integers(min_value=0, max_value=(1 << 62) - 1),
+)
+def test_carry_identity_xor_overflow_safe(x, m):
+    """(x - (x&m)) + (m - (x&m)) == x ^ m with every intermediate inside
+    signed-int64 — the association the phash oracle SQL uses. The naive
+    x + m - 2*(x&m) overflows when x+m >= 2^63 (the bug a review caught
+    at sf0.1); this form's first operand clears m's bits from x, so the
+    sum IS the XOR and never exceeds max(x, x^m) < 2^63 when the final
+    result fits."""
+    a = x - (x & m)
+    b = m - (x & m)
+    assert a >= 0 and b >= 0
+    assert a + b == x ^ m
+    if (x ^ m) < (1 << 63):
+        # every intermediate fits signed int64
+        for v in (a, b, a + b):
+            assert -(1 << 63) <= v < (1 << 63)
