@@ -76,17 +76,22 @@ def connected_components(
     )
     if algorithm == "star":
         return _star_components(sym, max_iter)
-    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # V-sized materialization: nodes feed the self-loop union AND the
+    # initial labels, and must not re-run the caller's (potentially
+    # expensive) edge plan — sym above is already checkpointed, so this
+    # distinct reads cached blocks
+    nodes = (
+        sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
     # guarantee a self-loop for EVERY node: min-over-neighbors then
     # includes the node's own label, so one join+aggregate IS the whole
-    # propagation step — no second join to LEAST against the old table
-    sym = (
-        sym.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    # propagation step — no second join to LEAST against the old table.
+    # No distinct and no re-materialization: duplicate edges cannot
+    # change a MIN aggregate, and both union legs read caches
+    sym = sym.union(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     )
-    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint()
-    batch_start = labels
+    labels = nodes.select("node", F.col("node").alias("component"))
     for r in range(max_iter):
         new_labels = (
             sym.join(labels, sym.dst == labels.node)
@@ -95,17 +100,20 @@ def connected_components(
             .withColumnRenamed("src", "node")
         )
         if (r + 1) % check_every == 0 or r == max_iter - 1:
+            prev = labels  # lazily checkpointed (or round-0 cache-backed)
             new_labels = new_labels.localCheckpoint()
-            # labels only DECREASE, so batch-start == batch-end means no
-            # label moved in ANY step of the batch — a fixpoint
+            # LAST-step check: labels only decrease, so one unchanged
+            # step certifies the fixpoint — and converging inside the
+            # final batch must count as converged, so compare against
+            # the previous ROUND, not the batch start (prev's lazy
+            # checkpoint materializes inside this same count action)
             changed = (
                 new_labels.alias("n")
-                .join(batch_start.alias("o"), "node")
+                .join(prev.alias("o"), "node")
                 .where(F.col("n.component") != F.col("o.component"))
                 .count()
             )
             labels = new_labels
-            batch_start = labels
             if changed == 0:
                 return labels
         else:

@@ -118,3 +118,18 @@ def test_check_every_batching_matches_per_round(spark):
                 for r in connected_components(df, check_every=ce).collect()
             }
             assert got == want, f"n={n} check_every={ce}"
+
+
+def test_convergence_inside_final_batch_is_not_an_error(spark):
+    """Review regression: a graph whose diameter lands within
+    check_every rounds of max_iter must CONVERGE, not raise — the
+    check must compare against the previous round (last-step fixpoint
+    certificate), never the batch start."""
+    # path 1-2-3-4 needs 3 changing rounds + 1 no-op round
+    rows = [(1, 2), (2, 3), (3, 4)] + [(i, i) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=4, check_every=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}

@@ -104,13 +104,9 @@ def test_latitude_clamp_monotonic(lat):
 # overflow-safe SQL XOR identity (queries._phash_rows_sql)
 # ---------------------------------------------------------------------------
 
-from hypothesis import given as _given
-from hypothesis import strategies as _st
-
-
-@_given(
-    x=_st.integers(min_value=0, max_value=(1 << 63) - 1),
-    m=_st.integers(min_value=0, max_value=(1 << 62) - 1),
+@given(
+    x=st.integers(min_value=0, max_value=(1 << 63) - 1),
+    m=st.integers(min_value=0, max_value=(1 << 62) - 1),
 )
 def test_carry_identity_xor_overflow_safe(x, m):
     """(x - (x&m)) + (m - (x&m)) == x ^ m with every intermediate inside

@@ -943,4 +943,6 @@ def test_ivf_pq_regret_small_on_quasi_tie_corpus(spark, tmp_path):
     regret = sum(
         sumcos["flat"][q] - sumcos["pq"].get(q, 0.0) for q in sumcos["flat"]
     ) / (5.0 * len(sumcos["flat"]))
-    assert 0.0 <= regret < 1e-3, regret
+    # tiny negative slack: identical candidate sets still subtract sums
+    # accumulated in different collect orders (~1 ulp each)
+    assert -1e-9 <= regret < 1e-3, regret
