@@ -878,6 +878,62 @@ FROM ranked ORDER BY doc_id
 """)
 
 
+def _q_sequence_packing() -> QueryDef:
+    """Greedy sequence packing (operators/packing.pack_sequences) — the
+    concatenate-docs-into-fixed-budget-sequences step before training.
+    Greedy is inherently sequential, so the engine packs per
+    deterministic hash bucket (the parallel unit) inside an
+    applyInPandas kernel; the oracle replays the EXACT greedy recurrence
+    with a DuckDB recursive CTE over the same shared-SQL bucketing and
+    char sizes, so any drift in the close-and-start rule (oversized
+    docs, boundary equality, ordering) hash-mismatches."""
+    budget = 800
+    rows_sql = """
+docs AS (
+  SELECT doc_id,
+         (doc_id * 40503 + 7) % 8 AS bucket,
+         LENGTH(text) AS sz
+  FROM documents
+)"""
+    duck = f"""
+WITH RECURSIVE {rows_sql},
+ord AS (
+  SELECT doc_id, bucket, sz,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM docs
+),
+packed(bucket, rn, doc_id, sz, seq_idx, pos_in_seq, seq_fill) AS (
+  SELECT bucket, rn, doc_id, sz,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(sz AS BIGINT)
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.sz,
+         CASE WHEN p.seq_fill + o.sz > {budget}
+              THEN p.seq_idx + 1 ELSE p.seq_idx END,
+         CASE WHEN p.seq_fill + o.sz > {budget}
+              THEN CAST(0 AS BIGINT) ELSE p.pos_in_seq + 1 END,
+         CASE WHEN p.seq_fill + o.sz > {budget}
+              THEN CAST(o.sz AS BIGINT) ELSE p.seq_fill + o.sz END
+  FROM ord o JOIN packed p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, bucket, seq_idx, pos_in_seq, seq_fill
+FROM packed ORDER BY doc_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.packing import pack_sequences
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        register_views(spark, sf_dir)
+        docs = spark.sql(f"WITH {rows_sql} SELECT doc_id, bucket, sz FROM docs")
+        return (
+            pack_sequences(docs, budget, size_col="sz", bucket_col="bucket")
+            .orderBy("doc_id")
+        )
+
+    return QueryDef(fn, duck)
+
+
 def _q_rollup_revenue() -> QueryDef:
     """GROUP BY ROLLUP — the multi-level aggregation surface (Catalyst
     plans it as one Expand operator feeding a single hash aggregate:
@@ -2563,6 +2619,7 @@ def build_queries() -> dict[str, QueryDef]:
         "tpch_q17": _q_tpch_q17(),
         "rollup_revenue": _q_rollup_revenue(),
         "stratified_split": _q_stratified_split(),
+        "sequence_packing": _q_sequence_packing(),
         "image_pipeline": _q_image_pipeline(),
         "jpeg_roundtrip": _q_jpeg_roundtrip(),
         "dedup_exact": _q_dedup_exact(),

@@ -946,3 +946,74 @@ def test_ivf_pq_regret_small_on_quasi_tie_corpus(spark, tmp_path):
     # tiny negative slack: identical candidate sets still subtract sums
     # accumulated in different collect orders (~1 ulp each)
     assert -1e-9 <= regret < 1e-3, regret
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def _brute_pack(rows, budget):
+    """(id, size, bucket) rows → {id: (bucket, seq, pos, fill)}."""
+    out = {}
+    by_b = {}
+    for i, s, b in rows:
+        by_b.setdefault(b, []).append((i, s))
+    for b, docs in by_b.items():
+        docs.sort()
+        seq, pos, fill = 0, 0, 0
+        for i, s in docs:
+            if pos > 0 and fill + s > budget:
+                seq, pos, fill = seq + 1, 0, 0
+            out[i] = (b, seq, pos, fill + s)
+            fill += s
+            pos += 1
+    return out
+
+
+def test_pack_sequences_matches_brute_force(spark):
+    """Greedy packing == the python recurrence, including an oversized
+    doc (own sequence, never dropped) and exact-boundary fills (== is
+    kept, only > closes)."""
+    from osm_render_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(61)
+    rows = [(int(i), int(rng.integers(10, 120)), int(i) % 5) for i in range(300)]
+    rows.append((900, 10_000, 1))  # oversized: alone in its sequence
+    rows.append((901, 90, 1))
+    # exact boundary: two 100s fill a 200 budget exactly, third closes
+    rows += [(910, 100, 6), (911, 100, 6), (912, 1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, size long, bucket long")
+    got = {
+        r["doc_id"]: (r["bucket"], r["seq_idx"], r["pos_in_seq"], r["seq_fill"])
+        for r in pack_sequences(df, 200, bucket_col="bucket").collect()
+    }
+    assert got == _brute_pack(rows, 200)
+    # the boundary trio: 100+100 == budget stays, the +1 starts seq 1
+    assert got[911][1] == got[910][1] and got[912][1] == got[910][1] + 1
+    # oversized doc 900 is alone: doc 901 is in a different sequence
+    assert got[900][1] != got[901][1] and got[900][2] == 0
+
+
+def test_pack_sequences_default_bucketing_deterministic(spark):
+    """Without bucket_col the xxhash64 sharding must be stable across
+    partitionings: same assignment from 1-partition and 8-partition
+    inputs, and every sequence respects the budget unless it holds a
+    single oversized doc."""
+    from osm_render_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(67)
+    rows = [(int(i), int(rng.integers(50, 400))) for i in range(200)]
+    a = spark.createDataFrame(rows, "doc_id long, size long").coalesce(1)
+    b = spark.createDataFrame(rows, "doc_id long, size long").repartition(8)
+    pa = {r["doc_id"]: (r["bucket"], r["seq_idx"], r["pos_in_seq"])
+          for r in pack_sequences(a, 1000).collect()}
+    pb = {r["doc_id"]: (r["bucket"], r["seq_idx"], r["pos_in_seq"])
+          for r in pack_sequences(b, 1000).collect()}
+    assert pa == pb
+    fills = {}
+    for r in pack_sequences(a, 1000).collect():
+        key = (r["bucket"], r["seq_idx"])
+        fills[key] = max(fills.get(key, 0), r["seq_fill"])
+    sizes = dict(rows)
+    for (bkt, _seq), fill in fills.items():
+        assert fill <= 1000 or fill in sizes.values()
