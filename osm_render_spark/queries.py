@@ -878,6 +878,62 @@ FROM ranked ORDER BY doc_id
 """)
 
 
+def _q_pii_scrub() -> QueryDef:
+    """PII scrubbing — redact emails and long digit runs (phone-ish)
+    from document text, with per-doc redaction counts; the filter step
+    a web-scale text pipeline runs before training. Dialect notes that
+    bit: Spark regexp_replace is global with 3 args, DuckDB needs the
+    'g' flag as a 4th; and the two engines disagree on backslash
+    escapes inside SQL string literals, so the patterns use '[.]'
+    instead of an escaped dot (no backslashes anywhere). Counts come
+    from pure LENGTH arithmetic over the replaces (chars removed +
+    1-char-marker length delta), so no occurrence-count function is
+    needed in either dialect. The corpus plants deterministic emails +
+    numbers on every 4th doc so the counts are nonzero and checked."""
+    EPAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    NPAT = "[0-9]{7,}"
+
+    def make(d) -> str:
+        def rr(expr: str, pat: str, rep: str) -> str:
+            if d.name == "spark":
+                return f"regexp_replace({expr}, '{pat}', '{rep}')"
+            return f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+
+        return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         text || ' reach me at u' || CAST(doc_id AS BIGINT)
+              || '@ex' || '.org or 555' || CAST(1000000 + doc_id AS BIGINT)
+    AS text
+  FROM documents WHERE doc_id % 4 = 0
+),
+pass1 AS (
+  SELECT doc_id, text,
+         {rr("text", EPAT, "<EMAIL>")} AS t1,
+         LENGTH(text) - LENGTH({rr("text", EPAT, "")}) AS e_removed,
+         LENGTH({rr("text", EPAT, "E")}) AS e_marked
+  FROM corpus
+),
+pass2 AS (
+  SELECT doc_id, t1,
+         CAST(e_marked - (LENGTH(text) - e_removed) AS INT) AS n_emails,
+         {rr("t1", NPAT, "<NUM>")} AS scrubbed,
+         LENGTH(t1) - LENGTH({rr("t1", NPAT, "")}) AS n_removed,
+         LENGTH({rr("t1", NPAT, "N")}) AS n_marked
+  FROM pass1
+)
+SELECT doc_id,
+       n_emails,
+       CAST(n_marked - (LENGTH(t1) - n_removed) AS INT) AS n_longnums,
+       scrubbed
+FROM pass2 ORDER BY doc_id
+"""
+
+    return _dual_sql_query(make)
+
+
 def _q_sequence_packing() -> QueryDef:
     """Greedy sequence packing (operators/packing.pack_sequences) — the
     concatenate-docs-into-fixed-budget-sequences step before training.
@@ -2620,6 +2676,7 @@ def build_queries() -> dict[str, QueryDef]:
         "rollup_revenue": _q_rollup_revenue(),
         "stratified_split": _q_stratified_split(),
         "sequence_packing": _q_sequence_packing(),
+        "pii_scrub": _q_pii_scrub(),
         "image_pipeline": _q_image_pipeline(),
         "jpeg_roundtrip": _q_jpeg_roundtrip(),
         "dedup_exact": _q_dedup_exact(),
