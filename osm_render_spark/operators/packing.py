@@ -3,15 +3,23 @@ into fixed-budget training sequences (token/char budget per sequence).
 
 Scale shape (10^12 docs): greedy packing is inherently sequential, so
 the parallel unit is a deterministic hash BUCKET — docs shard into
-``n_buckets`` groups (one shuffle), each group packs independently
-inside an applyInPandas kernel, and sequence ids are (bucket, seq_idx)
-pairs so no cross-bucket coordination exists. Bucket count is the
-parallelism/packing-quality dial: more buckets = more parallelism and
-slightly worse packing (greedy never sees docs in other buckets) —
-exactly the tradeoff production packers make. Within a bucket the
-order is (doc_id) ascending, so output is reproducible under any
-partitioning, and a single document larger than the budget gets its
-own sequence (never silently dropped or truncated).
+``n_buckets`` groups (one shuffle with an EXPLICIT partition count:
+AQE would coalesce a small shuffle to one partition and serialize every
+bucket kernel — the CLAUDE.md repartition rule), each group packs
+independently inside an applyInPandas kernel, and sequence ids are
+(bucket, seq_idx) pairs so no cross-bucket coordination exists. Bucket
+count is the parallelism/packing-quality dial: more buckets = more
+parallelism and slightly worse packing (greedy never sees docs in other
+buckets) — exactly the tradeoff production packers make. Within a
+bucket the order is (id) ascending, so output is reproducible under any
+partitioning, and a single document larger than the budget gets its own
+sequence (never silently dropped or truncated).
+
+applyInPandas materializes WHOLE groups (CLAUDE.md), so bucket size
+bounds executor memory: ``max_bucket_rows`` (default 2M) counts buckets
+JVM-side at call time and raises with the worst offender before any
+kernel can OOM — size n_buckets so corpus/n_buckets stays under it, or
+pass None to skip the (one-action) guard on trusted inputs.
 
 The greedy rule (shared with the DuckDB oracle's recursive CTE): keep a
 running size; if running + size > budget, close the sequence and start
@@ -31,31 +39,55 @@ def pack_sequences(
     size_col: str = "size",
     bucket_col: str | None = None,
     n_buckets: int = 64,
+    max_bucket_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """(id, size[, bucket]) → (id, bucket, seq_idx, pos_in_seq,
     seq_fill): greedy fixed-budget packing per bucket. ``size`` is
-    whatever unit the budget is in (tokens, characters, bytes).
-    If ``bucket_col`` is None, docs shard by pmod(xxhash64(id),
-    n_buckets); pass an explicit column to control co-packing (e.g.
-    same-language buckets) or to share bucketing with an oracle."""
+    whatever unit the budget is in (tokens, characters, bytes). Id and
+    bucket columns keep their own types (string language buckets, string
+    ids — the kernel schema is derived from the input). If
+    ``bucket_col`` is None, docs shard by pmod(xxhash64(id), n_buckets);
+    pass an explicit column to control co-packing (e.g. same-language
+    buckets) or to share bucketing with an oracle. NULL sizes raise a
+    clear validation error naming the offending ids."""
     import pandas as pd
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if bucket_col is None:
-        work = df.select(
-            F.col(id_col).alias("_id"),
-            F.col(size_col).cast("long").alias("_size"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("_bucket"),
-        )
+        bucket_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
     else:
-        work = df.select(
-            F.col(id_col).alias("_id"),
-            F.col(size_col).cast("long").alias("_size"),
-            F.col(bucket_col).cast("long").alias("_bucket"),
+        bucket_expr = F.col(bucket_col)
+    work = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(size_col).cast("long").alias("_size"),
+        bucket_expr.alias("_bucket"),
+    )
+    if max_bucket_rows is not None:
+        # JVM-side guard BEFORE the kernel: applyInPandas materializes
+        # the whole group, so an oversized bucket OOMs the executor —
+        # fail loudly at call time instead (one extra aggregation)
+        worst = (
+            work.groupBy("_bucket")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc())
+            .first()
         )
+        if worst is not None and worst["n"] > max_bucket_rows:
+            raise ValueError(
+                f"bucket {worst['_bucket']!r} holds {worst['n']} rows > "
+                f"max_bucket_rows={max_bucket_rows}: raise n_buckets (or "
+                f"split the explicit bucket column) so whole-group "
+                f"materialization stays within executor memory, or pass "
+                f"max_bucket_rows=None to skip this guard"
+            )
+    id_t = work.schema["_id"].dataType.simpleString()
+    bucket_t = work.schema["_bucket"].dataType.simpleString()
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["_size"].isna().any():
+            bad = pdf.loc[pdf["_size"].isna(), "_id"].head(5).tolist()
+            raise ValueError(f"NULL size for ids {bad}: filter or impute first")
         pdf = pdf.sort_values("_id").reset_index(drop=True)
         seq_idx, pos, fill = [], [], []
         cur_seq, cur_pos, cur_fill = 0, 0, 0
@@ -79,9 +111,15 @@ def pack_sequences(
             }
         )
 
-    out = work.groupBy("_bucket").applyInPandas(
+    # explicit partition count: rows here are pointers to whole-group
+    # kernel work, exactly the case AQE's small-shuffle coalescing to
+    # ONE partition would serialize
+    out = work.repartition(n_buckets, "_bucket").groupBy("_bucket").applyInPandas(
         pack,
-        schema="_id long, _bucket long, seq_idx long, pos_in_seq long, seq_fill long",
+        schema=(
+            f"_id {id_t}, _bucket {bucket_t}, "
+            f"seq_idx long, pos_in_seq long, seq_fill long"
+        ),
     )
     return out.select(
         F.col("_id").alias(id_col),

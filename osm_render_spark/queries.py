@@ -886,10 +886,12 @@ def _q_pii_scrub() -> QueryDef:
     'g' flag as a 4th; and the two engines disagree on backslash
     escapes inside SQL string literals, so the patterns use '[.]'
     instead of an escaped dot (no backslashes anywhere). Counts come
-    from pure LENGTH arithmetic over the replaces (chars removed +
-    1-char-marker length delta), so no occurrence-count function is
-    needed in either dialect. The corpus plants deterministic emails +
-    numbers on every 4th doc so the counts are nonzero and checked."""
+    from pure LENGTH arithmetic: the replacement tokens have FIXED
+    length (7 and 5 chars), so n = (scrubbed_len - orig_len +
+    chars_removed) / token_len exactly — two regex scans per pattern,
+    no occurrence-count function in either dialect. The corpus plants
+    deterministic emails + numbers on every 4th doc so the counts are
+    nonzero and checked."""
     EPAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
     NPAT = "[0-9]{7,}"
 
@@ -912,21 +914,19 @@ WITH corpus AS (
 pass1 AS (
   SELECT doc_id, text,
          {rr("text", EPAT, "<EMAIL>")} AS t1,
-         LENGTH(text) - LENGTH({rr("text", EPAT, "")}) AS e_removed,
-         LENGTH({rr("text", EPAT, "E")}) AS e_marked
+         LENGTH(text) - LENGTH({rr("text", EPAT, "")}) AS e_removed
   FROM corpus
 ),
 pass2 AS (
   SELECT doc_id, t1,
-         CAST(e_marked - (LENGTH(text) - e_removed) AS INT) AS n_emails,
+         CAST((LENGTH(t1) - LENGTH(text) + e_removed) / 7 AS INT) AS n_emails,
          {rr("t1", NPAT, "<NUM>")} AS scrubbed,
-         LENGTH(t1) - LENGTH({rr("t1", NPAT, "")}) AS n_removed,
-         LENGTH({rr("t1", NPAT, "N")}) AS n_marked
+         LENGTH(t1) - LENGTH({rr("t1", NPAT, "")}) AS n_removed
   FROM pass1
 )
 SELECT doc_id,
        n_emails,
-       CAST(n_marked - (LENGTH(t1) - n_removed) AS INT) AS n_longnums,
+       CAST((LENGTH(scrubbed) - LENGTH(t1) + n_removed) / 5 AS INT) AS n_longnums,
        scrubbed
 FROM pass2 ORDER BY doc_id
 """

@@ -1017,3 +1017,31 @@ def test_pack_sequences_default_bucketing_deterministic(spark):
     sizes = dict(rows)
     for (bkt, _seq), fill in fills.items():
         assert fill <= 1000 or fill in sizes.values()
+
+
+def test_pack_sequences_string_ids_and_buckets(spark):
+    """Review fixes pinned: string ids and string (language) buckets
+    work — the kernel schema derives from the input types; NULL sizes
+    raise a clear validation error; oversized buckets are refused
+    JVM-side BEFORE the kernel materializes them."""
+    from osm_render_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:03d}", 60 + i % 40, ["en", "fr", "de"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, size long, lang string")
+    got = {
+        r["doc_id"]: (r["bucket"], r["seq_idx"], r["pos_in_seq"], r["seq_fill"])
+        for r in pack_sequences(df, 200, bucket_col="lang").collect()
+    }
+    want = _brute_pack([(i, s, b) for i, s, b in rows], 200)
+    assert got == want
+    # default xxhash bucketing also works on string ids
+    assert pack_sequences(df.drop("lang"), 200, n_buckets=4).count() == 60
+    # NULL size -> clear error, not an opaque NaN crash
+    bad = spark.createDataFrame(
+        [("a", 10), ("b", None)], "doc_id string, size long"
+    )
+    with pytest.raises(Exception, match="NULL size"):
+        pack_sequences(bad, 100, max_bucket_rows=None).collect()
+    # oversized bucket refused at call time with guidance
+    with pytest.raises(ValueError, match="max_bucket_rows"):
+        pack_sequences(df, 200, bucket_col="lang", max_bucket_rows=10)
