@@ -1045,3 +1045,35 @@ def test_pack_sequences_string_ids_and_buckets(spark):
     # oversized bucket refused at call time with guidance
     with pytest.raises(ValueError, match="max_bucket_rows"):
         pack_sequences(df, 200, bucket_col="lang", max_bucket_rows=10)
+
+
+def test_stratified_sample_two_phase_equals_single_window(spark):
+    """The skew-proof two-phase quota sampler == the naive single
+    global window, on a skewed corpus (one stratum holds 90% of rows
+    across many partitions), and split_tag matches the oracle SQL."""
+    from osm_render_spark.operators.sampling import split_tag, stratified_sample
+
+    rows = [(i, "en" if i % 10 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string").repartition(16)
+    got = {
+        (r["lang"], r["rank_in_stratum"]): r["doc_id"]
+        for r in stratified_sample(df, 25).collect()
+    }
+    # naive single-window reference
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    h = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    want = {
+        (r["lang"], r["rk"]): r["doc_id"]
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 25)
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 50  # 25 per stratum, both strata full
+    tags = {r["doc_id"]: r["split"] for r in split_tag(df).collect()}
+    for i, _l in rows[:50]:
+        hh = (i * 1103515245 + 12345) % 2147483648
+        assert tags[i] == ("train" if hh % 10 < 8 else "val" if hh % 10 == 8 else "test")
