@@ -1077,3 +1077,29 @@ def test_stratified_sample_two_phase_equals_single_window(spark):
     for i, _l in rows[:50]:
         hh = (i * 1103515245 + 12345) % 2147483648
         assert tags[i] == ("train" if hh % 10 < 8 else "val" if hh % 10 == 8 else "test")
+
+
+def test_hamming_near_dups_nondividing_band_counts(spark):
+    """n_bands that don't divide 64 (remainder last band) keep the
+    pigeonhole guarantee: == brute force at n_bands=3 (bands 21/21/22)
+    and n_bands=5 (12/12/12/12/16) with planted <=2-bit flips."""
+    from osm_render_spark.operators.dedup import hamming_near_dups
+
+    rng = np.random.default_rng(71)
+    hashes = rng.integers(0, 1 << 64, size=150, dtype=np.uint64)
+    rows = [(f"r{i:03d}", int(h)) for i, h in enumerate(hashes)]
+    for i in range(0, 150, 15):
+        m = (1 << ((i * 11) % 64)) | (1 << ((i * 29 + 40) % 64))
+        rows.append((f"p{i:03d}", int(hashes[i]) ^ m))
+    signed = [(rid, h - (1 << 64) if h >= 1 << 63 else h) for rid, h in rows]
+    df = spark.createDataFrame(signed, "image_id string, phash long")
+    want = _brute_hamming_pairs(
+        [(rid, h & 0xFFFFFFFFFFFFFFFF) for rid, h in signed], 2
+    )
+    for nb in (3, 5):
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in hamming_near_dups(df, max_hamming=2, n_bands=nb).collect()
+        }
+        assert got == want, f"n_bands={nb}"
+    assert len(want) >= 8
