@@ -55,3 +55,48 @@ def test_compact_preserves_partition_layout_and_pruning(spark, tmp_path):
 def test_compact_missing_table_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no parquet files"):
         compact_parquet(spark, str(tmp_path / "absent"))
+
+
+def test_compact_streamed_ivf_lists_probe_unchanged(spark, tmp_path):
+    """Integration with the small-files producer: after N streaming
+    appends the lists/ tree holds many (list_id, batch_id) files;
+    compacting with the partition cols preserved must leave probe
+    results bit-identical (the scan still prunes on list_id)."""
+    import numpy as np
+
+    from osm_render_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append_foreach_batch,
+        query_ivf_index,
+    )
+
+    rng = np.random.default_rng(73)
+    vecs = rng.normal(size=(150, 16)).astype(np.float32)
+
+    def df_of(lo, hi):
+        return spark.createDataFrame(
+            [(int(i), [float(v) for v in vecs[i]]) for i in range(lo, hi)],
+            "vec_id long, embedding array<float>",
+        )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df_of(0, 90), path, n_centroids=4, quantizer="head")
+    fn = ivf_append_foreach_batch(path)
+    for b in range(4):
+        fn(df_of(90 + 15 * b, 105 + 15 * b), b)
+    queries = df_of(0, 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in query_ivf_index(spark, path, queries, 5, n_probe=4).collect()
+    )
+    stats = compact_parquet(
+        spark, f"{path}/lists", partition_cols=["list_id", "batch_id"]
+    )
+    assert stats["after_files"] < stats["before_files"]
+    got = sorted(
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in query_ivf_index(spark, path, queries, 5, n_probe=4).collect()
+    )
+    assert got == want
