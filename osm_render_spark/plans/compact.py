@@ -10,8 +10,10 @@ table's partition layout (each partition directory compacts
 independently, so partition pruning is untouched), and swap atomically:
 the rewrite lands in a sibling temp dir and replaces the live directory
 with two renames (live → .old, tmp → live) so readers never observe a
-half-written table; the .old copy is removed last and survives a crash
-for manual recovery. Correctness = byte-census-independent row equality
+MIX of old and new files — though POSIX has no portable directory
+exchange, so a reader can transiently see the table absent between the
+renames; the .old copy is removed last and survives a crash for manual
+recovery. Correctness = byte-census-independent row equality
 (pinned by tests); compaction never changes data, only file boundaries.
 """
 
