@@ -1,10 +1,16 @@
 """Dataset splitting and stratified sampling — library forms of the
 `stratified_split` driver-contract query's semantics, plus the
-skew-proof two-phase quota path PERF.md documents.
+skew-proof quota path PERF.md documents.
 
 Split assignment is an arithmetic LCG of the id (engine-identical,
 stable under reprocessing/appends — xxhash64 differs between engines,
-and RNG-based sampleBy is not reproducible across partitionings)."""
+and RNG-based sampleBy is not reproducible across partitionings). The
+id is reduced mod 2^31 BEFORE the multiply: id * A would overflow
+int64 for ids ≥ ~8.4e9 (real OSM node ids already do), raising under
+ANSI and silently skewing every large id into 'train' without it;
+(id mod 2^31) * A < 2^62 is always safe, and for ids < 2^31 the hash
+is unchanged. pmod keeps negative ids nonnegative (the shared-SQL
+query form uses plain % over nonnegative ids only)."""
 
 from __future__ import annotations
 
@@ -16,10 +22,16 @@ LCG_B = 12345
 LCG_M = 2147483648
 
 
+def _lcg(col):
+    reduced = F.pmod(col.cast("long"), F.lit(LCG_M))
+    return F.pmod(reduced * F.lit(LCG_A) + F.lit(LCG_B), F.lit(LCG_M))
+
+
 def split_tag(df: DataFrame, id_col: str = "doc_id", name: str = "split") -> DataFrame:
     """Deterministic train/val/test tag (80/10/10): pure codegen column
-    arithmetic, no shuffle, identical to the oracle query's SQL."""
-    h = (F.col(id_col).cast("long") * F.lit(LCG_A) + F.lit(LCG_B)) % F.lit(LCG_M)
+    arithmetic, no shuffle, identical to the oracle query's SQL for
+    nonnegative ids < 2^31 and overflow-safe for all int64 ids."""
+    h = _lcg(F.col(id_col))
     return df.withColumn(
         name,
         F.when(h % 10 < 8, F.lit("train"))
@@ -35,28 +47,42 @@ def stratified_sample(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact first-N-per-stratum by (LCG hash, id) — the quota sampler.
-    SKEW-PROOF two-phase form (the cosine_topk trick): phase 1 takes a
-    local top-N per (stratum, input partition) — the window key includes
-    spark_partition_id(), so a dominant stratum spreads over all its
-    partitions instead of serializing one task's sort — and phase 2's
-    global per-stratum window then sees ≤ N·partitions rows, quota-sized
-    regardless of corpus size. Output == the single-window form exactly
-    (local top-N is a superset of the global top-N; pinned by test)."""
-    h = ((F.col(id_col).cast("long") * F.lit(LCG_A) + F.lit(LCG_B)) % F.lit(LCG_M)).alias("_h")
-    work = df.select(F.col(stratum_col).alias("_s"), F.col(id_col).alias("_id"), h)
-    w1 = Window.partitionBy("_s", F.spark_partition_id()).orderBy("_h", "_id")
-    pruned = (
-        work.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= n_per_stratum)
-        .drop("_r1")
+    SKEW-PROOF map-side-prune form (the cosine_topk trick, literally):
+    an Arrow kernel keeps each batch's top-N per stratum BEFORE any
+    shuffle — sound because a row in the global top-N of stratum s is
+    in its own batch's top-N (fewer than N rows beat it anywhere, so
+    fewer do in the batch) — and the single global window then sees
+    ≤ N·batches rows per stratum, quota-sized regardless of corpus
+    size or stratum skew. Output == the naive single-window form
+    exactly (pinned by test)."""
+    import pandas as pd
+
+    work = df.select(
+        F.col(stratum_col).alias("_s"),
+        F.col(id_col).alias("_id"),
+        _lcg(F.col(id_col)).alias("_h"),
     )
-    w2 = Window.partitionBy("_s").orderBy("_h", "_id")
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values(["_s", "_h", "_id"])
+                .groupby("_s", sort=False)
+                .head(n_per_stratum)
+            )
+
+    s_t = work.schema["_s"].dataType.simpleString()
+    id_t = work.schema["_id"].dataType.simpleString()
+    pruned = work.mapInPandas(prune, schema=f"_s {s_t}, _id {id_t}, _h long")
+    w = Window.partitionBy("_s").orderBy("_h", "_id")
     return (
-        pruned.withColumn("_r2", F.row_number().over(w2))
-        .where(F.col("_r2") <= n_per_stratum)
+        pruned.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_per_stratum)
         .select(
             F.col("_id").alias(id_col),
             F.col("_s").alias(stratum_col),
-            F.col("_r2").alias("rank_in_stratum"),
+            F.col("_r").alias("rank_in_stratum"),
         )
     )

@@ -7,14 +7,21 @@ eventually dominate scans).
 Design: size the rewrite from the ACTUAL byte census (ceil(bytes /
 target) output files — never a guessed partition count), preserve the
 table's partition layout (each partition directory compacts
-independently, so partition pruning is untouched), and swap atomically:
-the rewrite lands in a sibling temp dir and replaces the live directory
-with two renames (live → .old, tmp → live) so readers never observe a
-MIX of old and new files — though POSIX has no portable directory
-exchange, so a reader can transiently see the table absent between the
-renames; the .old copy is removed last and survives a crash for manual
-recovery. Correctness = byte-census-independent row equality
-(pinned by tests); compaction never changes data, only file boundaries.
+independently, so partition pruning is untouched), read with partition
+TYPE INFERENCE DISABLED (inference would rewrite a string partition
+value "00" as the long 0 — changed directory names, collided values),
+and swap atomically via `atomic_dir_swap`: the rewrite lands in a
+fixed-name sibling temp dir (debris from a crashed run self-heals on
+the next) and replaces the live directory with two renames, so readers
+never observe a MIX of old and new files — though POSIX has no portable
+directory exchange, so a reader can transiently see the table absent
+between the renames.
+
+Concurrent writers: quiesce them if you can. If an append lands after
+the rewrite snapshotted its file listing, the post-swap census of the
+old directory won't match the pre-rewrite census — the old directory is
+then KEPT as `{path}.rescued-*` (reported in the stats) instead of
+deleted, so a racing writer's files are never silently destroyed.
 """
 
 from __future__ import annotations
@@ -36,6 +43,35 @@ def _census(path: str) -> tuple[int, int]:
     return total, n
 
 
+def atomic_dir_swap(
+    path: str, tmp: str, expected_census: tuple[int, int] | None = None
+) -> str | None:
+    """Replace directory ``path`` with ``tmp`` via two atomic renames
+    (live → .old, tmp → live); rolls the original back and removes the
+    tmp copy if the second rename fails. The displaced copy is deleted
+    — unless ``expected_census`` is given and the displaced directory
+    no longer matches it (a concurrent writer added files after the
+    caller snapshotted), in which case it is preserved as
+    ``{path}.rescued-<id>`` and that path is returned. Fixed-name .old
+    debris from a crashed previous run is cleared first (self-healing,
+    the streaming/render.py convention)."""
+    old = f"{path}.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except Exception:
+        os.rename(old, path)  # roll back to the intact original
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    if expected_census is not None and _census(old) != expected_census:
+        rescued = f"{path}.rescued-{uuid.uuid4().hex[:8]}"
+        os.rename(old, rescued)
+        return rescued
+    shutil.rmtree(old, ignore_errors=True)
+    return None
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -45,43 +81,51 @@ def compact_parquet(
     """Rewrite the parquet table at ``path`` into ceil(bytes/target)
     files (per partition directory when ``partition_cols`` is given,
     preserving the layout partition pruning depends on). Returns a
-    stats dict (files/bytes before and after). Atomic swap via sibling
-    renames; raises if the table is empty or missing."""
+    stats dict (files/bytes before and after, plus ``rescued_old`` if a
+    concurrent writer's files were preserved — see module docstring).
+    Raises if the table is empty or missing."""
     from pyspark.sql import functions as F
 
-    before_bytes, before_files = _census(path)
+    before = _census(path)
+    before_bytes, before_files = before
     if before_files == 0:
         raise ValueError(f"no parquet files under {path!r}")
-    df = spark.read.parquet(path)
-    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
-    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    target_bytes = target_mb * 1024 * 1024
-    n_out = max(1, math.ceil(before_bytes / target_bytes))
-    if partition_cols:
-        # spread within partitions: repartition on the partition key
-        # alone would put each directory's data in ONE task regardless
-        # of size; ranging over (partition, a uniform hash) keeps big
-        # partitions parallel while small ones coalesce
-        writer = (
-            df.repartitionByRange(
-                n_out, *[F.col(c) for c in partition_cols], F.spark_partition_id()
-            )
-            .write.partitionBy(*partition_cols)
-        )
-    else:
-        writer = df.repartition(n_out).write
-    writer.mode("overwrite").parquet(tmp)
-    os.rename(path, old)
+    # partition values must round-trip byte-identically: inference would
+    # turn part=00 (string) into part=0 (long)
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_old = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    tmp = f"{path}.compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)  # debris from a crashed run
     try:
-        os.rename(tmp, path)
-    except Exception:
-        os.rename(old, path)  # roll back to the intact original
-        raise
-    shutil.rmtree(old, ignore_errors=True)
+        df = spark.read.parquet(path)
+        target_bytes = target_mb * 1024 * 1024
+        n_out = max(1, math.ceil(before_bytes / target_bytes))
+        if partition_cols:
+            # spread within partitions: repartition on the partition key
+            # alone would put each directory's data in ONE task
+            # regardless of size; ranging over (partition, a per-task
+            # id) keeps big partitions parallel while small ones
+            # coalesce
+            writer = (
+                df.repartitionByRange(
+                    n_out,
+                    *[F.col(c) for c in partition_cols],
+                    F.spark_partition_id(),
+                )
+                .write.partitionBy(*partition_cols)
+            )
+        else:
+            writer = df.repartition(n_out).write
+        writer.mode("overwrite").parquet(tmp)
+    finally:
+        spark.conf.set(infer_key, infer_old)
+    rescued = atomic_dir_swap(path, tmp, expected_census=before)
     after_bytes, after_files = _census(path)
     return {
         "before_files": before_files,
         "before_bytes": before_bytes,
         "after_files": after_files,
         "after_bytes": after_bytes,
+        "rescued_old": rescued,
     }

@@ -855,13 +855,17 @@ def _q_stratified_split() -> QueryDef:
     so membership is stable under reprocessing, repartitioning, and
     appends — no RNG, no sampleBy nondeterminism. The stratified flag
     takes the first N per language by (hash, id) — an exact per-stratum
-    quota via one window, not an approximate fraction. Scale shape:
-    split tagging is codegen column arithmetic (no shuffle); the
-    stratified window shuffles once on the stratum key."""
+    quota via one window, not an approximate fraction. The id reduces
+    mod 2^31 BEFORE the multiply so the product can never overflow
+    int64 (ids ≥ ~8.4e9 would; for smaller ids the hash is unchanged).
+    Scale shape: split tagging is codegen column arithmetic (no
+    shuffle); the stratified window shuffles once on the stratum key —
+    operators/sampling.stratified_sample is the skew-proof library form
+    (map-side Arrow prune before the window)."""
     return _sql_query("""
 WITH tagged AS (
   SELECT doc_id, lang,
-         ((doc_id * 1103515245 + 12345) % 2147483648) AS h
+         (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) AS h
   FROM documents
 ),
 ranked AS (

@@ -268,13 +268,13 @@ def compact_way_store(spark, out_dir: str) -> int:
     tmp = f"{store}.compact"
     kept.write.mode("overwrite").partitionBy("tile_key").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    # crash-safe swap: the store is NEVER absent — rename the old aside
+    # crash-safe swap (shared with plans/compact): rename the old aside
     # first (both renames are atomic), then drop it. A kill between the
     # renames leaves {store}.old to garbage-collect, never a lost store
-    # that would silently restart history as empty.
-    old = f"{store}.old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(store, old)
-    os.rename(tmp, store)
-    shutil.rmtree(old, ignore_errors=True)
+    # that would silently restart history as empty. No census guard:
+    # this runs inside the foreachBatch, which is the store's only
+    # writer by construction.
+    from ..plans.compact import atomic_dir_swap
+
+    atomic_dir_swap(store, tmp)
     return n

@@ -39,8 +39,8 @@ def test_compact_preserves_partition_layout_and_pruning(spark, tmp_path):
     }
     stats = compact_parquet(spark, path, target_mb=128, partition_cols=["part"])
     assert stats["after_files"] < stats["before_files"]
+    assert stats["rescued_old"] is None
     # directory layout intact -> partition pruning still applies
-    assert sorted(os.listdir(path) + []) is not None
     dirs = [d for d in os.listdir(path) if d.startswith("part=")]
     assert sorted(dirs) == ["part=0", "part=1", "part=2", "part=3"]
     got_df = spark.read.parquet(path)
@@ -100,3 +100,54 @@ def test_compact_streamed_ivf_lists_probe_unchanged(spark, tmp_path):
         for r in query_ivf_index(spark, path, queries, 5, n_probe=4).collect()
     )
     assert got == want
+
+
+def test_compact_string_partition_values_round_trip(spark, tmp_path):
+    """Review regression: partition TYPE inference must not rewrite
+    values — a string partition 'part=00' stays '00', never becomes the
+    long 0 (which renames the directory and collides with '0')."""
+    path = str(tmp_path / "s")
+    df = spark.createDataFrame(
+        [("00", 1), ("00", 2), ("7", 3), ("0", 4)], "part string, v long"
+    )
+    df.repartition(6).write.partitionBy("part").parquet(path)
+    want = {(r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+    compact_parquet(spark, path, partition_cols=["part"])
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("part="))
+    assert dirs == ["part=0", "part=00", "part=7"]
+    got = {(r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == want
+
+
+def test_compact_rescues_concurrent_append(spark, tmp_path):
+    """A file landing between the rewrite's snapshot and the swap must
+    never be silently destroyed: the displaced directory is preserved
+    as .rescued-* and reported."""
+    import glob
+    import shutil
+
+    from osm_render_spark.plans import compact as C
+
+    path = str(tmp_path / "r")
+    spark.range(0, 5000).repartition(10).write.parquet(path)
+    real_swap = C.atomic_dir_swap
+
+    def racing_swap(p, tmp, expected_census=None):
+        # simulate a concurrent append committing just before the swap
+        extra_src = str(tmp_path / "extra")
+        spark.range(9_000_000, 9_000_100).coalesce(1).write.parquet(extra_src)
+        pq = glob.glob(f"{extra_src}/*.parquet")[0]
+        shutil.copy(pq, os.path.join(p, "late-append.parquet"))
+        return real_swap(p, tmp, expected_census)
+
+    C.atomic_dir_swap = racing_swap
+    try:
+        stats = C.compact_parquet(spark, path, target_mb=128)
+    finally:
+        C.atomic_dir_swap = real_swap
+    assert stats["rescued_old"] is not None
+    assert os.path.isdir(stats["rescued_old"])
+    # the racing writer's file survives inside the rescued copy
+    assert any(
+        f == "late-append.parquet" for f in os.listdir(stats["rescued_old"])
+    )

@@ -1053,17 +1053,20 @@ def test_stratified_sample_two_phase_equals_single_window(spark):
     across many partitions), and split_tag matches the oracle SQL."""
     from osm_render_spark.operators.sampling import split_tag, stratified_sample
 
+    # include ids past 2^33: id * A would overflow int64 (ANSI crash /
+    # silent skew) without the mod-2^31 pre-reduction
     rows = [(i, "en" if i % 10 else "fr") for i in range(2000)]
+    rows += [(12_000_000_000 + i, "de") for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, lang string").repartition(16)
     got = {
         (r["lang"], r["rank_in_stratum"]): r["doc_id"]
         for r in stratified_sample(df, 25).collect()
     }
-    # naive single-window reference
+    # naive single-window reference (same safe association)
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    h = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    h = ((F.col("doc_id") % 2147483648) * 1103515245 + 12345) % 2147483648
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
     want = {
         (r["lang"], r["rk"]): r["doc_id"]
@@ -1072,10 +1075,10 @@ def test_stratified_sample_two_phase_equals_single_window(spark):
         .collect()
     }
     assert got == want
-    assert len(got) == 50  # 25 per stratum, both strata full
+    assert len(got) == 75  # 25 en + 25 fr + 25 de (all strata full)
     tags = {r["doc_id"]: r["split"] for r in split_tag(df).collect()}
-    for i, _l in rows[:50]:
-        hh = (i * 1103515245 + 12345) % 2147483648
+    for i, _l in rows[:50] + rows[-5:]:
+        hh = ((i % 2147483648) * 1103515245 + 12345) % 2147483648
         assert tags[i] == ("train" if hh % 10 < 8 else "val" if hh % 10 == 8 else "test")
 
 
