@@ -882,6 +882,33 @@ FROM ranked ORDER BY doc_id
 """)
 
 
+def _q_morton_code() -> QueryDef:
+    """Z-order key math under the oracle (functions/zorder.morton_sql):
+    Morton-interleave the z8 tile coordinates of every order point —
+    the clustering key zorder_write lays files out by. The bit-spread
+    ladder is shared SQL (multiplies + AND: Spark has shiftleft() but
+    no <<, DuckDB the reverse), so one text runs on both engines and a
+    single wrong mask or shift flips the value hash."""
+
+    def make(d) -> str:
+        from .functions.projection import tile_x_sql, tile_y_sql
+        from .functions.zorder import morton_sql
+
+        tx = tile_x_sql(LON_ORD, 8)
+        ty = tile_y_sql(LAT_ORD, 8)
+        return f"""
+WITH pts AS (
+  SELECT o_orderkey, CAST({tx} AS BIGINT) AS txx, CAST({ty} AS BIGINT) AS tyy
+  FROM orders
+)
+SELECT o_orderkey, txx, tyy,
+       {morton_sql("txx", "tyy")} AS zkey
+FROM pts ORDER BY o_orderkey
+"""
+
+    return _dual_sql_query(make)
+
+
 def _q_pii_scrub() -> QueryDef:
     """PII scrubbing — redact emails and long digit runs (phone-ish)
     from document text, with per-doc redaction counts; the filter step
@@ -2681,6 +2708,7 @@ def build_queries() -> dict[str, QueryDef]:
         "stratified_split": _q_stratified_split(),
         "sequence_packing": _q_sequence_packing(),
         "pii_scrub": _q_pii_scrub(),
+        "morton_code": _q_morton_code(),
         "image_pipeline": _q_image_pipeline(),
         "jpeg_roundtrip": _q_jpeg_roundtrip(),
         "dedup_exact": _q_dedup_exact(),

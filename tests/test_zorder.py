@@ -1,0 +1,69 @@
+"""Z-order clustering: Morton math, file-skipping win vs a 1-D layout,
+and exactness of pruned reads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_render_spark.functions.zorder import morton_sql, zorder_write
+from osm_render_spark.sources.manifest import pruned_files, read_pruned
+
+
+def _points(spark, n=60_000):
+    return spark.range(0, n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(256)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(256)).alias("y"),
+    )
+
+
+def test_morton_monotone_per_axis(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") % 97).alias("y")
+    )
+    rows = df.select(
+        "x", "y", F.expr(morton_sql("x", "y")).alias("m")
+    ).collect()
+    seen = {(r["x"], r["y"]): r["m"] for r in rows}
+    for (x, y), m in seen.items():
+        if (x + 1, y) in seen:
+            assert seen[(x + 1, y)] > m
+        if (x, y + 1) in seen:
+            assert seen[(x, y + 1)] > m
+
+
+def test_zorder_prunes_bbox_files_vs_1d_layout(spark, tmp_path):
+    """The point of Z-ordering: a 32x32 aligned bbox over a 256x256
+    space (1/64 of the area) touches ~1/64 of z-ordered files but ~1/8
+    of x-sorted files (each x-file spans ALL y). Both layouts return
+    exactly the brute-force rows via the manifest-pruned read."""
+    from osm_render_spark.sources.manifest import write_dataset
+
+    pts = _points(spark)
+    zpath, xpath = str(tmp_path / "z"), str(tmp_path / "x")
+    zorder_write(pts, zpath, "x", "y", n_files=64)
+    write_dataset(pts.withColumn("_xkey", F.col("x")), xpath, "_xkey", 64)
+
+    x0, x1, y0, y1 = 64, 95, 64, 95  # 32-aligned block: compact Morton span
+    # monotone per axis -> bbox's Morton span is [morton(x0,y0), morton(x1,y1)]
+    lo = spark.sql(f"SELECT {morton_sql(str(x0), str(y0))} AS m").first()["m"]
+    hi = spark.sql(f"SELECT {morton_sql(str(x1), str(y1))} AS m").first()["m"]
+    z_files = pruned_files(spark, zpath, lo, hi)
+    x_files = pruned_files(spark, xpath, x0, x1)
+    assert len(z_files) <= 4, f"z-order read {len(z_files)} of 64 files"
+    assert len(x_files) >= 6, f"1-D layout read only {len(x_files)} files"
+    assert len(z_files) < len(x_files)
+
+    want = sorted(
+        r["id"]
+        for r in pts.where(
+            (F.col("x").between(x0, x1)) & (F.col("y").between(y0, y1))
+        ).collect()
+    )
+    got_z = sorted(
+        r["id"]
+        for r in read_pruned(spark, zpath, "_zkey", lo, hi)
+        .where((F.col("x").between(x0, x1)) & (F.col("y").between(y0, y1)))
+        .collect()
+    )
+    assert got_z == want
