@@ -54,3 +54,86 @@ def zorder_write(
 
     keyed = df.withColumn("_zkey", F.expr(morton_sql(x_col, y_col)))
     write_dataset(keyed, path, "_zkey", n_files)
+
+
+def bbox_morton_ranges(
+    x0: int, x1: int, y0: int, y1: int, max_ranges: int = 64
+) -> list[tuple[int, int]]:
+    """Decompose a bbox (inclusive, 16-bit coords) into contiguous
+    Morton key ranges — the quadtree walk behind every Z-order range
+    scan (LITMAX/BIGMIN family): an aligned quad block is contiguous in
+    Morton order, so the bbox becomes a union of aligned blocks' ranges.
+    Without this, the single conservative span [morton(x0,y0),
+    morton(x1,y1)] explodes across power-of-2 boundaries (a bbox
+    straddling x=128 spans nearly the whole key space and prunes
+    nothing). ``max_ranges`` bounds the driver-side list: when the
+    budget is hit, refinement stops and the current (coarser, still
+    correct superset) block ranges are used. Ranges are merged when
+    adjacent; output is sorted and disjoint."""
+    out: list[tuple[int, int]] = []
+    # (corner_x, corner_y, side_log2); root covers [0, 65536)^2
+    stack = [(0, 0, 16)]
+    budget_hit = False
+    while stack:
+        cx, cy, k = stack.pop()
+        side = 1 << k
+        hx, hy = cx + side - 1, cy + side - 1
+        if hx < x0 or cx > x1 or hy < y0 or cy > y1:
+            continue  # disjoint
+        base = _morton_py(cx, cy)
+        if (cx >= x0 and hx <= x1 and cy >= y0 and hy <= y1) or k == 0:
+            out.append((base, base + (1 << (2 * k)) - 1))
+            continue
+        if len(out) >= max_ranges and not budget_hit:
+            budget_hit = True
+        if budget_hit:
+            out.append((base, base + (1 << (2 * k)) - 1))  # coarse superset
+            continue
+        h = side >> 1
+        # push in reverse-Morton order so out[] grows roughly sorted
+        stack.append((cx + h, cy + h, k - 1))
+        stack.append((cx + h, cy, k - 1))
+        stack.append((cx, cy + h, k - 1))
+        stack.append((cx, cy, k - 1))
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def _morton_py(x: int, y: int) -> int:
+    """Python twin of morton_sql (pinned equal by test)."""
+    def spread(v: int) -> int:
+        v &= 0xFFFF
+        v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+        v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v << 2)) & 0x3333333333333333
+        v = (v | (v << 1)) & 0x5555555555555555
+        return v
+
+    return spread(x) * 2 + spread(y)
+
+
+def pruned_files_bbox(
+    spark, path: str, x0: int, x1: int, y0: int, y1: int, max_ranges: int = 64
+) -> list[str]:
+    """Manifest file skipping for an ARBITRARY bbox: files whose key
+    range intersects any of the bbox's Morton ranges."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from ..sources.manifest import MANIFEST
+
+    ranges = bbox_morton_ranges(x0, x1, y0, y1, max_ranges)
+    m = spark.read.parquet(_os.path.join(path, MANIFEST))
+    cond = None
+    for lo, hi in ranges:
+        c = (_F.col("cell_max") >= lo) & (_F.col("cell_min") <= hi)
+        cond = c if cond is None else (cond | c)
+    return [r["_file"] for r in m.where(cond).collect()]

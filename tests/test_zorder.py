@@ -67,3 +67,47 @@ def test_zorder_prunes_bbox_files_vs_1d_layout(spark, tmp_path):
         .collect()
     )
     assert got_z == want
+
+
+def test_bbox_range_decomposition_beats_single_span(spark, tmp_path):
+    """The unaligned, boundary-crossing bbox (x straddles 128) where a
+    single Morton span prunes NOTHING: the quadtree decomposition still
+    reads a small file subset, returns exactly the brute-force rows,
+    and a tiny max_ranges budget stays a correct (coarser) superset."""
+    from osm_render_spark.functions.zorder import (
+        _morton_py,
+        morton_sql,
+        pruned_files_bbox,
+    )
+    from osm_render_spark.sources.manifest import pruned_files
+
+    pts = _points(spark)
+    zpath = str(tmp_path / "z2")
+    zorder_write(pts, zpath, "x", "y", n_files=64)
+    x0, x1, y0, y1 = 100, 131, 100, 131  # crosses the 128 boundary
+
+    # python twin == SQL ladder (one spot check through Spark)
+    r = spark.sql(f"SELECT {morton_sql('100', '131')} AS m").first()["m"]
+    assert r == _morton_py(100, 131)
+
+    span = pruned_files(spark, zpath, _morton_py(x0, y0), _morton_py(x1, y1))
+    decomposed = pruned_files_bbox(spark, zpath, x0, x1, y0, y1)
+    assert len(span) >= 32, f"boundary span should be near-useless, got {len(span)}"
+    assert len(decomposed) <= 12, f"decomposed read {len(decomposed)} of 64"
+
+    want = sorted(
+        r["id"]
+        for r in pts.where(
+            (F.col("x").between(x0, x1)) & (F.col("y").between(y0, y1))
+        ).collect()
+    )
+    got = sorted(
+        r["id"]
+        for r in spark.read.parquet(*decomposed)
+        .where((F.col("x").between(x0, x1)) & (F.col("y").between(y0, y1)))
+        .collect()
+    )
+    assert got == want
+    # a starved budget must stay a superset of the exact file set
+    coarse = pruned_files_bbox(spark, zpath, x0, x1, y0, y1, max_ranges=4)
+    assert set(coarse) >= set(decomposed)
