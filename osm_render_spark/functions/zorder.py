@@ -19,8 +19,13 @@ from pyspark.sql import functions as F
 
 def _spread16_sql(e: str) -> str:
     """Spread a 16-bit value's bits to the even positions of 32 bits:
-    the classic mask ladder, shifts spelled as multiplies."""
-    s = f"(({e}) & 65535)"
+    the classic mask ladder, shifts spelled as multiplies. The first
+    step widens to BIGINT: an INT input >= 32768 times 65536 exceeds
+    int32 and raises in BOTH engines (the CLAUDE.md int*int gotcha).
+    NOTE: the input expression is textually inlined 32 times — pass a
+    simple column reference or literal; wrap anything heavier (e.g. a
+    Mercator formula) in a CTE first, as the morton_code query does."""
+    s = f"((CAST(({e}) AS BIGINT)) & 65535)"
     s = f"(({s} | ({s} * 65536)) & 281470681808895)"   # 0x0000FFFF0000FFFF
     s = f"(({s} | ({s} * 256)) & 71777214294589695)"   # 0x00FF00FF00FF00FF
     s = f"(({s} | ({s} * 16)) & 1085102592571150095)"  # 0x0F0F0F0F0F0F0F0F
@@ -35,12 +40,6 @@ def morton_sql(x_expr: str, y_expr: str) -> str:
     return f"({_spread16_sql(x_expr)} * 2 + {_spread16_sql(y_expr)})"
 
 
-def morton_col(x, y):
-    """Column form of morton_sql (same arithmetic, codegen)."""
-    return F.expr(morton_sql(x if isinstance(x, str) else x._jc.toString(),
-                             y if isinstance(y, str) else y._jc.toString()))
-
-
 def zorder_write(
     df: DataFrame, path: str, x_col: str, y_col: str, n_files: int
 ) -> None:
@@ -48,7 +47,7 @@ def zorder_write(
     the manifest machinery (sources/manifest.write_dataset): each file
     owns a compact Morton range == a compact 2-D block, and the manifest
     records per-file key min/max for file skipping. Query via
-    zorder_pruned_files / sources.manifest.read_pruned on the key range
+    pruned_files_bbox / sources.manifest.read_pruned on the key range
     of the bbox (conservative: the bbox's full Morton span)."""
     from ..sources.manifest import write_dataset
 
@@ -66,9 +65,11 @@ def bbox_morton_ranges(
     Without this, the single conservative span [morton(x0,y0),
     morton(x1,y1)] explodes across power-of-2 boundaries (a bbox
     straddling x=128 spans nearly the whole key space and prunes
-    nothing). ``max_ranges`` bounds the driver-side list: when the
-    budget is hit, refinement stops and the current (coarser, still
-    correct superset) block ranges are used. Ranges are merged when
+    nothing). ``max_ranges`` is a hard bound on the returned list:
+    refinement stops when the budget is hit and remaining frontier
+    blocks emit coarse ranges, then the smallest inter-range gaps are
+    bridged until the list fits — always a correct superset, just
+    coarser. Ranges are merged when
     adjacent; output is sorted and disjoint."""
     out: list[tuple[int, int]] = []
     # (corner_x, corner_y, side_log2); root covers [0, 65536)^2
@@ -102,6 +103,15 @@ def bbox_morton_ranges(
             merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
         else:
             merged.append((lo, hi))
+    # enforce the budget as a HARD bound (the frontier can overshoot it):
+    # repeatedly bridge the smallest inter-range gap — still a superset,
+    # just coarser
+    while len(merged) > max_ranges:
+        gi = min(
+            range(len(merged) - 1),
+            key=lambda i: merged[i + 1][0] - merged[i][1],
+        )
+        merged[gi : gi + 2] = [(merged[gi][0], merged[gi + 1][1])]
     return merged
 
 
@@ -131,6 +141,8 @@ def pruned_files_bbox(
     from ..sources.manifest import MANIFEST
 
     ranges = bbox_morton_ranges(x0, x1, y0, y1, max_ranges)
+    if not ranges:
+        return []  # bbox entirely off the 16-bit grid (or inverted)
     m = spark.read.parquet(_os.path.join(path, MANIFEST))
     cond = None
     for lo, hi in ranges:
