@@ -111,3 +111,42 @@ def test_bbox_range_decomposition_beats_single_span(spark, tmp_path):
     # a starved budget must stay a superset of the exact file set
     coarse = pruned_files_bbox(spark, zpath, x0, x1, y0, y1, max_ranges=4)
     assert set(coarse) >= set(decomposed)
+
+
+def test_zorder_store_feeds_tile_pipeline(spark, tmp_path):
+    """Integration with the core engine: lon/lat points stored
+    z-ordered by their z8 tile coords; a bbox tile-count query reads
+    ONLY the pruned file subset yet matches brute force over the full
+    table — the layout serves the engine's actual workload, not just
+    the synthetic key test."""
+    from osm_render_spark.functions.zorder import pruned_files_bbox
+    from osm_render_spark.operators.tiles import assign_tiles
+
+    pts = spark.range(0, 40_000).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), F.lit(3_600_000)) / 10_000.0 - 180.0).alias("lon"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_600_000)) / 10_000.0 - 80.0).alias("lat"),
+    )
+    tiled = assign_tiles(pts, "lon", "lat", 8)
+    zpath = str(tmp_path / "ztiles")
+    zorder_write(tiled, zpath, "tile_x", "tile_y", n_files=48)
+
+    tx0, tx1, ty0, ty1 = 60, 90, 100, 125  # unaligned z8 tile bbox
+    files = pruned_files_bbox(spark, zpath, tx0, tx1, ty0, ty1)
+    assert 0 < len(files) < 24, f"pruned to {len(files)} of 48"
+    in_box = (F.col("tile_x").between(tx0, tx1)) & (
+        F.col("tile_y").between(ty0, ty1)
+    )
+    got = {
+        (r["tile_key"], r["n"])
+        for r in spark.read.parquet(*files)
+        .where(in_box)
+        .groupBy("tile_key")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    want = {
+        (r["tile_key"], r["n"])
+        for r in tiled.where(in_box).groupBy("tile_key").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(want) > 50
