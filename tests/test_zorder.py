@@ -150,3 +150,23 @@ def test_zorder_store_feeds_tile_pipeline(spark, tmp_path):
         for r in tiled.where(in_box).groupBy("tile_key").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(want) > 50
+
+
+def test_morton_sql_matches_python_twin_bulk(spark):
+    """One Spark job sweeps the SQL ladder against the python twin over
+    2k coordinate pairs including the 16-bit extremes (the BIGINT
+    widening regression would fail here for x >= 32768)."""
+    from osm_render_spark.functions.zorder import _morton_py, morton_sql
+
+    df = spark.range(0, 2000).select(
+        F.pmod(F.xxhash64("id"), F.lit(65536)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(65536)).alias("y"),
+    ).union(
+        spark.createDataFrame(
+            [(0, 0), (65535, 65535), (32768, 1), (1, 32768)], "x long, y long"
+        )
+    )
+    rows = df.select("x", "y", F.expr(morton_sql("x", "y")).alias("m")).collect()
+    assert any(r["x"] >= 32768 for r in rows)
+    for r in rows:
+        assert r["m"] == _morton_py(r["x"], r["y"]), (r["x"], r["y"])
