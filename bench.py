@@ -402,7 +402,11 @@ def skew_job(cpus: int, n_points: int = 20_000_000, hot_frac: float = 0.3) -> di
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     n_tiles = 10_000
-    hot_mod = int(1.0 / hot_frac)  # id % hot_mod == 0 → hot tile 0
+    # id % hot_mod == 0 → hot tile 0. int() truncation mislabeled the
+    # skew (1/0.3 → 3 → an ACTUAL 33.3% hot fraction reported as 0.3);
+    # round instead and report the fraction the workload really had
+    hot_mod = max(2, round(1.0 / hot_frac))
+    hot_frac = 1.0 / hot_mod
     pts = spark.range(0, n_points, 1, cpus * 4).select(
         F.when(F.col("id") % hot_mod == 0, F.lit(0))
         .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_tiles)) + 1)

@@ -148,4 +148,6 @@ def pruned_files_bbox(
     for lo, hi in ranges:
         c = (_F.col("cell_max") >= lo) & (_F.col("cell_min") <= hi)
         cond = c if cond is None else (cond | c)
-    return [r["_file"] for r in m.where(cond).collect()]
+    from ..sources.manifest import _resolve
+
+    return [_resolve(path, r["_file"]) for r in m.where(cond).collect()]

@@ -389,6 +389,10 @@ def _assign_to_lists(embeddings: DataFrame, c_mat, id_col: str) -> DataFrame:
     import pandas as pd
 
     c_norm = np.linalg.norm(c_mat, axis=1)
+    # zero-norm CENTROID guard (same convention as _probe_df/_assign_rows):
+    # without it every row's cosine against that centroid is 0/0 = NaN and
+    # np.argmax returns the NaN column — the whole corpus lands in one list
+    c_norm[c_norm == 0] = 1.0
 
     def assign(batches):
         for pdf in batches:
@@ -497,6 +501,7 @@ def build_ivf_index(
         )
     sq8 = quantize in (True, "sq8", "both")
     pq = quantize in ("pq", "both")
+    spark = embeddings.sparkSession
     c_mat = _resolve_centroids(embeddings, n_centroids, id_col, quantizer)
     books = (
         _train_pq_codebooks(embeddings, id_col, pq_m, pq_ksub, c_mat) if pq else None
@@ -526,7 +531,6 @@ def build_ivf_index(
             ).write.mode("overwrite").partitionBy("list_id", "batch_id").parquet(
                 f"{path}/lists_pq"
             )
-            spark = embeddings.sparkSession
             book_rows = [
                 (int(j), int(c), [float(v) for v in books[j, c]])
                 for j in range(books.shape[0])
@@ -538,7 +542,6 @@ def build_ivf_index(
     finally:
         if sq8 or pq:
             lists.unpersist()
-    spark = embeddings.sparkSession
     cent_rows = [
         (int(i), [float(v) for v in c_mat[i]]) for i in range(len(c_mat))
     ]
@@ -949,16 +952,13 @@ def ivf_append_foreach_batch(path: str, id_col: str = "vec_id"):
         c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
         lists = _assign_to_lists(batch, c_mat, id_col)
         def _store_exists(sub: str) -> bool:
+            from ..sources.catalog import is_path_not_found
+
             try:
                 spark.read.parquet(f"{path}/{sub}").schema
                 return True
             except AnalysisException as e:
-                cond = (
-                    e.getCondition()
-                    if hasattr(e, "getCondition")
-                    else e.getErrorClass()
-                ) or ""
-                if cond != "PATH_NOT_FOUND":
+                if not is_path_not_found(e):
                     raise
                 return False
 

@@ -33,9 +33,14 @@ import uuid
 
 
 def _census(path: str) -> tuple[int, int]:
-    """(total_bytes, n_files) over the parquet data files under path."""
+    """(total_bytes, n_files) over the parquet DATA files under path.
+    Underscore-prefixed directories (_manifest, _spark_metadata) are
+    sidecars Spark's reader also skips — excluding them keeps the
+    before/after stats, the n_out sizing, and the concurrent-writer
+    census comparison all about the same file population."""
     total, n = 0, 0
-    for r, _d, fs in os.walk(path):
+    for r, dirs, fs in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
         for f in fs:
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(r, f))
@@ -77,19 +82,38 @@ def compact_parquet(
     path: str,
     target_mb: int = 128,
     partition_cols: list[str] | None = None,
+    manifest_cell_col: str | None = None,
 ) -> dict:
     """Rewrite the parquet table at ``path`` into ceil(bytes/target)
     files (per partition directory when ``partition_cols`` is given,
-    preserving the layout partition pruning depends on). Returns a
-    stats dict (files/bytes before and after, plus ``rescued_old`` if a
-    concurrent writer's files were preserved — see module docstring).
-    Raises if the table is empty or missing."""
+    preserving the layout partition pruning depends on). A
+    MANIFEST-BACKED table (sources/manifest.write_dataset /
+    functions/zorder.zorder_write output) must pass
+    ``manifest_cell_col`` — the rewrite then goes through
+    write_dataset, re-sorting on the key and writing a FRESH manifest
+    whose per-file stats describe the new files; without it the plain
+    rewrite would drop the _manifest sidecar (Spark's reader skips
+    underscore dirs) and the swap would delete the only copy, so that
+    case refuses loudly. Returns a stats dict (files/bytes before and
+    after, plus ``rescued_old`` if a concurrent writer's files were
+    preserved — see module docstring). Raises if the table is empty or
+    missing."""
     from pyspark.sql import functions as F
+
+    from ..sources.manifest import MANIFEST, write_dataset
 
     before = _census(path)
     before_bytes, before_files = before
     if before_files == 0:
         raise ValueError(f"no parquet files under {path!r}")
+    has_manifest = os.path.isdir(os.path.join(path, MANIFEST))
+    if has_manifest and manifest_cell_col is None:
+        raise ValueError(
+            f"{path!r} is manifest-backed ({MANIFEST}/ present): pass "
+            f"manifest_cell_col=<key column> so compaction rebuilds the "
+            f"per-file stats — a plain rewrite would silently destroy "
+            f"the manifest"
+        )
     # partition values must round-trip byte-identically: inference would
     # turn part=00 (string) into part=0 (long)
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
@@ -101,7 +125,9 @@ def compact_parquet(
         df = spark.read.parquet(path)
         target_bytes = target_mb * 1024 * 1024
         n_out = max(1, math.ceil(before_bytes / target_bytes))
-        if partition_cols:
+        if manifest_cell_col is not None:
+            write_dataset(df, tmp, manifest_cell_col, n_out)
+        elif partition_cols:
             # spread within partitions: repartition on the partition key
             # alone would put each directory's data in ONE task
             # regardless of size; ranging over (partition, a per-task
@@ -115,9 +141,9 @@ def compact_parquet(
                 )
                 .write.partitionBy(*partition_cols)
             )
+            writer.mode("overwrite").parquet(tmp)
         else:
-            writer = df.repartition(n_out).write
-        writer.mode("overwrite").parquet(tmp)
+            df.repartition(n_out).write.mode("overwrite").parquet(tmp)
     finally:
         spark.conf.set(infer_key, infer_old)
     rescued = atomic_dir_swap(path, tmp, expected_census=before)

@@ -2063,6 +2063,29 @@ def _jpeg_variant(k: int) -> tuple[int, str, int]:
     return 85 + k % 11, ("444" if k % 2 else "420"), (3 if k % 3 == 0 else 0)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _jpeg_oracle_values() -> str:
+    """The 25 driver-side encode/decode checksums as a VALUES list —
+    memoized so build_queries() (called by every bench / oracle / query
+    run) pays the ~1 s pure-python codec cost once per process, not
+    once per QueryDef construction (review finding)."""
+    import numpy as np
+
+    from .raster.jpeg import decode_jpeg, encode_jpeg
+
+    values = []
+    for k in range(25):
+        img = _jpeg_test_image(k)
+        q, sub, dri = _jpeg_variant(k)
+        dec = decode_jpeg(encode_jpeg(img, q, sub, dri))
+        cs = int(dec.astype(np.int64).sum() % 1000000007)
+        values.append(f"({k}, {cs})")
+    return ", ".join(values)
+
+
 def _q_jpeg_roundtrip() -> QueryDef:
     """REAL baseline JPEG codec (raster/jpeg.py) under the oracle: per
     nation key, encode a deterministic 48×48 image (quality/subsampling/
@@ -2074,27 +2097,19 @@ def _q_jpeg_roundtrip() -> QueryDef:
     (the literal is computed driver-side at query-build time from the
     same pure function; Arrow transport or executor-side numerical
     drift would mismatch)."""
-    import numpy as np
-
-    from .raster.codec import psnr as _psnr
-    from .raster.jpeg import decode_jpeg, encode_jpeg
-
-    values = []
-    for k in range(25):
-        img = _jpeg_test_image(k)
-        q, sub, dri = _jpeg_variant(k)
-        dec = decode_jpeg(encode_jpeg(img, q, sub, dri))
-        cs = int(dec.astype(np.int64).sum() % 1000000007)
-        values.append(f"({k}, {cs})")
     duck = f"""
 SELECT v.k AS k, 48 AS w, 48 AS h, 1 AS psnr_ok, v.checksum AS checksum
-FROM (VALUES {", ".join(values)}) AS v(k, checksum)
+FROM (VALUES {_jpeg_oracle_values()}) AS v(k, checksum)
 JOIN nation ON n_nationkey = v.k
 ORDER BY k
 """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
         import pandas as pd
+
+        from .raster.codec import psnr as _psnr
+        from .raster.jpeg import decode_jpeg, encode_jpeg
 
         keys = (
             spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -2114,7 +2129,7 @@ ORDER BY k
                             k,
                             dec.shape[1],
                             dec.shape[0],
-                            int(_psnr(img, dec) >= 24.0),
+                            int(_psnr(img, dec) >= 40.0),
                             int(dec.astype(np.int64).sum() % 1000000007),
                         )
                     )

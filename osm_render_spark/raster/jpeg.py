@@ -475,7 +475,12 @@ def _decode_scan(data, pos, frame, scan_comps, qt, huff_dc, huff_ac, dri):
         hi, vi, tq = by_id[cs]
         if tq not in qt:
             raise ValueError(f"missing quantization table {tq}")
-        dq = coefs[ci].astype(np.float64) * qt[tq][ZIGZAG]  # still zigzag
+        # the DQT payload is stored in ZIGZAG order per T.81 (and by our
+        # own encoder), and coefs are in zigzag-stream order too — the
+        # dequant is element-wise. Indexing the table with ZIGZAG again
+        # double-permuted it (review catch: q50 round-trip measured
+        # 32.6 dB with the bug vs 37.6 dB fixed)
+        dq = coefs[ci].astype(np.float64) * qt[tq]  # still zigzag
         nat = np.empty_like(dq)
         nat[:, ZIGZAG] = dq  # dezigzag
         F = nat.reshape(-1, 8, 8)

@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 MANIFEST = "_manifest"
 
 
+def _resolve(path: str, name: str) -> str:
+    """Manifest entries are relative basenames (see write_dataset);
+    absolute entries from pre-relocatable manifests still resolve."""
+    return name if "/" in name else os.path.join(path, name)
+
+
 def write_dataset(
     df: DataFrame, path: str, cell_col: str, n_files: int
 ) -> None:
@@ -34,7 +40,14 @@ def write_dataset(
         .write.mode("overwrite")
         .parquet(path)
     )
-    data = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    # store the BASENAME, not input_file_name()'s absolute URI: the
+    # manifest must survive a directory rename (compaction's atomic
+    # swap writes into a tmp dir and renames it into place — absolute
+    # paths would strand every entry; relative ones make the table
+    # relocatable). Files are flat under path by construction here.
+    data = spark.read.parquet(path).withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
     manifest = data.groupBy("_file").agg(
         F.min(cell_col).alias("cell_min"),
         F.max(cell_col).alias("cell_max"),
@@ -50,7 +63,7 @@ def pruned_files(
     rows = m.where(
         (F.col("cell_max") >= cell_lo) & (F.col("cell_min") <= cell_hi)
     ).collect()
-    return [r["_file"] for r in rows]
+    return [_resolve(path, r["_file"]) for r in rows]
 
 
 def read_pruned(

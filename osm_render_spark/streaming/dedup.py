@@ -240,12 +240,9 @@ def exact_dedup_foreach_batch(out_path: str, seen_path: str):
             )
             fresh = hashed.join(seen, "h", "left_anti")
         except AnalysisException as e:
-            cond = (
-                e.getCondition()
-                if hasattr(e, "getCondition")
-                else e.getErrorClass()
-            ) or ""
-            if cond != "PATH_NOT_FOUND":
+            from ..sources.catalog import is_path_not_found
+
+            if not is_path_not_found(e):
                 raise
             fresh = hashed
         # one batch may legitimately carry a hash twice only on bloom

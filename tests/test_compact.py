@@ -151,3 +151,37 @@ def test_compact_rescues_concurrent_append(spark, tmp_path):
     assert any(
         f == "late-append.parquet" for f in os.listdir(stats["rescued_old"])
     )
+
+
+def test_compact_manifest_backed_table(spark, tmp_path):
+    """Review regression: a plain rewrite would silently destroy the
+    _manifest sidecar (Spark's reader skips underscore dirs, the swap
+    deletes the only copy). Manifest-backed tables refuse without
+    manifest_cell_col; with it the rewrite goes through write_dataset,
+    the fresh manifest describes the NEW files, and pruned reads stay
+    exact."""
+    import pytest as _pytest
+
+    from osm_render_spark.functions.zorder import zorder_write
+    from osm_render_spark.sources.manifest import pruned_files, read_pruned
+
+    pts = spark.range(0, 20_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(256)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(256)).alias("y"),
+    )
+    path = str(tmp_path / "mz")
+    zorder_write(pts, path, "x", "y", n_files=40)
+    with _pytest.raises(ValueError, match="manifest-backed"):
+        compact_parquet(spark, path)
+    want = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    stats = compact_parquet(spark, path, target_mb=128, manifest_cell_col="_zkey")
+    assert stats["after_files"] < stats["before_files"]
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == want
+    # the rebuilt manifest matches the new files: a pruned read over the
+    # full key range covers everything, and per-file stats exist
+    full = read_pruned(spark, path, "_zkey", 0, 1 << 62)
+    assert full.count() == len(want)
+    files = pruned_files(spark, path, 0, 1 << 62)
+    assert 0 < len(files) == stats["after_files"]
