@@ -246,3 +246,58 @@ def test_sample_video_frames_mjpg_end_to_end(spark):
         got = decode_png(bytes(r["png"]))
         want = frames[r["frame_idx"]]
         assert psnr(want[:, :, :3], got[:, :, :3]) >= 27.0
+
+
+def test_hand_crafted_stream_decodes_bit_exact():
+    """INDEPENDENT-of-our-encoder validation (the dequant double-zigzag
+    bug survived every round-trip test because encoder and decoder were
+    self-consistent): a JPEG byte stream crafted by hand per T.81 — DQT
+    with 64 DISTINCT zigzag-ordered values, hand-built one-code Huffman
+    tables, a DC(+2)+one-AC(+1) entropy byte — must decode bit-exactly
+    to an 8x8 block computed with a textbook IDCT written here from the
+    standard's formula (no shared code with raster/jpeg.py). Any table
+    permutation, Huffman, or IDCT convention error mismatches."""
+    import struct
+
+    import numpy as np
+
+    from osm_render_spark.raster.jpeg import decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qz = bytes([16 + k for k in range(64)])  # zigzag-ordered, all distinct
+    jpg = (
+        bytes([0xFF, 0xD8])
+        + seg(0xDB, bytes([0x00]) + qz)
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00, 1] + [0] * 15 + [2]))  # DC: '0' -> cat 2
+        + seg(0xC4, bytes([0x10, 0, 2] + [0] * 14 + [0x01, 0x00]))  # AC: '00','01'
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0x45])  # 0 10 00 1 01 = DC +2, AC(run0,size1) +1, EOB
+        + bytes([0xFF, 0xD9])
+    )
+    dec = decode_jpeg(jpg)
+    assert dec.shape == (8, 8, 1)
+
+    F = np.zeros((8, 8))
+    F[0, 0] = 2 * 16  # DC diff +2 x Qz[0]=16
+    F[0, 1] = 1 * 17  # zigzag slot 1 -> natural (0,1), Qz[1]=17
+
+    def c(u):
+        return 1 / np.sqrt(2) if u == 0 else 1.0
+
+    want = np.empty((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        c(u) * c(v) * F[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            want[y, x] = s / 4.0 + 128.0
+    want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
+    assert (dec[:, :, 0] == want).all()
