@@ -138,7 +138,7 @@ def pruned_files_bbox(
 
     from pyspark.sql import functions as _F
 
-    from ..sources.manifest import MANIFEST
+    from ..sources.manifest import MANIFEST, _resolve
 
     ranges = bbox_morton_ranges(x0, x1, y0, y1, max_ranges)
     if not ranges:
@@ -148,6 +148,4 @@ def pruned_files_bbox(
     for lo, hi in ranges:
         c = (_F.col("cell_max") >= lo) & (_F.col("cell_min") <= hi)
         cond = c if cond is None else (cond | c)
-    from ..sources.manifest import _resolve
-
     return [_resolve(path, r["_file"]) for r in m.where(cond).collect()]

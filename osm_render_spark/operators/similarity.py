@@ -952,7 +952,7 @@ def ivf_append_foreach_batch(path: str, id_col: str = "vec_id"):
         c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
         lists = _assign_to_lists(batch, c_mat, id_col)
         def _store_exists(sub: str) -> bool:
-            from ..sources.catalog import is_path_not_found
+            from ..sources.manifest import is_path_not_found
 
             try:
                 spark.read.parquet(f"{path}/{sub}").schema

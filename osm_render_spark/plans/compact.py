@@ -106,6 +106,13 @@ def compact_parquet(
     before_bytes, before_files = before
     if before_files == 0:
         raise ValueError(f"no parquet files under {path!r}")
+    if partition_cols and manifest_cell_col:
+        raise ValueError(
+            "partition_cols and manifest_cell_col are mutually exclusive: "
+            "the manifest rewrite (write_dataset) produces a flat "
+            "range-partitioned layout and would silently destroy the "
+            "partition directories"
+        )
     has_manifest = os.path.isdir(os.path.join(path, MANIFEST))
     if has_manifest and manifest_cell_col is None:
         raise ValueError(

@@ -2044,8 +2044,8 @@ FROM nation ORDER BY image_id
 def _jpeg_test_image(k: int) -> "np.ndarray":
     """Deterministic luma-dominant sinusoid — smooth content where the
     JPEG PSNR floor is discriminative (a broken IDCT/Huffman/upsample
-    lands near 10 dB; the correct codec measures ≥ 27.7 dB over all 25
-    keys, floor set at 24)."""
+    lands near 10 dB; post-dequant-fix the correct codec measures
+    ≥ 46.0 dB over all 25 keys, floor set at 40)."""
     import numpy as np
 
     y, x = np.mgrid[0:48, 0:48].astype(np.float64)

@@ -39,16 +39,3 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql plans)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-
-
-def is_path_not_found(e) -> bool:
-    """Classify an AnalysisException as the missing-path condition —
-    the ONE probe used everywhere a table is optional (streaming dedup
-    side table, optional IVF quantized stores), so the error-class
-    dance (getCondition vs the deprecated getErrorClass) lives in one
-    place. Anything else — permissions, corrupt footers, transient FS
-    errors — is NOT a missing table and must propagate."""
-    cond = (
-        e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
-    ) or ""
-    return cond == "PATH_NOT_FOUND"

@@ -79,3 +79,17 @@ def read_pruned(
         )
     df = spark.read.parquet(*files)
     return df.where((F.col(cell_col) >= cell_lo) & (F.col(cell_col) <= cell_hi))
+
+
+def is_path_not_found(e) -> bool:
+    """Classify an AnalysisException as the missing-path condition —
+    the ONE probe used everywhere a table is optional (streaming dedup
+    side table, optional IVF quantized stores), so the error-class
+    dance (getCondition vs the deprecated getErrorClass) lives in one
+    place, next to the rest of the optional-file-tree machinery.
+    Anything else — permissions, corrupt footers, transient FS errors —
+    is NOT a missing table and must propagate."""
+    cond = (
+        e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+    ) or ""
+    return cond == "PATH_NOT_FOUND"

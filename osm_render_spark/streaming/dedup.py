@@ -240,7 +240,7 @@ def exact_dedup_foreach_batch(out_path: str, seen_path: str):
             )
             fresh = hashed.join(seen, "h", "left_anti")
         except AnalysisException as e:
-            from ..sources.catalog import is_path_not_found
+            from ..sources.manifest import is_path_not_found
 
             if not is_path_not_found(e):
                 raise
