@@ -123,3 +123,30 @@ def test_carry_identity_xor_overflow_safe(x, m):
         # every intermediate fits signed int64
         for v in (a, b, a + b):
             assert -(1 << 63) <= v < (1 << 63)
+
+
+@given(
+    x0=st.integers(0, 300),
+    dx=st.integers(0, 60),
+    y0=st.integers(0, 300),
+    dy=st.integers(0, 60),
+    budget=st.sampled_from([2, 7, 64, 10**9]),
+)
+@settings(max_examples=60, deadline=None)
+def test_bbox_morton_ranges_properties(x0, dx, y0, dy, budget):
+    """Quadtree Z-range decomposition invariants under fuzz: ranges are
+    sorted/disjoint, within the hard budget, a SUPERSET of the bbox's
+    exact Morton set at any budget, and EXACT when unbudgeted."""
+    from osm_render_spark.functions.zorder import _morton_py, bbox_morton_ranges
+
+    x1, y1 = x0 + dx, y0 + dy
+    rs = bbox_morton_ranges(x0, x1, y0, y1, max_ranges=budget)
+    assert len(rs) <= budget
+    assert all(rs[i][1] < rs[i + 1][0] for i in range(len(rs) - 1))
+    want = {_morton_py(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)}
+    got = set()
+    for lo, hi in rs:
+        got.update(range(lo, hi + 1))
+    assert got >= want
+    if budget >= 10**9:
+        assert got == want
