@@ -170,3 +170,29 @@ def test_morton_sql_matches_python_twin_bulk(spark):
     assert any(r["x"] >= 32768 for r in rows)
     for r in rows:
         assert r["m"] == _morton_py(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_manifest_table_is_relocatable(spark, tmp_path):
+    """The relative-manifest fix, pinned directly: MOVE a z-ordered
+    table directory wholesale and pruned reads from the new location
+    still resolve every file (absolute input_file_name() entries would
+    strand on the old path — the compaction-swap bug class)."""
+    import shutil
+
+    from osm_render_spark.functions.zorder import pruned_files_bbox
+
+    pts = _points(spark, 20_000)
+    src, dst = str(tmp_path / "orig"), str(tmp_path / "moved")
+    zorder_write(pts, src, "x", "y", n_files=32)
+    shutil.move(src, dst)
+    files = pruned_files_bbox(spark, dst, 64, 95, 64, 95)
+    assert files and all(f.startswith(dst) for f in files)
+    got = (
+        spark.read.parquet(*files)
+        .where((F.col("x").between(64, 95)) & (F.col("y").between(64, 95)))
+        .count()
+    )
+    want = pts.where(
+        (F.col("x").between(64, 95)) & (F.col("y").between(64, 95))
+    ).count()
+    assert got == want > 0
