@@ -467,6 +467,16 @@ def _score_and_rank(joined: DataFrame, k: int, id_col: str) -> DataFrame:
     )
 
 
+def _empty_rank_result(spark) -> DataFrame:
+    """Empty (query_id, cand_id, rank, cos) frame — the no-queries /
+    no-probes early exit for the IVF query fns. `isin(*[])` raises a
+    bare AssertionError inside py4j, so every probe-collecting caller
+    guards with this before building the pruned scan."""
+    return spark.createDataFrame(
+        [], schema="query_id long, cand_id long, rank int, cos double"
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -568,6 +578,8 @@ def query_ivf_index(
     c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
     probes = _probe_df(spark, c_mat, queries.collect(), n_probe)
     probed = sorted({r["list_id"] for r in probes.select("list_id").collect()})
+    if not probed:  # empty query set → empty result, not an isin() crash
+        return _empty_rank_result(spark)
     # the WHERE on the partition column prunes unprobed lists at scan time
     lists = spark.read.parquet(f"{path}/lists").where(
         F.col("list_id").isin(*probed)
@@ -749,6 +761,8 @@ def query_ivf_index_pq(
     c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
     probes = _probe_df(spark, c_mat, queries.collect(), n_probe)
     probed = sorted({r["list_id"] for r in probes.select("list_id").collect()})
+    if not probed:  # empty query set → empty result, not an isin() crash
+        return _empty_rank_result(spark)
     book_rows = (
         spark.read.parquet(f"{path}/pq_codebooks").orderBy("sub_idx", "code").collect()
     )
@@ -858,6 +872,8 @@ def query_ivf_index_quantized(
     c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
     probes = _probe_df(spark, c_mat, queries.collect(), n_probe)
     probed = sorted({r["list_id"] for r in probes.select("list_id").collect()})
+    if not probed:  # empty query set → empty result, not an isin() crash
+        return _empty_rank_result(spark)
     q8_lists = spark.read.parquet(f"{path}/lists_q8").where(
         F.col("list_id").isin(*probed)
     )

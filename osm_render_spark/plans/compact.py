@@ -114,6 +114,25 @@ def compact_parquet(
             "partition directories"
         )
     has_manifest = os.path.isdir(os.path.join(path, MANIFEST))
+    if partition_cols is None and not has_manifest:
+        # mirror the manifest guard: a hive-partitioned table compacted
+        # without partition_cols would be silently FLATTENED (partition
+        # directories — and the pruning they enable — destroyed)
+        hive_dirs = sorted(
+            d
+            for d in os.listdir(path)
+            if "=" in d
+            and not d.startswith((".", "_"))
+            and os.path.isdir(os.path.join(path, d))
+        )
+        if hive_dirs:
+            keys = sorted({d.split("=", 1)[0] for d in hive_dirs})
+            raise ValueError(
+                f"{path!r} is hive-partitioned (saw {hive_dirs[0]!r}): "
+                f"pass partition_cols={keys!r} so compaction preserves "
+                f"the partition directories — a flat rewrite would "
+                f"silently destroy partition pruning"
+            )
     if has_manifest and manifest_cell_col is None:
         raise ValueError(
             f"{path!r} is manifest-backed ({MANIFEST}/ present): pass "

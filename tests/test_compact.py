@@ -57,6 +57,24 @@ def test_compact_missing_table_raises(spark, tmp_path):
         compact_parquet(spark, str(tmp_path / "absent"))
 
 
+def test_compact_hive_table_without_partition_cols_refuses(spark, tmp_path):
+    """A hive-partitioned table compacted without partition_cols would
+    be silently flattened (pruning destroyed) — must refuse loudly,
+    naming the keys to pass, and leave the table untouched."""
+    path = str(tmp_path / "hp")
+    df = spark.range(0, 2_000).select(
+        (F.col("id") % 3).alias("part"), F.col("id")
+    )
+    df.repartition(6).write.partitionBy("part").parquet(path)
+    before = _census(path)
+    with pytest.raises(ValueError, match=r"hive-partitioned.*'part'"):
+        compact_parquet(spark, path, target_mb=128)
+    assert _census(path) == before  # untouched
+    # the explicit-cols path still works on the same table
+    stats = compact_parquet(spark, path, target_mb=128, partition_cols=["part"])
+    assert stats["after_files"] < before[1]
+
+
 def test_compact_streamed_ivf_lists_probe_unchanged(spark, tmp_path):
     """Integration with the small-files producer: after N streaming
     appends the lists/ tree holds many (list_id, batch_id) files;

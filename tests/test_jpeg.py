@@ -148,6 +148,27 @@ def test_sixteen_bit_dqt_decodes():
     assert (decode_jpeg(bytes(out)) == baseline).all()
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    — real-world MJPG frames contain them. Splice runs of 0xFF padding
+    before every header segment and re-decode."""
+    img = _smooth(24, 24)
+    data = encode_jpeg(img, 90, "444")
+    baseline = decode_jpeg(data)
+    out = bytearray(data[:2])  # SOI
+    pos = 2
+    while pos < len(data):
+        assert data[pos] == 0xFF
+        out += b"\xff\xff\xff"  # fill bytes, then the real marker
+        if data[pos + 1] == 0xDA:  # SOS: copy the rest verbatim
+            out += data[pos:]
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        out += data[pos : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    assert (decode_jpeg(bytes(out)) == baseline).all()
+
+
 # ---------------------------------------------------------------------------
 # rejections (loud, named)
 # ---------------------------------------------------------------------------

@@ -904,6 +904,36 @@ def test_ivf_build_both_stores_probe_identically(spark, tmp_path):
         build_ivf_index(df, str(tmp_path / "bad"), quantize="sq4")
 
 
+def test_ivf_query_fns_empty_query_set(spark, tmp_path):
+    """An empty queries DataFrame must yield an empty (query_id,
+    cand_id, rank, cos) result from all three IVF probe paths — not a
+    bare AssertionError from isin() over an empty probe list."""
+    from osm_render_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+        query_ivf_index_pq,
+        query_ivf_index_quantized,
+    )
+
+    rng = np.random.default_rng(53)
+    vecs = rng.normal(size=(60, 32)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf_empty")
+    build_ivf_index(
+        df, path, n_centroids=4, quantizer="head", quantize="both", pq_m=4, pq_ksub=64
+    )
+    none = df.where(df.vec_id < 0).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("q_embedding")
+    )
+    for fn in (query_ivf_index, query_ivf_index_quantized, query_ivf_index_pq):
+        out = fn(spark, path, none, 3, n_probe=2)
+        assert out.columns == ["query_id", "cand_id", "rank", "cos"]
+        assert out.count() == 0
+
+
 def test_ivf_pq_regret_small_on_quasi_tie_corpus(spark, tmp_path):
     """The bench --ann claim, pinned: on a corpus where every list is a
     set of quasi-duplicates (tight clusters, uniform noise — the

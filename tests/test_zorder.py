@@ -32,6 +32,24 @@ def test_morton_monotone_per_axis(spark):
             assert seen[(x, y + 1)] > m
 
 
+def test_zorder_write_rejects_out_of_range_coords(spark, tmp_path):
+    """The Morton key masks coordinates to 16 bits — a value >= 2^16 or
+    < 0 would silently wrap into the wrong file and pruned bbox reads
+    would return wrong rows. zorder_write must refuse loudly."""
+    import pytest
+
+    big = spark.range(0, 100).select(
+        (F.col("id") + 65_500).alias("x"), F.col("id").alias("y"), "id"
+    )
+    with pytest.raises(ValueError, match=r"max\(x\).*2\^16"):
+        zorder_write(big, str(tmp_path / "zbad"), "x", "y", 4)
+    neg = spark.range(0, 100).select(
+        F.col("id").alias("x"), (F.col("id") - 50).alias("y"), "id"
+    )
+    with pytest.raises(ValueError, match=r"min\(y\).*negative"):
+        zorder_write(neg, str(tmp_path / "zneg"), "x", "y", 4)
+
+
 def test_zorder_prunes_bbox_files_vs_1d_layout(spark, tmp_path):
     """The point of Z-ordering: a 32x32 aligned bbox over a 256x256
     space (1/64 of the area) touches ~1/64 of z-ordered files but ~1/8
