@@ -5,21 +5,32 @@ library, this engine carries its own codec because the container has
 none).
 
 Decoder: baseline sequential Huffman DCT (SOF0, and SOF1 which decodes
-identically at 8-bit precision), grayscale or 3-component YCbCr with
-any sampling factors 1..2 (4:4:4, 4:2:2, 4:2:0, 4:4:0), 8- and 16-bit
-quantization tables, restart markers, and the MJPEG convention of
-OMITTED Huffman tables (the Annex K standard tables are installed when
-a scan starts with none defined — this is what makes MJPG-in-AVI frames
-decodable, raster/containers.py). Progressive (SOF2), lossless,
-hierarchical, arithmetic-coded and 12-bit frames raise
-NotImplementedError naming the feature.
+identically at 8-bit precision) AND progressive (SOF2: spectral
+selection, successive approximation, EOB runs, interleaved DC +
+non-interleaved AC scans, restarts inside any scan — a large share of
+real web JPEGs are progressive, so a multimodal corpus reader can't
+skip it). Grayscale or 3-component YCbCr with any sampling factors
+1..2 (4:4:4, 4:2:2, 4:2:0, 4:4:0), 8- and 16-bit quantization tables,
+restart markers, and the MJPEG convention of OMITTED Huffman tables
+(the Annex K standard tables are installed when a baseline scan starts
+with none defined — this is what makes MJPG-in-AVI frames decodable,
+raster/containers.py). Lossless, hierarchical, arithmetic-coded and
+12-bit frames raise NotImplementedError naming the feature. Both entry
+paths share one reconstruction tail (_reconstruct: dequant → IDCT →
+upsample → color), so a fully-refined progressive stream decodes
+BIT-EXACTLY equal to the baseline encoding of the same coefficients —
+pinned by tests.
 
 Encoder: quality-scaled Annex K quantization tables (the public libjpeg
 scaling formula), the Annex K standard Huffman tables, optional 4:2:0
-subsampling and restart intervals. Exists so tests and fixtures are
-self-contained (no image library in the container) and to give the
-decoder a spec-honest adversary: every decoder feature above is pinned
-by decoding encoder output plus hand-spliced variations (tests).
+subsampling and restart intervals; encode_progressive_jpeg emits a
+libjpeg-style scan script (DC first/refine, spectral AC bands,
+successive approximation) with per-scan frequency-optimized canonical
+Huffman tables (progressive needs EOBn symbols the Annex K tables lack).
+Exists so tests and fixtures are self-contained (no image library in
+the container) and to give the decoder a spec-honest adversary: every
+decoder feature above is pinned by decoding encoder output plus
+hand-spliced variations (tests).
 
 Scale note: entropy decode is a per-symbol python loop over a 16-bit
 table lookup (Huffman is inherently sequential *within* one image); the
@@ -152,7 +163,6 @@ for _u in range(8):
 del _u, _c, _x
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -303,8 +313,8 @@ _RST_SPLIT = re.compile(rb"\xff[\xd0-\xd7]")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) RGB uint8 (or (h, w, 1) for a
-    single-component grayscale frame)."""
+    """Baseline or progressive JPEG bytes → (h, w, 3) RGB uint8 (or
+    (h, w, 1) for a single-component grayscale frame)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -313,6 +323,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, tuple[list[int], list[int]]] = {}
     restart_interval = 0
     frame = None  # (h, w, [(comp_id, hi, vi, tq)])
+    progressive = False
+    grids = None  # progressive coef stores, per frame comp: (bv, bh, 64)
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -335,7 +347,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"JPEG {_SOF_UNSUPPORTED[marker]} decoding is not "
                 "implemented — baseline sequential (SOF0/SOF1) only"
             )
-        if marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision (8 only)")
@@ -344,6 +356,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
+            progressive = marker == 0xC2
         elif marker == 0xC4:  # DHT (possibly several tables)
             o = 0
             while o < len(body):
@@ -370,7 +383,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     o += 129
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS — baseline has exactly one scan
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
@@ -378,17 +391,50 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
                 scan_comps.append((cs, tdta >> 4, tdta & 15))
-            if not huff_dc and not huff_ac:
-                # MJPEG convention: frames carry no DHT; the standard
-                # Annex K tables are implied
-                huff_dc = {0: HUFF_DC_LUMA, 1: HUFF_DC_CHROMA}
-                huff_ac = {0: HUFF_AC_LUMA, 1: HUFF_AC_CHROMA}
-            return _decode_scan(
-                data, pos, frame, scan_comps, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                if not huff_dc and not huff_ac:
+                    # MJPEG convention: frames carry no DHT; the standard
+                    # Annex K tables are implied
+                    huff_dc = {0: HUFF_DC_LUMA, 1: HUFF_DC_CHROMA}
+                    huff_ac = {0: HUFF_AC_LUMA, 1: HUFF_AC_CHROMA}
+                return _decode_scan(
+                    data, pos, frame, scan_comps, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            # progressive: accumulate this scan's band into the shared
+            # coefficient grids, keep parsing — reconstruction at EOI
+            band = (
+                body[1 + 2 * ns],
+                body[2 + 2 * ns],
+                body[3 + 2 * ns] >> 4,
+                body[3 + 2 * ns] & 15,
+            )  # Ss, Se, Ah, Al
+            if grids is None:
+                _h, _w, comps = frame
+                _hm, _vm, mcu_cols, mcu_rows = _mcu_geometry(frame)
+                grids = [
+                    np.zeros((mcu_rows * vi, mcu_cols * hi, 64), np.int32)
+                    for _cid, hi, vi, _tq in comps
+                ]
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan_comps, band, grids,
+                huff_dc, huff_ac, restart_interval,
             )
         # APPn / COM / anything else with a length: skipped
+    if progressive and grids is not None:
+        # a stream truncated after any completed scan still reconstructs
+        # (progressive's point); missing bands/refinements are just zero
+        return _reconstruct(frame, grids, qt)
     raise ValueError("no SOS scan found")
+
+
+def _mcu_geometry(frame):
+    _h, _w, comps = frame
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcu_cols = -(-frame[1] // (8 * hmax))
+    mcu_rows = -(-frame[0] // (8 * vmax))
+    return hmax, vmax, mcu_cols, mcu_rows
 
 
 def _decode_scan(data, pos, frame, scan_comps, qt, huff_dc, huff_ac, dri):
@@ -396,10 +442,7 @@ def _decode_scan(data, pos, frame, scan_comps, qt, huff_dc, huff_ac, dri):
     if len(scan_comps) != len(comps):
         raise NotImplementedError("multi-scan (non-interleaved) JPEG")
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-    mcu_cols = -(-img_w // (8 * hmax))
-    mcu_rows = -(-img_h // (8 * vmax))
+    hmax, vmax, mcu_cols, mcu_rows = _mcu_geometry(frame)
     n_mcus = mcu_cols * mcu_rows
 
     # per scan-component: LUTs, coefficient stores, block counts
@@ -473,27 +516,49 @@ def _decode_scan(data, pos, frame, scan_comps, qt, huff_dc, huff_ac, dri):
                         k += 1
             mcu += 1
 
-    # vectorized reconstruction per component
-    planes = []
+    # MCU-ordered stores → per-component block grids, shared tail.
+    # Scan-comp order equals frame-comp order here (interleaved scan).
+    grids = []
     for ci, (cs, _td, _ta) in enumerate(scan_comps):
-        hi, vi, tq = by_id[cs]
+        hi, vi, _tq = by_id[cs]
+        grids.append(
+            coefs[ci]
+            .reshape(mcu_rows, mcu_cols, vi, hi, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(mcu_rows * vi, mcu_cols * hi, 64)
+        )
+    return _reconstruct(frame, grids, qt)
+
+
+def _reconstruct(frame, grids, qt):
+    """Shared decode tail: per-frame-component (bv, bh, 64) int32
+    zigzag-order quantized coefficient grids → RGB/gray image. Both the
+    baseline and progressive entropy decoders land here, which is what
+    makes a fully-refined progressive stream bit-exactly equal to its
+    baseline twin."""
+    img_h, img_w, comps = frame
+    hmax, vmax, _mc, _mr = _mcu_geometry(frame)
+    planes = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
         if tq not in qt:
             raise ValueError(f"missing quantization table {tq}")
+        g = grids[ci]
         # the DQT payload is stored in ZIGZAG order per T.81 (and by our
         # own encoder), and coefs are in zigzag-stream order too — the
         # dequant is element-wise. Indexing the table with ZIGZAG again
         # double-permuted it (review catch: q50 round-trip measured
         # 32.6 dB with the bug vs 37.6 dB fixed)
-        dq = coefs[ci].astype(np.float64) * qt[tq]  # still zigzag
+        dq = g.reshape(-1, 64).astype(np.float64) * qt[tq]  # still zigzag
         nat = np.empty_like(dq)
         nat[:, ZIGZAG] = dq  # dezigzag
         F = nat.reshape(-1, 8, 8)
         blocks = np.einsum("ux,nuv,vy->nxy", _D, F, _D) + 128.0
         blocks = np.clip(np.floor(blocks + 0.5), 0, 255).astype(np.uint8)
+        bv, bh = g.shape[:2]
         plane = (
-            blocks.reshape(mcu_rows, mcu_cols, vi, hi, 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcu_rows * vi * 8, mcu_cols * hi * 8)
+            blocks.reshape(bv, bh, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bv * 8, bh * 8)
         )
         comp_h = -(-img_h * vi // vmax)
         comp_w = -(-img_w * hi // hmax)
@@ -518,6 +583,197 @@ def _decode_scan(data, pos, frame, scan_comps, qt, huff_dc, huff_ac, dri):
         axis=2,
     )
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2) entropy decode -------------------------------------
+
+def _scan_segments(data, pos, n_units, dri):
+    """Isolate one scan's entropy bytes (ends at the first marker that
+    is neither byte-stuffing nor RSTn), split on restarts, unstuff.
+    Returns (segments, end_pos)."""
+    m = _SCAN_END.search(data, pos)
+    end = m.start() if m else len(data)
+    scan_bytes = data[pos:end]
+    segments = [
+        s.replace(b"\xff\x00", b"\xff") for s in _RST_SPLIT.split(scan_bytes)
+    ]
+    expected = -(-n_units // dri) if dri else 1
+    if len(segments) != expected:
+        raise ValueError(
+            f"restart structure mismatch: {len(segments)} entropy "
+            f"segments for {n_units} units at restart interval {dri}"
+        )
+    return segments, end
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan_comps, band, grids, huff_dc, huff_ac, dri
+):
+    """Decode one progressive scan (T.81 G.2) into the shared grids;
+    returns the stream position of the marker ending the scan. Handles
+    interleaved/non-interleaved DC scans (first + refinement) and
+    single-component AC scans (spectral bands, successive approximation,
+    EOB runs), with restarts resetting predictors and the EOB run."""
+    ss, se, ah, al = band
+    img_h, img_w, comps = frame
+    hmax, vmax, mcu_cols, mcu_rows = _mcu_geometry(frame)
+    by_id = {cid: (i, hi, vi) for i, (cid, hi, vi, _tq) in enumerate(comps)}
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    interleaved = len(scan_comps) > 1
+
+    if not interleaved:
+        cs0, _td0, _ta0 = scan_comps[0]
+        _ci0, hi0, vi0 = by_id[cs0]
+        # non-interleaved traversal covers the COMPONENT's own block
+        # grid (ceil of its scaled dims), not the MCU-padded grid
+        cbh = -(-(-(-img_w * hi0 // hmax)) // 8)
+        cbv = -(-(-(-img_h * vi0 // vmax)) // 8)
+        n_units = cbv * cbh
+    else:
+        n_units = mcu_rows * mcu_cols
+
+    segments, end = _scan_segments(data, pos, n_units, dri)
+
+    if ss == 0:  # DC scan (first or refinement), any component count
+        luts = []
+        for _cs, td, _ta in scan_comps:
+            if ah == 0:
+                if td not in huff_dc:
+                    raise ValueError(f"missing DC Huffman table {td}")
+                luts.append(_decode_lut(*huff_dc[td]))
+            else:
+                luts.append(None)  # refinement reads raw bits only
+        unit = 0
+        for seg in segments:
+            bits = _BitReader(seg)
+            preds = [0] * len(scan_comps)
+            for _ in range(min(dri, n_units - unit) if dri else n_units):
+                for si, (cs, _td, _ta) in enumerate(scan_comps):
+                    ci, hi, vi = by_id[cs]
+                    g = grids[ci]
+                    if interleaved:
+                        mr, mc = divmod(unit, mcu_cols)
+                        blocks = [
+                            (mr * vi + v, mc * hi + h)
+                            for v in range(vi)
+                            for h in range(hi)
+                        ]
+                    else:
+                        blocks = [divmod(unit, cbh)]
+                    for by, bx in blocks:
+                        if ah == 0:
+                            dc_sym, dc_len = luts[si]
+                            p = bits.peek16()
+                            ln = dc_len[p]
+                            if ln == 0:
+                                raise ValueError("invalid DC Huffman code")
+                            bits.skip(ln)
+                            s = dc_sym[p]
+                            diff = _extend(bits.read(s), s) if s else 0
+                            preds[si] += diff
+                            g[by, bx, 0] = preds[si] << al
+                        elif bits.read(1):
+                            g[by, bx, 0] |= 1 << al
+                unit += 1
+        return end
+
+    # AC scan: single component
+    cs, _td, ta = scan_comps[0]
+    ci, _hi, _vi = by_id[cs]
+    if ta not in huff_ac:
+        raise ValueError(f"missing AC Huffman table {ta}")
+    ac_sym, ac_len = _decode_lut(*huff_ac[ta])
+    g = grids[ci]
+    p1, n1 = 1 << al, -(1 << al)
+    unit = 0
+    for seg in segments:
+        bits = _BitReader(seg)
+        eobrun = 0
+        for _ in range(min(dri, n_units - unit) if dri else n_units):
+            by, bx = divmod(unit, cbh)
+            row = g[by, bx]
+            if ah == 0:
+                # --- first scan for this band (G.1.2.2) ---
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        p = bits.peek16()
+                        ln = ac_len[p]
+                        if ln == 0:
+                            raise ValueError("invalid AC Huffman code")
+                        bits.skip(ln)
+                        rs = ac_sym[p]
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r < 15:  # EOBn: run of (1<<r)+ext blocks
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += bits.read(r)
+                                break
+                            k += 16  # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            row[k] = _extend(bits.read(s), s) * p1
+                            k += 1
+            else:
+                # --- refinement scan (G.1.2.3): correction bits on
+                # nonzero-history coefficients, ±1<<Al on newly
+                # significant ones ---
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        p = bits.peek16()
+                        ln = ac_len[p]
+                        if ln == 0:
+                            raise ValueError("invalid AC Huffman code")
+                        bits.skip(ln)
+                        rs = ac_sym[p]
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.read(r)
+                                break
+                            # r == 15 → ZRL: pass 16 zero-history coeffs
+                        elif s == 1:
+                            val = p1 if bits.read(1) else n1
+                        else:
+                            raise ValueError(
+                                "invalid refinement magnitude category"
+                            )
+                        while k <= se:
+                            rv = int(row[k])
+                            if rv != 0:
+                                if bits.read(1) and (rv & p1) == 0:
+                                    row[k] = rv + (p1 if rv >= 0 else n1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            row[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB-run tail: correction bits only, rest of band
+                    while k <= se:
+                        rv = int(row[k])
+                        if rv != 0:
+                            if bits.read(1) and (rv & p1) == 0:
+                                row[k] = rv + (p1 if rv >= 0 else n1)
+                        k += 1
+                    eobrun -= 1
+            unit += 1
+    return end
 
 
 # --- encoder ----------------------------------------------------------------
@@ -705,4 +961,371 @@ def encode_jpeg(
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder ----------------------------------------------------
+#
+# Scan scripts are (comp_indices, Ss, Se, Ah, Al) tuples, libjpeg-style
+# defaults: an interleaved DC first scan at Al=1, spectral AC bands with
+# successive approximation, then the refinement passes that complete
+# every coefficient to full precision (so the default script decodes
+# bit-exactly equal to the baseline encoding of the same coefficients).
+
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _build_huffman(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Frequency-optimized canonical (BITS, HUFFVAL). Progressive scans
+    need EOBn symbols (0x10..0xE0) that the Annex K baseline tables lack,
+    so each AC scan ships its own table — standard practice (libjpeg
+    always optimizes progressive tables). Plain Huffman over the counts;
+    if a pathological distribution exceeds JPEG's 16-bit code limit,
+    fall back to a flat fixed-length code (valid, just less tight)."""
+    import heapq
+
+    syms = sorted(freqs)
+    if not syms:
+        raise ValueError("empty symbol alphabet")
+    if len(syms) == 1:
+        return [1] + [0] * 15, syms
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    depth = dict.fromkeys(syms, 0)
+    tie = len(heap)
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, tie, g1 + g2))
+        tie += 1
+    if max(depth.values()) > 16:
+        flat = max(1, (len(syms) - 1).bit_length())
+        depth = dict.fromkeys(syms, flat)
+    bits = [0] * 16
+    for s in syms:
+        bits[depth[s] - 1] += 1
+    vals = sorted(syms, key=lambda s: (depth[s], s))
+    return bits, vals
+
+
+class _EobState:
+    """Pending EOB run + the buffered correction bits that belong to it
+    (refinement scans interleave correction bits INTO the run: the
+    decoder reads them back as it walks the run's blocks)."""
+
+    __slots__ = ("run", "bits")
+
+    def __init__(self):
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self, out: list) -> None:
+        if self.run == 0:
+            return
+        r = self.run.bit_length() - 1
+        out.append(("sym", r << 4))
+        if r:
+            out.append(("bits", self.run - (1 << r), r))
+        for b in self.bits:
+            out.append(("bits", b, 1))
+        self.run = 0
+        self.bits = []
+
+
+def _tokens_ac_first(row, ss, se, al, out, eob):
+    """One block of an AC first scan (T.81 G.1.2.2) → tokens. The point
+    transform for AC is magnitude shift (truncate toward zero)."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(row[k])
+        t = abs(v) >> al
+        vals.append(-t if v < 0 else t)
+    if not any(vals):
+        eob.run += 1
+        if eob.run == 32767:
+            eob.flush(out)
+        return
+    eob.flush(out)
+    run = 0
+    for v in vals:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            out.append(("sym", 0xF0))
+            run -= 16
+        s = abs(v).bit_length()
+        mag = v + (1 << s) - 1 if v < 0 else v
+        out.append(("sym", run << 4 | s))
+        out.append(("bits", mag, s))
+        run = 0
+    if run:  # trailing zeros end the block in an EOB
+        eob.run += 1
+        if eob.run == 32767:
+            eob.flush(out)
+
+
+def _tokens_ac_refine(row, ss, se, al, out, eob):
+    """One block of an AC refinement scan (G.1.2.3) → tokens, emitted
+    by mirroring the decoder's walk exactly: ZRLs pass 16 zero-history
+    positions, correction bits for nonzero-history positions follow the
+    symbol that passes them, sign bit precedes them."""
+    a = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+    sig = [i for i, t in enumerate(a) if t == 1]  # newly significant
+    if not sig:
+        eob.run += 1
+        eob.bits.extend(t & 1 for t in a if t > 1)
+        if eob.run == 32767:
+            eob.flush(out)
+        return
+    eob.flush(out)
+    i = 0  # walk position (band-relative)
+    for sp in sig:
+        r = sum(1 for j in range(i, sp) if a[j] == 0)
+        while r > 15:
+            out.append(("sym", 0xF0))
+            passed = 0
+            while passed < 16:
+                if a[i] > 1:
+                    out.append(("bits", a[i] & 1, 1))
+                else:  # zero-history (a[i]==0: no 1s before sp)
+                    passed += 1
+                i += 1
+            r -= 16
+        out.append(("sym", r << 4 | 1))
+        out.append(("bits", 1 if int(row[ss + sp]) > 0 else 0, 1))
+        while i < sp:
+            if a[i] > 1:
+                out.append(("bits", a[i] & 1, 1))
+            i += 1
+        i = sp + 1
+    if i < len(a):  # tail after the last newly-significant coefficient
+        eob.run += 1
+        eob.bits.extend(t & 1 for t in a[i:] if t > 1)
+        if eob.run == 32767:
+            eob.flush(out)
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    scans: list[tuple] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w[, c]) uint8 → progressive (SOF2) JFIF bytes. The default
+    scan script fully refines every coefficient, so the output decodes
+    BIT-EXACTLY equal to `decode_jpeg(encode_jpeg(img, quality,
+    subsampling))` — pinned by tests. Pass a custom ``scans`` list of
+    (comp_indices, Ss, Se, Ah, Al) to emit a prefix (preview) stream.
+    DC scans use the Annex K DC tables; each AC scan carries its own
+    frequency-optimized table (progressive EOBn symbols aren't in the
+    Annex K AC tables)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 3, 4):
+        raise ValueError(f"unsupported channel count {c}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444 or 420, got {subsampling!r}")
+    gray = c == 1
+    qt0 = _scaled_qtable(QT_LUMA, quality)
+    qt1 = _scaled_qtable(QT_CHROMA, quality)
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        factors = [(1, 1)]
+        qtabs = [qt0]
+        tsel = [0]
+    else:
+        y, cb, cr = _to_ycbcr(img)
+        if subsampling == "420":
+            factors = [(2, 2), (1, 1), (1, 1)]
+            planes = [y, _subsample(cb, 2, 2), _subsample(cr, 2, 2)]
+        else:
+            factors = [(1, 1)] * 3
+            planes = [y, cb, cr]
+        qtabs = [qt0, qt1, qt1]
+        tsel = [0, 1, 1]
+    if scans is None:
+        scans = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+
+    # forward DCT + quantize with the IDENTICAL expression tree the
+    # baseline encoder uses (same _blockify + einsum shapes — a
+    # different contraction order perturbs the float sums enough to
+    # flip a coefficient at the +0.5 rounding boundary, which broke the
+    # progressive==baseline bit-exactness), then reorder the MCU-ordered
+    # blocks onto per-component (by, bx) grids both traversals share
+    grids = []
+    for plane, (hi, vi), qtab in zip(planes, factors, qtabs):
+        blocks = _blockify(plane, mcu_rows, mcu_cols, vi, hi) - 128.0
+        F = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
+        qn = F.reshape(-1, 64)[:, ZIGZAG] / qtab[ZIGZAG]
+        q = np.where(qn >= 0, np.floor(qn + 0.5), -np.floor(-qn + 0.5))
+        grids.append(
+            q.astype(np.int64)
+            .reshape(mcu_rows, mcu_cols, vi, hi, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(mcu_rows * vi, mcu_cols * hi, 64)
+        )
+
+    dc_maps = [_encode_map(*HUFF_DC_LUMA), _encode_map(*HUFF_DC_CHROMA)]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) + bytes(
+        int(v) for v in qt0[ZIGZAG]
+    )
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([1]) + bytes(
+            int(v) for v in qt1[ZIGZAG]
+        )
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hi, vi = factors[i]
+        sof += bytes([i + 1, hi << 4 | vi, tsel[i]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_tables = [(0, 0, HUFF_DC_LUMA)]
+    if not gray:
+        dc_tables.append((0, 1, HUFF_DC_CHROMA))
+    for tc, th_, tbl in dc_tables:
+        payload = _dht_payload(tc, th_, tbl)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for comp_idx, ss, se, ah, al in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("scan mixes DC and AC")
+        if ss > 0 and len(comp_idx) != 1:
+            raise ValueError("AC scan must be single-component")
+        interleaved = len(comp_idx) > 1
+        if interleaved:
+            n_units = mcu_rows * mcu_cols
+        else:
+            ci0 = comp_idx[0]
+            hi0, vi0 = factors[ci0]
+            cbh = -(-(-(-w * hi0 // hmax)) // 8)
+            cbv = -(-(-(-h * vi0 // vmax)) // 8)
+            n_units = cbv * cbh
+
+        # token pass: ("sym", symbol) / ("sym2", class, symbol) for DC /
+        # ("bits", value, n) / ("rst",)
+        toks: list = []
+        if ss == 0:
+            preds = [0] * len(comp_idx)
+            for unit in range(n_units):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    toks.append(("rst",))
+                    preds = [0] * len(comp_idx)
+                for si, ci in enumerate(comp_idx):
+                    hi, vi = factors[ci]
+                    g = grids[ci]
+                    if interleaved:
+                        mr, mc = divmod(unit, mcu_cols)
+                        blocks = [
+                            (mr * vi + v, mc * hi + hh)
+                            for v in range(vi)
+                            for hh in range(hi)
+                        ]
+                    else:
+                        blocks = [divmod(unit, cbh)]
+                    for by, bx in blocks:
+                        v = int(g[by, bx, 0])
+                        if ah == 0:
+                            t = v >> al  # DC point transform: arithmetic
+                            diff = t - preds[si]
+                            preds[si] = t
+                            s = abs(diff).bit_length()
+                            mag = diff + (1 << s) - 1 if diff < 0 else diff
+                            toks.append(("sym2", tsel[ci], s))
+                            if s:
+                                toks.append(("bits", mag, s))
+                        else:
+                            toks.append(("bits", (v >> al) & 1, 1))
+        else:
+            ci = comp_idx[0]
+            g = grids[ci]
+            eob = _EobState()
+            block_fn = _tokens_ac_first if ah == 0 else _tokens_ac_refine
+            for unit in range(n_units):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    eob.flush(toks)
+                    toks.append(("rst",))
+                by, bx = divmod(unit, cbh)
+                block_fn(g[by, bx], ss, se, al, toks, eob)
+            eob.flush(toks)
+
+        # table pass (AC scans carry a scan-local optimized table)
+        if ss > 0:
+            freqs: dict[int, int] = {}
+            for t in toks:
+                if t[0] == "sym":
+                    freqs[t[1]] = freqs.get(t[1], 0) + 1
+            tbl = _build_huffman(freqs) if freqs else ([1] + [0] * 15, [0])
+            payload = _dht_payload(1, 0, tbl)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+            ac_map = _encode_map(*tbl)
+        else:
+            ac_map = None
+
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            td = tsel[ci] if ss == 0 and ah == 0 else 0
+            ta = 0 if ss > 0 else 0
+            sos += bytes([ci + 1, td << 4 | ta])
+        sos += bytes([ss, se, ah << 4 | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        bw = _BitWriter()
+        rst = 0
+        for t in toks:
+            if t[0] == "rst":
+                bw.flush()
+                out += bw.buf
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+            elif t[0] == "sym":
+                code, ln = ac_map[t[1]]
+                bw.write(code, ln)
+            elif t[0] == "sym2":
+                code, ln = dc_maps[t[1]][t[2]]
+                bw.write(code, ln)
+            else:
+                bw.write(t[1], t[2])
+        bw.flush()
+        out += bw.buf
+
+    out += b"\xff\xd9"
     return bytes(out)

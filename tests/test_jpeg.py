@@ -20,6 +20,7 @@ from osm_render_spark.raster.jpeg import (
     _canonical_codes,
     decode_jpeg,
     encode_jpeg,
+    encode_progressive_jpeg,
 )
 
 
@@ -173,12 +174,150 @@ def test_fill_bytes_before_markers_are_skipped():
 # rejections (loud, named)
 # ---------------------------------------------------------------------------
 
-def test_progressive_rejected_by_name():
-    data = bytearray(encode_jpeg(_smooth(16, 16), 90))
-    i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # SOF0 → SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(data))
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("q", [50, 90])
+def test_progressive_equals_baseline_bit_exact(sub, q):
+    """The default progressive scan script fully refines every
+    coefficient, and both decoders share one reconstruction tail — so
+    the progressive stream must decode BIT-EXACTLY equal to the
+    baseline encoding of the same image."""
+    for w, h in ((48, 48), (17, 23)):
+        img = _smooth(w, h)
+        base = decode_jpeg(encode_jpeg(img, q, sub))
+        prog = decode_jpeg(encode_progressive_jpeg(img, q, sub))
+        assert (base == prog).all()
+
+
+def test_progressive_grayscale_and_noise_bit_exact():
+    g = _smooth(33, 57)[:, :, 0]
+    assert (
+        decode_jpeg(encode_jpeg(g, 85)) == decode_jpeg(encode_progressive_jpeg(g, 85))
+    ).all()
+    # uint8 noise maximizes ZRL / EOB-run / refinement traffic
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(noisy, 30, "420"))
+        == decode_jpeg(encode_progressive_jpeg(noisy, 30, "420"))
+    ).all()
+
+
+def test_progressive_restart_markers_equivalent():
+    img = _smooth(48, 48)
+    base = decode_jpeg(encode_progressive_jpeg(img, 85, "420"))
+    for dri in (1, 3, 7):
+        data = encode_progressive_jpeg(img, 85, "420", restart_interval=dri)
+        assert b"\xff\xd0" in data or b"\xff\xd1" in data
+        assert (decode_jpeg(data) == base).all()
+
+
+def test_progressive_prefix_scripts_refine_monotonically():
+    """Progressive's point: a stream truncated after any scan still
+    reconstructs, and each additional scan only improves fidelity."""
+    img = _smooth(48, 48)
+    full = decode_jpeg(encode_jpeg(img, 85))
+    dc_only = [((0, 1, 2), 0, 0, 0, 1)]
+    coarse = dc_only + [
+        ((0,), 1, 5, 0, 2),
+        ((1,), 1, 63, 0, 1),
+        ((2,), 1, 63, 0, 1),
+    ]
+    p_dc = decode_jpeg(encode_progressive_jpeg(img, 85, scans=dc_only))
+    p_co = decode_jpeg(encode_progressive_jpeg(img, 85, scans=coarse))
+    p_full = decode_jpeg(encode_progressive_jpeg(img, 85))
+    assert p_dc.shape == p_full.shape == img.shape
+    s_dc = psnr(img, p_dc)
+    s_co = psnr(img, p_co)
+    s_full = psnr(img, p_full)
+    assert s_dc < s_co < s_full
+    assert (p_full == full).all()
+
+
+def test_hand_crafted_progressive_stream_decodes_bit_exact():
+    """Independent-of-our-encoder validation of the progressive entropy
+    decoder: a 4-block SOF2 stream crafted by hand per T.81 G.2 — DC
+    first scan at Al=1, DC refinement bits, an AC first scan whose EOB
+    run spans blocks (EOB2 symbol 0x20, run 4), and an AC refinement
+    scan with a correction bit, a newly-significant negative
+    coefficient, and an EOBn with an extension bit (run 3) — decoded
+    against a textbook IDCT written here from the standard's formula."""
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qz = bytes([16 + k for k in range(64)])  # distinct zigzag values
+    jpg = (
+        bytes([0xFF, 0xD8])
+        + seg(0xDB, bytes([0x00]) + qz)
+        + seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 32) + bytes([1, 1, 0x11, 0]))
+        # DC table 0: '0' -> cat 2, '1' -> cat 0
+        + seg(0xC4, bytes([0x00, 2] + [0] * 15 + [2, 0]))
+        # scan 1: DC first, Al=1; transformed DCs [2,2,2,2] -> diffs [2,0,0,0]
+        # bits: 0 10 | 1 | 1 | 1  -> 01011111
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + bytes([0b01011111])
+        # scan 2: DC refinement (Ah=1, Al=0): raw bits 1,0,1,0 -> DCs [5,4,5,4]
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + bytes([0b10101111])
+        # AC table 0 for scan 3: '00' -> 0x01 (sig cat1), '01' -> 0x20 (EOB2)
+        + seg(0xC4, bytes([0x10, 0, 2] + [0] * 14 + [0x01, 0x20]))
+        # scan 3: AC first, band 1-63, Al=1: block0 zz[1] = +1 (<<1 = 2),
+        # then EOB run 4 (0x20 + extra '00') covers rest of all 4 blocks
+        # bits: 00 1 01 00 -> 0010100 + pad
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + bytes([0b00101001])
+        # AC table 0 for scan 4: '00'->0x00 (EOB1), '01'->0x10 (EOB2..3), '10'->0x11
+        + seg(0xC4, bytes([0x10, 0, 3] + [0] * 14 + [0x00, 0x10, 0x11]))
+        # scan 4: AC refinement (Ah=1, Al=0):
+        #  block0: EOB1 ('00'), tail correction bit '1' on zz[1]: 2 -> 3
+        #  block1: 0x11 ('10') r=1 s=1, sign '0' (negative) -> zz[2] = -1,
+        #          then 0x10 ('01') + extra '1' -> EOB run 3 (rest + blocks 2,3)
+        # bits: 00 1 10 0 01 1 -> 00110001
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + bytes([0b00110001])
+        + bytes([0xFF, 0xD9])
+    )
+    dec = decode_jpeg(jpg)
+    assert dec.shape == (8, 32, 1)
+
+    # expected coefficients (natural order) per block
+    def natural(dc, extras):
+        F = np.zeros((8, 8))
+        F[0, 0] = dc * 16
+        for zz_slot, val in extras:
+            # zigzag slot -> natural position
+            nat = ZIGZAG[zz_slot]
+            F[nat // 8, nat % 8] = val * (16 + zz_slot)
+        return F
+
+    blocks_F = [
+        natural(5, [(1, 3)]),
+        natural(4, [(2, -1)]),
+        natural(5, []),
+        natural(4, []),
+    ]
+
+    def c(u):
+        return 1 / np.sqrt(2) if u == 0 else 1.0
+
+    want = np.empty((8, 32))
+    for b, F in enumerate(blocks_F):
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (
+                            c(u) * c(v) * F[u, v]
+                            * np.cos((2 * y + 1) * u * np.pi / 16)
+                            * np.cos((2 * x + 1) * v * np.pi / 16)
+                        )
+                want[y, 8 * b + x] = s / 4.0 + 128.0
+    want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
+    assert (dec[:, :, 0] == want).all()
 
 
 def test_arithmetic_coding_rejected_by_name():
