@@ -1119,6 +1119,50 @@ FROM corpus GROUP BY text ORDER BY canonical_id
     return _dual_sql_query(make)
 
 
+def _q_substring_dedup() -> QueryDef:
+    """Exact SUBSTRING dedup (operators/substring.py duplicated_spans):
+    maximal spans ≥ 40 chars whose every 12-gram also occurs in another
+    document — sub-document granularity the whole-doc dedup family
+    can't see (Lee et al. 2022 semantics, one-sort-shuffle shape). The
+    Spark side runs the REAL operator in key='exact' mode (gram-string
+    keys) so parity with the set-based DuckDB twin is byte-provable;
+    hash-key equivalence is pinned by tests/test_substring.py."""
+    k, min_len = 12, 40
+    duck = f"""
+WITH pos AS (
+  SELECT doc_id, CAST(unnest(range(1, length(text) - {k - 2})) AS BIGINT) AS p,
+         text
+  FROM documents
+),
+g AS (SELECT doc_id, p, substr(text, CAST(p AS INT), {k}) AS gram FROM pos),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(distinct doc_id) >= 2),
+cov AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM cov
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + {k} AS span_len,
+         COUNT(*) AS n_grams
+  FROM isl GROUP BY doc_id, isl
+)
+SELECT doc_id, span_start, span_len, n_grams
+FROM spans WHERE span_len >= {min_len}
+ORDER BY doc_id, span_start
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.substring import duplicated_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return duplicated_spans(docs, k=k, min_len=min_len, key="exact").orderBy(
+            "doc_id", "span_start"
+        )
+
+    return QueryDef(fn, duck)
+
+
 def _q_token_count() -> QueryDef:
     def make(d) -> str:
         words = d.split("text")
@@ -2834,6 +2878,7 @@ def build_queries() -> dict[str, QueryDef]:
         "jpeg_roundtrip": _q_jpeg_roundtrip(),
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip(),
         "dedup_exact": _q_dedup_exact(),
+        "substring_dedup": _q_substring_dedup(),
         "token_count": _q_token_count(),
         "text_quality": _q_text_quality(),
         "langid": _q_langid(),

@@ -1,0 +1,111 @@
+"""Exact substring dedup (operators/substring.py): planted-span
+recovery, hash==exact key equivalence, plan shape (no all-pairs
+surface, no fourth shuffle for the islands aggregation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from osm_render_spark.operators.substring import duplicated_spans
+
+K = 8
+SHARED = "zqxjkwvyzqxjkwvyzqxjkwvy"  # 24 chars, distinctive alphabet
+SHARED3 = "0123456789abcdefghij"  # 20 chars, shared by three docs
+
+
+def _corpus(spark):
+    # unique filler uses per-doc characters so no accidental cross-doc
+    # k-grams exist outside the planted spans
+    rows = [
+        (1, "aaaaaaaaaaaaaaa" + SHARED + "bbbbbbbbbbbbbbb"),
+        (2, "ccccccccccccccc" + SHARED + "ddddddddddddddd"),
+        (3, "eeeeeeeeeeeeeee" + SHARED3 + "fffffffffffffff"),
+        (4, "ggggggggggggggg" + SHARED3 + "hhhhhhhhhhhhhhh"),
+        (5, SHARED3 + "iiiiiiiiiiiiiii"),
+        (6, "jjjjjj"),  # shorter than k: zero positions
+        (7, "kkkkkkkkkkkkkkkkkkkk"),  # long but unique: no spans
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_spans_recovered_exactly(spark):
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_len"], r["n_grams"])
+        for r in duplicated_spans(_corpus(spark), k=K).collect()
+    }
+    n1 = len(SHARED) - K + 1
+    n3 = len(SHARED3) - K + 1
+    assert spans == {
+        (1, 16, len(SHARED), n1),
+        (2, 16, len(SHARED), n1),
+        (3, 16, len(SHARED3), n3),
+        (4, 16, len(SHARED3), n3),
+        (5, 1, len(SHARED3), n3),
+    }
+
+
+def test_min_len_filters(spark):
+    out = duplicated_spans(_corpus(spark), k=K, min_len=len(SHARED3) + 1).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert all(r["span_len"] == len(SHARED) for r in out)
+
+
+def test_hash_key_equals_exact_key(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    planted = _corpus(spark)
+    for corpus in (planted, docs):
+        a = sorted(
+            map(tuple, duplicated_spans(corpus, k=12, min_len=40).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                duplicated_spans(corpus, k=12, min_len=40, key="exact").collect(),
+            )
+        )
+        assert a == b and (corpus is planted or len(a) > 0)
+
+
+def test_adjacent_distinct_spans_not_merged(spark):
+    """Two duplicated spans separated by a single unique position must
+    stay two islands."""
+    a = "zqxjkwvy" * 2  # 16 chars
+    b = "0123456789abcdef"
+    rows = [
+        (1, a + "Q" + b),  # Q breaks coverage between the two spans
+        (2, "mmmmm" + a + "nnnnn"),
+        (3, "ppppp" + b + "rrrrr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_spans(df, k=8).collect()
+    )
+    assert got == [
+        (1, 1, 16),
+        (1, 18, 16),
+        (2, 6, 16),
+        (3, 6, 16),
+    ]
+
+
+def test_rejects_bad_params(spark):
+    df = _corpus(spark)
+    with pytest.raises(ValueError, match="key"):
+        duplicated_spans(df, key="fuzzy")
+    with pytest.raises(ValueError, match="k must"):
+        duplicated_spans(df, k=1)
+
+
+def test_plan_shape_no_all_pairs_and_no_fourth_shuffle(spark):
+    """The scale contract: no position×position join surface, and the
+    islands groupBy reuses the window's doc_id partitioning (three
+    Exchanges total: gram-key agg, semi-join side, window)."""
+    df = duplicated_spans(_corpus(spark), k=8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 3, f"{n_exchange} shuffles:\n{plan}"
