@@ -343,3 +343,118 @@ def hamming_near_dups(
     if return_stats:
         return pairs, dropped
     return pairs
+
+
+def _local_union_find(edges: DataFrame, id_type) -> DataFrame:
+    """(a, b) edge list → (node, component=min id of its component) via
+    one applyInPandas union-find over a single group. EXECUTOR-side
+    (never a driver collect), but the whole edge set materializes in one
+    task — callers gate on edge COUNT first (dedup_images), exactly the
+    knn._local_topk_scored discipline: the fast path has a size
+    contract, the distributed path has none."""
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a_v, b_v in zip(pdf["a"], pdf["b"]):
+            ra, rb = find(a_v), find(b_v)
+            if ra != rb:
+                parent[ra] = rb
+        members: dict = {}
+        for n in set(pdf["a"]).union(pdf["b"]):
+            members.setdefault(find(n), []).append(n)
+        rows = []
+        for group in members.values():
+            label = min(group)
+            rows.extend((n, label) for n in group)
+        return pd.DataFrame(rows, columns=["node", "component"])
+
+    sql_t = id_type.simpleString()
+    # one-arg applyInPandas kernels receive the frame WITHOUT the
+    # grouping column, so the lit(0) key never reaches the union-find
+    return edges.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        kernel, schema=f"node {sql_t}, component {sql_t}"
+    )
+
+
+def dedup_images(
+    images: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bucket_cap: int = 4096,
+    local_cc_max_edges: int = 1_000_000,
+    algorithm: str = "hashmin",
+    return_stats: bool = False,
+):
+    """End-to-end image dedup over the input_hint table's ``phash``
+    column: banded exact Hamming near-dup pairs (hamming_near_dups,
+    same JVM-side bucket caps), transitive closure into clusters, and
+    canonical (min-id) image selection. Output: one row per INPUT image
+    — (image_id, cluster_id, is_canonical); unclustered images are their
+    own canonical singleton.
+
+    Scale shape (10^12 images): the closure runs over the PAIR
+    PARTICIPANTS only (E-sized, usually ≪ V after banding), never over
+    V-sized self-loops — non-duplicate images join back with one
+    left join + coalesce. Most real phash graphs are tiny after
+    banding, so when the edge count (one action over the already-
+    aggregated pair table) is ≤ ``local_cc_max_edges``, closure is a
+    SINGLE applyInPandas union-find (~50 MB/1M string-id edges in one
+    task) instead of the iterative distributed fixpoint — the same
+    count-gated fast-path discipline as operators/knn.py; above the
+    gate, operators/graph.connected_components (hashmin or large-star/
+    small-star via ``algorithm``) takes over. Both paths produce
+    byte-identical labels (pinned by tests forcing each).
+
+    ``return_stats``: also return {"n_edges", "cc_path",
+    "dropped_buckets": DataFrame} for drop accounting.
+    """
+    pairs, dropped = hamming_near_dups(
+        images,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        bucket_cap=bucket_cap,
+        return_stats=True,
+    )
+    # counted once AND reused by the closure — localCheckpoint so the
+    # banded-join plan doesn't execute twice
+    edges = pairs.select("a", "b").localCheckpoint()
+    n_edges = edges.count()
+    id_type = images.schema[id_col].dataType
+    if n_edges <= local_cc_max_edges:
+        comp = _local_union_find(edges, id_type)
+        cc_path = "local"
+    else:
+        from .graph import connected_components
+
+        comp = connected_components(edges, algorithm=algorithm)
+        cc_path = "distributed"
+    out = (
+        images.select(F.col(id_col).alias("image_id"))
+        .join(comp.withColumnRenamed("node", "image_id"), "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("component", F.col("image_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col("image_id"))
+    )
+    if return_stats:
+        return out, {
+            "n_edges": n_edges,
+            "cc_path": cc_path,
+            "dropped_buckets": dropped,
+        }
+    return out

@@ -1656,20 +1656,17 @@ ORDER BY image_id
 """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .operators.dedup import hamming_near_dups
-        from .operators.graph import connected_components
+        from .operators.dedup import dedup_images
 
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         register_views(spark, sf_dir)
         rows = spark.sql(f"WITH {rows3('spark')} SELECT id, h FROM rows3")
-        pairs = hamming_near_dups(
-            rows, id_col="id", hash_col="h", max_hamming=3, n_bands=4
-        ).select("a", "b")
-        loops = rows.select(F.col("id").alias("a"), F.col("id").alias("b"))
-        cc = connected_components(pairs.unionAll(loops))
-        return cc.select(
-            F.col("node").alias("image_id"), F.col("component").alias("cluster_id")
-        ).orderBy("image_id")
+        # dedup_images closes over pair PARTICIPANTS only (E-sized) and
+        # left-joins singletons back — and count-gates to a single
+        # union-find kernel when the post-banding edge set is tiny, as
+        # it is here (the r4 15.9 s wall was V-sized self-loop CC rounds)
+        clusters = dedup_images(rows, id_col="id", hash_col="h")
+        return clusters.select("image_id", "cluster_id").orderBy("image_id")
 
     return QueryDef(fn, duck)
 

@@ -133,3 +133,72 @@ def test_convergence_inside_final_batch_is_not_an_error(spark):
         for r in connected_components(df, max_iter=4, check_every=2).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_dedup_images_local_and_distributed_paths_identical(spark):
+    """dedup_images: planted 2-hop phash chains + singletons; the
+    count-gated union-find fast path and the distributed CC path must
+    produce byte-identical clusters, singletons label themselves, and
+    drop accounting surfaces."""
+    from osm_render_spark.operators.dedup import dedup_images
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("a1", base),
+        ("b1", base ^ 0b111),            # hamming(a1,b1)=3
+        ("c1", base ^ 0b111 ^ (7 << 20)),  # hamming(b1,c1)=3, (a1,c1)=6
+        ("d1", 0x7EDCBA9876543210),      # singleton
+        ("e1", 0x7EDCBA9876543210 ^ 1),  # pairs with d1 (hamming 1)
+        ("f1", 0x5555000055550000),      # isolated singleton
+    ]
+    df = spark.createDataFrame(
+        [(i, h - (h & 2**63) * 2 if h >= 2**63 else h) for i, h in rows],
+        "image_id string, phash long",
+    )
+    want = {
+        "a1": ("a1", True),
+        "b1": ("a1", False),
+        "c1": ("a1", False),
+        "d1": ("d1", True),
+        "e1": ("d1", False),
+        "f1": ("f1", True),
+    }
+    local, stats = dedup_images(df, local_cc_max_edges=10**6, return_stats=True)
+    got_local = {
+        r["image_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in local.collect()
+    }
+    assert got_local == want
+    assert stats["cc_path"] == "local" and stats["n_edges"] == 3
+    assert stats["dropped_buckets"].count() == 0
+
+    dist, stats_d = dedup_images(df, local_cc_max_edges=0, return_stats=True)
+    got_dist = {
+        r["image_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dist.collect()
+    }
+    assert stats_d["cc_path"] == "distributed"
+    assert got_dist == got_local
+
+
+def test_dedup_images_matches_query_composition(spark):
+    """The library operator and the oracle query's composition agree on
+    the real phash-corpus derivation (the query now CALLS the operator;
+    this pins the operator against an independently-composed closure)."""
+    from osm_render_spark.operators.dedup import dedup_images, hamming_near_dups
+    from osm_render_spark.operators.graph import connected_components
+
+    from pyspark.sql import functions as F
+
+    rng_rows = [(f"i{k}", (k * 2654435761) % (1 << 62)) for k in range(200)]
+    # plant clusters: 20 near-copies at hamming 1..3
+    planted = [(f"p{k}", rng_rows[0][1] ^ (1 << (k % 60))) for k in range(20)]
+    df = spark.createDataFrame(rng_rows + planted, "image_id string, phash long")
+
+    ops = dedup_images(df, local_cc_max_edges=10**6)
+    pairs = hamming_near_dups(df, max_hamming=3, n_bands=4).select("a", "b")
+    loops = df.select(F.col("image_id").alias("a"), F.col("image_id").alias("b"))
+    cc = connected_components(pairs.unionAll(loops))
+    want = {r["node"]: r["component"] for r in cc.collect()}
+    got = {r["image_id"]: r["cluster_id"] for r in ops.collect()}
+    assert got == want
