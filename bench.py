@@ -267,6 +267,34 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     img_sec = time.time() - t0
     imgs.unpersist()
 
+    # composed training pipeline e2e (decode/verify → exact+phash dedup
+    # → langid/quality → split → pack), cold checkpoint store each run —
+    # docs/sec through ALL stages incl. checkpoint parquet writes
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+    from osm_render_spark.pipeline import training_data_pipeline
+    from osm_render_spark.plans.checkpoint import CheckpointStore
+
+    n_pipe = 3000
+    pipe_corpus = pipeline_corpus_df(spark, n_pipe).cache()
+    pipe_corpus.count()  # corpus generation untimed
+    pipe_root = _tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        t0 = time.time()
+        pipe_out = training_data_pipeline(
+            spark,
+            pipe_corpus,
+            CheckpointStore(pipe_root),
+            params={"corpus": "bench", "n": n_pipe},
+        )
+        n_packed = pipe_out["packed"].count()
+        pipe_sec = time.time() - t0
+    finally:
+        _shutil.rmtree(pipe_root, ignore_errors=True)
+        pipe_corpus.unpersist()
+
     loadavg_after = os.getloadavg()
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
@@ -293,6 +321,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "n_tiles_rendered": n_tiles_rendered,
         "pbf_nodes_per_sec": round(n_pbf / pbf_sec, 1),
         "pbf_mb_per_sec": round(pbf_mb / pbf_sec, 2),
+        "pipeline_e2e_sec": round(pipe_sec, 3),
+        "pipeline_docs_per_sec": round(n_pipe / pipe_sec, 1),
+        "pipeline_docs_packed": n_packed,
     }
 
 

@@ -112,3 +112,90 @@ def images_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     rows = [(a, bytearray(b), int(c), int(d), e, f, int(g), float(x), float(y))
             for a, b, c, d, e, f, g, x, y in rows]
     return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+def pipeline_corpus_df(
+    spark: SparkSession, n: int, w: int = 48, h: int = 48
+) -> DataFrame:
+    """Distributed input_hint corpus for the TRAINING pipeline
+    (pipeline.training_data_pipeline) with PLANTED curation events, all
+    a pure function of the row index:
+
+    - ``i % 10 == 9``  → exact caption duplicate of row i-1 (distinct
+      pixels, same caption — caught by exact caption dedup);
+    - ``i % 13 == 12`` → phash near-duplicate of row i-1: a jpeg row
+      carrying i-1's pixels and a phash with 2 flipped bits (hamming 2
+      — caught by dedup_images; jpeg rows skip the exact-phash verify
+      by contract, so the planted hash survives decode_verify);
+    - ``i % 17 == 16`` → dims-corrupt row (the ``w`` column lies by 1)
+      that decode_verify must drop;
+    - ``i % 4 == 3``   → jpeg rows are PROGRESSIVE (SOF2) streams;
+      the rest alternate png / baseline jpeg.
+
+    Generated on the EXECUTORS (mapInPandas over spark.range) — no
+    driver-side encode bottleneck, so bench-scale corpora are cheap.
+    """
+    import pandas as pd
+
+    from ..raster.jpeg import encode_progressive_jpeg
+
+    def salted_pixels(j: int) -> np.ndarray:
+        # image_pixels shares a dominant gradient across rows, which
+        # makes UNRELATED images phash-collide en masse; add a
+        # deterministic per-image dither so natural near-dups are rare
+        # and the dedup stages measure the PLANTED events
+        img = image_pixels(j, w, h).copy()
+        # COARSE blocks (phash is low-frequency: fine dither averages
+        # away; 12px blocks land squarely in the hash's DCT band)
+        by = np.arange(h)[:, None] // 12
+        bx = np.arange(w)[None, :] // 12
+        rr = (by * 131 + bx * 197 + j * 911) % 251
+        for c in range(3):
+            img[:, :, c] = (
+                (img[:, :, c].astype(np.int64) + (rr * (c + 3)) % 173) % 256
+            ).astype(np.uint8)
+        return img
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                pix_src = i - 1 if (i % 13 == 12 and i > 0) else i
+                img = salted_pixels(pix_src)
+                fmt = "png" if i % 2 == 0 else "jpeg"
+                if i % 13 == 12:
+                    fmt = "jpeg"  # skips exact-phash verify by contract
+                if fmt == "jpeg" and i % 4 == 3:
+                    data = encode_progressive_jpeg(img, 90, "444")
+                else:
+                    data = encode_image(img, fmt)
+                ph = phash64(salted_pixels(pix_src))
+                if i % 13 == 12:
+                    # flip 2 distinct bits via the two's-complement view
+                    # (ph may be negative: mask to 64 bits, xor, re-sign)
+                    u = (ph & ((1 << 64) - 1)) ^ (
+                        (1 << (i % 60)) | (1 << ((i * 7 + 11) % 60))
+                    )
+                    ph = u - (1 << 64) if u >= 1 << 63 else u
+                cap_src = i - 1 if (i % 10 == 9 and i > 0) else i
+                caption = (
+                    f"scene {cap_src % 7} tile z{4 + cap_src % 5} "
+                    f"variant {MODES[cap_src % 4]} row {cap_src}"
+                )
+                w_claim = w + 1 if i % 17 == 16 else w
+                rows.append(
+                    (f"img{i:010d}", data, w_claim, h, fmt, caption, ph)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    return spark.range(0, n).mapInPandas(
+        gen,
+        schema=(
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long"
+        ),
+    )

@@ -144,3 +144,127 @@ def render_scene_pipeline(
         "atlas": atlas,
         "callouts": callouts,
     }
+
+
+def training_data_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    store: CheckpointStore,
+    params: dict,
+    pack_budget: int = 64,
+    quality_min_tokens: int = 3,
+    pack_shards: int = 8,
+) -> dict[str, DataFrame]:
+    """The composed multimodal TRAINING-DATA pipeline (the north rule's
+    image+caption curation path), every heavy stage a checkpointed unit
+    so a killed job resumes with zero recomputation of completed stages
+    (pinned by tests/test_pipeline.py):
+
+    1. decode_verify — decode/verify/feature Arrow kernel  [S8/R11]
+    2. (inline)      — keep dims_ok AND phash-verified rows
+    3. dedup         — exact caption dedup ∩ phash image dedup
+                       (operators/dedup.dedup_images, canonical keep)
+    4. curate        — langid + token count + quality floor
+    5. split         — deterministic train/val/test (codegen LCG)
+    6. pack          — greedy sequence packing per (split, shard)
+
+    ``params`` must identify the input corpus (S10 discipline: a stage
+    key covers inputs, not just knobs — pass the generator seed/size, or
+    a snapshot id for a real table).
+
+    100 TB shape: every stage is a narrow map, a hash-agg on a fixed-
+    width key, or an already-capped operator from the library; the only
+    driver actions are dedup_images' edge-count gate and pack_sequences'
+    bucket guard. Stage outputs land partitioned in the store, so each
+    stage's reader starts from columnar parquet, not recomputation.
+    """
+    from .operators.dedup import dedup_images
+    from .operators.packing import pack_sequences
+    from .operators.sampling import split_tag
+    from .operators.text import SPARK, langid_sql
+    from .raster.ops import decode_features
+
+    feats = store.run_stage(
+        spark,
+        "decode_verify",
+        params,
+        lambda: decode_features(images),
+        partition_col="fmt",
+    )
+    ok_ids = feats.where(
+        F.col("dims_ok") & F.coalesce(F.col("phash_ok"), F.lit(True))
+    ).select("image_id")
+    corpus = images.join(ok_ids, "image_id")
+
+    def compute_dedup():
+        canon_text = (
+            corpus.groupBy(F.sha2(F.col("caption"), 256).alias("_k"))
+            .agg(F.min("image_id").alias("image_id"))
+            .select("image_id")
+        )
+        canon_img = (
+            dedup_images(corpus, id_col="image_id", hash_col="phash")
+            .where(F.col("is_canonical"))
+            .select("image_id")
+        )
+        return canon_text.join(canon_img, "image_id")
+
+    kept = store.run_stage(spark, "dedup", params, compute_dedup)
+
+    words = "split(caption, ' ')"
+
+    def compute_curate():
+        return (
+            corpus.join(kept, "image_id")
+            .withColumn("lang_id", F.expr(langid_sql(SPARK, words)))
+            .withColumn("n_tokens", F.expr(f"size({words})").cast("long"))
+            .where(F.col("n_tokens") >= quality_min_tokens)
+            .select("image_id", "caption", "phash", "lang_id", "n_tokens")
+        )
+
+    curated = store.run_stage(
+        spark, "curate", params, compute_curate, partition_col="lang_id"
+    )
+
+    def compute_split():
+        # image_id is a string: derive the LCG's numeric id via xxhash64
+        return split_tag(
+            curated.withColumn("_sid", F.xxhash64("image_id")), id_col="_sid"
+        ).drop("_sid")
+
+    splits = store.run_stage(
+        spark, "split", params, compute_split, partition_col="split"
+    )
+
+    def compute_pack():
+        sharded = splits.withColumn(
+            "_bucket",
+            F.concat_ws(
+                "/",
+                F.col("split"),
+                F.pmod(F.xxhash64("image_id"), F.lit(pack_shards)).cast("string"),
+            ),
+        )
+        return pack_sequences(
+            sharded,
+            budget=pack_budget,
+            id_col="image_id",
+            size_col="n_tokens",
+            bucket_col="_bucket",
+            n_buckets=3 * pack_shards,
+        )
+
+    packed = store.run_stage(
+        spark,
+        "pack",
+        {**params, "budget": pack_budget, "shards": pack_shards},
+        compute_pack,
+        partition_col="bucket",
+    )
+    return {
+        "features": feats,
+        "kept_ids": kept,
+        "curated": curated,
+        "splits": splits,
+        "packed": packed,
+    }

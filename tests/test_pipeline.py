@@ -107,3 +107,96 @@ def test_project_ways_additive_kinds(spark):
         4: {"coast"},
         5: {"water"},
     }
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline (images + captions)
+# ---------------------------------------------------------------------------
+
+def _run_training(spark, store, n=120):
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+    from osm_render_spark.pipeline import training_data_pipeline
+
+    corpus = pipeline_corpus_df(spark, n)
+    return training_data_pipeline(
+        spark, corpus, store, params={"corpus": "planted", "n": n}
+    )
+
+
+def test_training_pipeline_end_to_end(spark, store):
+    n = 120
+    out = _run_training(spark, store, n)
+    feats = {r["image_id"]: r for r in out["features"].collect()}
+    assert len(feats) == n
+    # dims-corrupt rows flagged
+    bad = {f"img{i:010d}" for i in range(n) if i % 17 == 16}
+    assert {k for k, r in feats.items() if not r["dims_ok"]} == bad
+
+    curated = {r["image_id"]: r for r in out["curated"].collect()}
+    # every dims-corrupt row is gone
+    assert not bad & set(curated)
+    # planted caption duplicates: the i%10==9 copy is dropped (canonical
+    # min-id is i-1), unless i-1 itself was dropped for other reasons
+    for i in range(1, n):
+        a, b = f"img{i - 1:010d}", f"img{i:010d}"
+        if i % 10 == 9 and a in curated:
+            assert b not in curated, f"caption dup {b} survived"
+        if i % 13 == 12 and a in curated:
+            assert b not in curated, f"phash near-dup {b} survived"
+
+    splits = {r["image_id"]: r["split"] for r in out["splits"].collect()}
+    assert set(splits) == set(curated)
+    assert set(splits.values()) <= {"train", "val", "test"}
+
+    packed = out["packed"].collect()
+    assert {r["image_id"] for r in packed} == set(curated)
+    budget = 64
+    by_seq = {}
+    for r in packed:
+        assert r["seq_fill"] <= budget
+        by_seq.setdefault((r["bucket"], r["seq_idx"]), []).append(r)
+        # bucket prefix is the split tag — packing never crosses splits
+        assert r["bucket"].split("/")[0] == splits[r["image_id"]]
+    for rows in by_seq.values():
+        assert sorted(x["pos_in_seq"] for x in rows) == list(range(len(rows)))
+
+
+def test_training_pipeline_resume_zero_recompute(spark, store, monkeypatch):
+    """Kill-mid-pipeline resume: after a full run, wipe only the LAST
+    stage's checkpoint (simulating a crash during pack) and rerun —
+    completed stages must not recompute (spied at the operator level),
+    and the recomputed pack output must equal the original."""
+    import osm_render_spark.operators.dedup as dedup_mod
+    import osm_render_spark.raster.ops as ops_mod
+
+    out1 = _run_training(spark, store)
+    want_packed = sorted(map(tuple, out1["packed"].collect()))
+
+    calls = {"decode": 0, "dedup": 0}
+    orig_decode = ops_mod.decode_features
+    orig_dedup = dedup_mod.dedup_images
+
+    def spy_decode(df):
+        calls["decode"] += 1
+        return orig_decode(df)
+
+    def spy_dedup(*a, **k):
+        calls["dedup"] += 1
+        return orig_dedup(*a, **k)
+
+    monkeypatch.setattr(ops_mod, "decode_features", spy_decode)
+    monkeypatch.setattr(dedup_mod, "dedup_images", spy_dedup)
+
+    # crash during the last stage: its checkpoint is incomplete/gone
+    pack_dir = os.path.join(store.root, "pack")
+    assert os.path.isdir(pack_dir)
+    shutil.rmtree(pack_dir)
+
+    out2 = _run_training(spark, store)
+    assert calls == {"decode": 0, "dedup": 0}, "completed stages recomputed"
+    assert sorted(map(tuple, out2["packed"].collect())) == want_packed
+
+    # full rerun with nothing missing: still zero operator calls
+    out3 = _run_training(spark, store)
+    assert calls == {"decode": 0, "dedup": 0}
+    assert sorted(map(tuple, out3["packed"].collect())) == want_packed
