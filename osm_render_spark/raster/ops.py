@@ -553,15 +553,17 @@ def fake_audio_bytes(audio_id: int, n_samples: int = 8000, rate: int = 8000) -> 
 def audio_features(audios: DataFrame, frame: int = 400) -> DataFrame:
     """Audio feature extraction over opaque blobs: per-frame RMS energy,
     peak amplitude, zero-crossing rate — vectorized numpy inside Arrow
-    batches. REAL decode for WAV PCM (RIFF — raster/containers.py, no
-    codec lib needed) plus the deterministic fake_audio_bytes fixture
-    format; compressed formats (mp3/aac/...) raise NotImplementedError
-    (no codec library in this container)."""
+    batches. REAL decode for WAV PCM (RIFF — raster/containers.py) and
+    FLAC (raster/flac.py, from-scratch lossless codec) plus the
+    deterministic fake_audio_bytes fixture format; perceptual codecs
+    (mp3/aac/...) raise NotImplementedError (no codec library in this
+    container)."""
     import struct
     import zlib
 
     def kernel(batches):
         from .containers import decode_wav
+        from .flac import decode_flac
 
         for pdf in batches:
             rows = []
@@ -569,15 +571,19 @@ def audio_features(audios: DataFrame, frame: int = 400) -> DataFrame:
                 data = row.bytes
                 if data[:4] == b"RIFF":
                     x, rate = decode_wav(data)
+                elif data[:4] == b"fLaC":
+                    pcm, rate, bps = decode_flac(bytes(data))
+                    scale = float((1 << (bps - 1)) - 1)
+                    x = pcm.astype(np.float64).mean(axis=1) / scale
                 elif data[:4] == b"FAUD":
                     _aid, n, rate = struct.unpack(">IIH", data[4:14])
                     pcm = np.frombuffer(zlib.decompress(data[14:]), dtype=np.int16)
                     x = pcm.astype(np.float64) / 32767.0
                 else:
                     raise NotImplementedError(
-                        "compressed audio decode requires a codec library "
-                        "not in this container; WAV PCM (RIFF) and "
-                        "fake_audio_bytes blobs decode"
+                        "perceptual audio codecs (mp3/aac) require a codec "
+                        "library not in this container; WAV PCM (RIFF), "
+                        "FLAC, and fake_audio_bytes blobs decode"
                     )
                 n_frames = len(x) // frame
                 fx = x[: n_frames * frame].reshape(n_frames, frame)
