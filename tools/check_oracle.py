@@ -3,11 +3,19 @@ Spark AND its oracle SQL on DuckDB over the same parquet tables; compare
 row count, column names, and an order-insensitive value hash.
 
 Usage: python tools/check_oracle.py [sf_dir] [name ...]
+       python tools/check_oracle.py --json OUT.json [sf_dir ...]
+
+--json runs the FULL query set at each given sf_dir (default sf0.01 and
+sf0.1) and writes machine-readable evidence {sf_dir: {name: {rows,
+hash, ok}}} — the committed per-round ORACLE_r{N}.json the judge asked
+for (VERDICT r4 #2), so the correctness claim never rests on queries
+the driver's 50-of-N sample skipped.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -41,22 +49,18 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    import __spark_entry__ as e
-
-    spark = get_spark("oracle_check", cpus=8, shuffle_partitions=8)
+def run_set(spark, e, sf_dir: str, only: set[str]) -> tuple[dict, list[str]]:
+    """Run the query set at one sf_dir; returns (results, failures)
+    where results[name] = {rows, hash, ok, mode, sec}."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-
     qs = e.queries()
     oracles = e.oracle_sql()
-    failures = []
+    results: dict = {}
+    failures: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,36 +69,82 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             failures.append(name)
+            results[name] = {"ok": False, "error": str(ex)[:300]}
             print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
             continue
         if name not in oracles:
+            results[name] = {
+                "rows": len(sdf), "hash": value_hash(sdf), "ok": True,
+                "mode": "rows-only", "sec": round(time.time() - t0, 1),
+            }
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             failures.append(name)
+            results[name] = {"ok": False, "error": str(ex)[:300]}
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
             continue
         problems = []
+        hs = value_hash(sdf)
         if len(sdf) != len(ddf):
             problems.append(f"rowcount {len(sdf)} vs {len(ddf)}")
         if sorted(sdf.columns) != sorted(ddf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
         else:
-            hs, hd = value_hash(sdf), value_hash(ddf)
+            hd = value_hash(ddf)
             if hs != hd:
                 problems.append(f"value-hash {hs} vs {hd}")
                 merged = sdf.merge(ddf, how="outer", indicator=True)
                 diff = merged[merged["_merge"] != "both"]
                 print(diff.head(6).to_string())
+        sec = round(time.time() - t0, 1)
+        results[name] = {
+            "rows": len(sdf), "hash": hs, "ok": not problems,
+            "mode": "oracle", "sec": sec,
+        }
         if problems:
             failures.append(name)
-            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            results[name]["error"] = "; ".join(problems)
+            print(f"FAIL  {name}: {'; '.join(problems)} [{sec}s]")
         else:
-            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(sdf)} rows [{sec}s]")
+    print(f"\n{len(results) - len(failures)}/{len(results)} queries match at {sf_dir}")
+    return results, failures
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+
+def main() -> int:
+    import __spark_entry__ as e
+
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+
+    spark = get_spark("oracle_check", cpus=8, shuffle_partitions=8)
+    if json_out:
+        sf_dirs = argv or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+        evidence: dict = {}
+        all_failures: list[str] = []
+        for sf_dir in sf_dirs:
+            results, failures = run_set(spark, e, sf_dir, set())
+            evidence[sf_dir] = results
+            all_failures += failures
+        evidence["summary"] = {
+            "total": {d: len(evidence[d]) for d in sf_dirs},
+            "failures": sorted(set(all_failures)),
+            "git": os.popen("git -C %s rev-parse HEAD" % _REPO).read().strip(),
+        }
+        with open(json_out, "w") as f:
+            json.dump(evidence, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+        return 1 if all_failures else 0
+
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    _results, failures = run_set(spark, e, sf_dir, only)
     return 1 if failures else 0
 
 
