@@ -102,3 +102,88 @@ def duplicated_spans(
     if min_len is not None:
         spans = spans.where(F.col("span_len") >= min_len)
     return spans
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame,
+    k: int = 12,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash",
+    keep_in_min_doc: bool = True,
+) -> DataFrame:
+    """The REMOVAL half of the published recipe: cut every duplicated
+    span out of the corpus, returning (doc_id, text, n_spans_removed,
+    n_chars_removed). With ``keep_in_min_doc`` (default) one copy of
+    each duplicated region survives: a span is KEPT in the document
+    with the smallest id among documents whose spans share that span's
+    first k-gram — deterministic, computed with one small aggregation
+    over the span table (never a doc×doc comparison).
+
+    Per-document spans are maximal islands, hence disjoint — the cut
+    kernel is a single linear pass per document. The spans-per-doc
+    collect_list is bounded by doc_len / min_len (an applyInPandas-safe
+    group size by construction).
+    """
+    spans = duplicated_spans(docs, k, min_len, id_col, text_col, key)
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    gram = F.expr(f"substring(_t, span_start, {k})")
+    spans2 = (
+        spans.join(base, "doc_id")
+        .withColumn("_g", F.xxhash64(gram) if key == "hash" else gram)
+        .drop("_t")
+    )
+    if keep_in_min_doc:
+        keep = spans2.groupBy("_g").agg(F.min("doc_id").alias("_keep"))
+        removals = spans2.join(keep, "_g").where(F.col("doc_id") != F.col("_keep"))
+    else:
+        removals = spans2
+    rem = removals.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
+    )
+    joined = base.join(rem, "doc_id", "left")
+    id_t = docs.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, texts, n_sp, n_ch = [], [], [], []
+            for did, t, sp in zip(pdf["doc_id"], pdf["_t"], pdf["_spans"]):
+                ids.append(did)
+                if sp is None or len(sp) == 0:
+                    texts.append(t)
+                    n_sp.append(0)
+                    n_ch.append(0)
+                    continue
+                ivs = sorted(
+                    (int(s["span_start"]), int(s["span_len"])) for s in sp
+                )
+                out = []
+                pos = 1  # 1-based, SQL substring convention
+                removed = 0
+                for s0, ln in ivs:
+                    out.append(t[pos - 1 : s0 - 1])
+                    removed += ln
+                    pos = s0 + ln
+                out.append(t[pos - 1 :])
+                texts.append("".join(out))
+                n_sp.append(len(ivs))
+                n_ch.append(removed)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "n_spans_removed": n_sp,
+                    "n_chars_removed": n_ch,
+                }
+            )
+
+    return joined.mapInPandas(
+        kernel,
+        schema=(
+            f"doc_id {id_t}, text string, n_spans_removed long, "
+            f"n_chars_removed long"
+        ),
+    )

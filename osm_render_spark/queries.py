@@ -1163,6 +1163,99 @@ ORDER BY doc_id, span_start
     return QueryDef(fn, duck)
 
 
+def _q_substring_scrub() -> QueryDef:
+    """The REMOVAL half of substring dedup (operators/substring.
+    scrub_duplicated_spans): duplicated spans are cut from every
+    document except the min-id holder of the span's first gram, and the
+    oracle reconstructs the scrubbed TEXT character-by-character in
+    DuckDB (complement islands + ordered string_agg) — so the kernel's
+    cut arithmetic is value-hash-checked byte-for-byte, not just
+    counted."""
+    k, min_len = 12, 40
+    duck = f"""
+WITH pos AS (
+  SELECT doc_id, CAST(unnest(range(1, length(text) - {k - 2})) AS BIGINT) AS p,
+         text
+  FROM documents
+),
+g AS (SELECT doc_id, p, substr(text, CAST(p AS INT), {k}) AS gram FROM pos),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(distinct doc_id) >= 2),
+cov AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM cov
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + {k} AS span_len
+  FROM isl GROUP BY doc_id, isl
+  HAVING MAX(p) - MIN(p) + {k} >= {min_len}
+),
+fg AS (
+  SELECT s.doc_id, s.span_start, s.span_len,
+         substr(d.text, CAST(s.span_start AS INT), {k}) AS gk
+  FROM spans s JOIN documents d USING (doc_id)
+),
+keepers AS (SELECT gk, MIN(doc_id) AS keep_doc FROM fg GROUP BY gk),
+removals AS (
+  SELECT f.doc_id, f.span_start, f.span_len
+  FROM fg f JOIN keepers kp ON f.gk = kp.gk AND f.doc_id <> kp.keep_doc
+),
+covered AS (
+  SELECT doc_id,
+         CAST(unnest(range(span_start, span_start + span_len)) AS BIGINT) AS p
+  FROM removals
+),
+allpos AS (
+  SELECT doc_id, CAST(unnest(range(1, length(text) + 1)) AS BIGINT) AS p
+  FROM documents
+),
+keepc AS (
+  SELECT a.doc_id, a.p FROM allpos a
+  LEFT JOIN covered c ON a.doc_id = c.doc_id AND a.p = c.p
+  WHERE c.p IS NULL
+),
+seg AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS sid
+  FROM keepc
+),
+segs AS (
+  SELECT doc_id, MIN(p) AS s, CAST(MAX(p) - MIN(p) + 1 AS INT) AS l
+  FROM seg GROUP BY doc_id, sid
+),
+scrubbed AS (
+  SELECT d.doc_id,
+         COALESCE(
+           string_agg(substr(d.text, CAST(sg.s AS INT), sg.l), '' ORDER BY sg.s),
+           ''
+         ) AS text
+  FROM documents d LEFT JOIN segs sg ON d.doc_id = sg.doc_id
+  GROUP BY d.doc_id
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_spans_removed,
+         CAST(SUM(span_len) AS BIGINT) AS n_chars_removed
+  FROM removals GROUP BY doc_id
+)
+SELECT s.doc_id, s.text,
+       COALESCE(st.n_spans_removed, 0) AS n_spans_removed,
+       COALESCE(st.n_chars_removed, 0) AS n_chars_removed
+FROM scrubbed s LEFT JOIN stats st USING (doc_id)
+ORDER BY doc_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.substring import scrub_duplicated_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return scrub_duplicated_spans(
+            docs, k=k, min_len=min_len, key="exact"
+        ).orderBy("doc_id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_token_count() -> QueryDef:
     def make(d) -> str:
         words = d.split("text")
@@ -2876,6 +2969,7 @@ def build_queries() -> dict[str, QueryDef]:
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip(),
         "dedup_exact": _q_dedup_exact(),
         "substring_dedup": _q_substring_dedup(),
+        "substring_scrub": _q_substring_scrub(),
         "token_count": _q_token_count(),
         "text_quality": _q_text_quality(),
         "langid": _q_langid(),

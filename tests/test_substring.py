@@ -109,3 +109,54 @@ def test_plan_shape_no_all_pairs_and_no_fourth_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 3, f"{n_exchange} shuffles:\n{plan}"
+
+
+def test_scrub_removes_all_but_min_doc_copy(spark):
+    from osm_render_spark.operators.substring import scrub_duplicated_spans
+
+    out = {
+        r["doc_id"]: r
+        for r in scrub_duplicated_spans(_corpus(spark), k=K).collect()
+    }
+    assert len(out) == 7
+    # doc 1 is the min-id holder of SHARED's first gram: keeps its text
+    assert out[1]["text"] == "aaaaaaaaaaaaaaa" + SHARED + "bbbbbbbbbbbbbbb"
+    assert out[1]["n_spans_removed"] == 0
+    # doc 2's copy is cut, filler joins up
+    assert out[2]["text"] == "ccccccccccccccc" + "ddddddddddddddd"
+    assert (out[2]["n_spans_removed"], out[2]["n_chars_removed"]) == (1, len(SHARED))
+    # SHARED3 cluster: doc 3 keeps, docs 4 and 5 scrubbed
+    assert SHARED3 in out[3]["text"]
+    assert SHARED3 not in out[4]["text"] and SHARED3 not in out[5]["text"]
+    assert out[5]["text"] == "iiiiiiiiiiiiiii"  # span at position 1
+    # untouched docs round-trip byte-identically
+    assert out[6]["text"] == "jjjjjj" and out[7]["text"] == "k" * 20
+
+
+def test_scrub_remove_everywhere_mode(spark):
+    from osm_render_spark.operators.substring import scrub_duplicated_spans
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in scrub_duplicated_spans(
+            _corpus(spark), k=K, keep_in_min_doc=False
+        ).collect()
+    }
+    assert SHARED not in out[1] and SHARED not in out[2]
+    assert SHARED3 not in out[3] and SHARED3 not in out[4] and SHARED3 not in out[5]
+
+
+def test_scrub_hash_equals_exact(spark):
+    from osm_render_spark.operators.substring import scrub_duplicated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(
+        map(tuple, scrub_duplicated_spans(docs, k=12, min_len=40).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            scrub_duplicated_spans(docs, k=12, min_len=40, key="exact").collect(),
+        )
+    )
+    assert a == b
