@@ -315,8 +315,10 @@ def _inflate_blob(payload: bytes) -> bytes:
     """Blob message → raw (decompressed) payload bytes. Codecs: raw,
     zlib (the OSM default), lzma and bzip2 via the python stdlib
     (VERDICT r2 #9; bzip2 is marked obsolete by the format — read
-    support only, plus a writer flag for round-trip tests). lz4/zstd
-    have no stdlib codec in this container → clear error."""
+    support only, plus a writer flag for round-trip tests), and lz4
+    (fileformat.proto field 6, LZ4 *block* format — from-scratch codec
+    in sources/lz4.py since the container has no lz4 library). zstd
+    has no stdlib codec below python 3.14 → clear error."""
     raw, raw_size = None, None
     comp, comp_codec = None, None
     for num, _w, v in scan_fields(payload):
@@ -324,17 +326,17 @@ def _inflate_blob(payload: bytes) -> bytes:
             raw = bytes(v)
         elif num == 2:
             raw_size = v
-        elif num in (3, 4, 5):  # zlib / lzma / obsolete-bzip2
+        elif num in (3, 4, 5, 6):  # zlib / lzma / obsolete-bzip2 / lz4
             comp = bytes(v)
-            comp_codec = {3: "zlib", 4: "lzma", 5: "bzip2"}[num]
-        elif num in (6, 7):
-            comp_codec = {6: "lz4", 7: "zstd"}[num]
+            comp_codec = {3: "zlib", 4: "lzma", 5: "bzip2", 6: "lz4"}[num]
+        elif num == 7:
+            comp_codec = "zstd"
     if raw is None:
         if comp is None:
             raise NotImplementedError(
                 f"blob uses {comp_codec or 'an unknown'} compression; this "
-                "reader supports raw, zlib (the OSM default), lzma and "
-                "bzip2 blobs — recompress the extract with zlib"
+                "reader supports raw, zlib (the OSM default), lzma, bzip2 "
+                "and lz4 blobs — recompress the extract with zlib"
             )
         if comp_codec == "zlib":
             raw = zlib.decompress(comp)
@@ -342,6 +344,12 @@ def _inflate_blob(payload: bytes) -> bytes:
             import lzma
 
             raw = lzma.decompress(comp)
+        elif comp_codec == "lz4":
+            from .lz4 import lz4_decompress_block
+
+            # the block format carries no size; raw_size is the
+            # Blob-level contract (checked inside on mismatch)
+            raw = lz4_decompress_block(comp, raw_size)
         else:  # bzip2
             import bz2
 
@@ -796,6 +804,10 @@ def _blob(btype: str, raw: bytes, codec: str = "zlib") -> bytes:
         import bz2
 
         blob = _varint_field(2, len(raw)) + _len_field(5, bz2.compress(raw))
+    elif codec == "lz4":
+        from .lz4 import lz4_compress_block
+
+        blob = _varint_field(2, len(raw)) + _len_field(6, lz4_compress_block(raw))
     elif codec == "raw":
         blob = _len_field(1, raw)
     else:

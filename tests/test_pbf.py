@@ -305,7 +305,7 @@ def test_scan_blob_index_stream_reads_headers_only():
         assert CountingIO.read_bytes < 64 * len(idx)
 
 
-@pytest.mark.parametrize("codec", ["lzma", "bzip2", "raw"])
+@pytest.mark.parametrize("codec", ["lzma", "bzip2", "raw", "lz4"])
 def test_blob_codec_roundtrip(spark, codec):
     """VERDICT r2 #9: lzma/bzip2 (python stdlib) and raw blobs decode;
     each codec round-trips to the same entities as the zlib default."""
