@@ -2384,6 +2384,108 @@ ORDER BY k
     return QueryDef(fn, duck)
 
 
+def _flac_test_pcm(k: int) -> "np.ndarray":
+    """Deterministic per-key PCM: two tones + arithmetic 'noise' (no
+    RNG — the stream must be identical on driver and executors)."""
+    import numpy as np
+
+    t = np.arange(4000 + 100 * (k % 7), dtype=np.float64)
+    x = (
+        5000.0 * np.sin(t / (17.0 + k))
+        + 2000.0 * np.sin(t / (5.0 + (k % 3)))
+        + ((t * (k + 13)) % 251.0) - 125.0
+    )
+    return np.floor(x + 0.5).astype(np.int16)
+
+
+@functools.lru_cache(maxsize=1)
+def _flac_oracle_values() -> str:
+    import numpy as np
+
+    from .raster.flac import decode_flac, encode_flac
+
+    values = []
+    for k in range(25):
+        pcm = _flac_test_pcm(k)
+        mode = ("indep", "ms", "ls", "rs")[k % 4]
+        if mode == "indep":
+            data = encode_flac(pcm, 16000, block=1024)
+            src = pcm[:, None]
+        else:
+            st = np.stack([pcm, (pcm // 2).astype(np.int16)], axis=1)
+            data = encode_flac(st, 16000, block=1024, mode=mode)
+            src = st
+        dec, _rate, _bps = decode_flac(data)
+        lossless = int((dec == src).all())
+        cs = int(np.abs(dec.astype(np.int64)).sum() % 1000000007)
+        values.append(f"({k}, {cs}, {lossless}, {len(data)})")
+    return ", ".join(values)
+
+
+def _q_flac_roundtrip() -> QueryDef:
+    """REAL FLAC codec (raster/flac.py) under the oracle: per nation
+    key, encode deterministic PCM (stereo mode rotated per key across
+    independent / mid-side / left-side / right-side), decode it back on
+    the EXECUTORS, and emit (a) a LOSSLESS verdict (bit-exact PCM — the
+    codec-independent ground truth), (b) the |sample|-sum checksum
+    (pins bit-exact decode determinism driver vs executors), and
+    (c) the compressed byte count (pins the encoder's determinism).
+    Audio twin of jpeg_roundtrip; reference precedent S8/R11."""
+    duck = f"""
+SELECT v.k AS k, v.checksum AS checksum, v.lossless AS lossless,
+       v.n_bytes AS n_bytes
+FROM (VALUES {_flac_oracle_values()}) AS v(k, checksum, lossless, n_bytes)
+JOIN nation ON n_nationkey = v.k
+ORDER BY k
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from .raster.flac import decode_flac, encode_flac
+
+        keys = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(F.col("n_nationkey").cast("long").alias("k"))
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["k"]:
+                    k = int(k)
+                    pcm = _flac_test_pcm(k)
+                    mode = ("indep", "ms", "ls", "rs")[k % 4]
+                    if mode == "indep":
+                        data = encode_flac(pcm, 16000, block=1024)
+                        src = pcm[:, None]
+                    else:
+                        st = np.stack(
+                            [pcm, (pcm // 2).astype(np.int16)], axis=1
+                        )
+                        data = encode_flac(st, 16000, block=1024, mode=mode)
+                        src = st
+                    dec, _rate, _bps = decode_flac(data)
+                    rows.append(
+                        (
+                            k,
+                            int(np.abs(dec.astype(np.int64)).sum() % 1000000007),
+                            int((dec == src).all()),
+                            len(data),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["k", "checksum", "lossless", "n_bytes"]
+                )
+
+        return keys.mapInPandas(
+            kernel, schema="k long, checksum long, lossless int, n_bytes int"
+        ).orderBy("k")
+
+    return QueryDef(fn, duck)
+
+
 def _q_way_tile_fanout() -> QueryDef:
     """The slippy fan-out's tile-assignment core as an exact oracle check:
     per 'way' (order), the bbox of its vertices (lineitem-derived points)
@@ -2967,6 +3069,7 @@ def build_queries() -> dict[str, QueryDef]:
         "image_pipeline": _q_image_pipeline(),
         "jpeg_roundtrip": _q_jpeg_roundtrip(),
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip(),
+        "flac_roundtrip": _q_flac_roundtrip(),
         "dedup_exact": _q_dedup_exact(),
         "substring_dedup": _q_substring_dedup(),
         "substring_scrub": _q_substring_scrub(),
