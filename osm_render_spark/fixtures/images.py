@@ -170,7 +170,7 @@ def pipeline_corpus_df(
                     data = encode_progressive_jpeg(img, 90, "444")
                 else:
                     data = encode_image(img, fmt)
-                ph = phash64(salted_pixels(pix_src))
+                ph = phash64(img)  # img IS salted_pixels(pix_src)
                 if i % 13 == 12:
                     # flip 2 distinct bits via the two's-complement view
                     # (ph may be negative: mask to 64 bits, xor, re-sign)

@@ -53,24 +53,21 @@ def zorder_write(
 
     # the Morton interleave masks to 16 bits — a coordinate >= 2^16
     # would WRAP into the wrong file and pruned bbox reads would then
-    # silently return wrong rows, so validate (one cheap aggregate)
-    mx, my, nx, ny = df.agg(
-        F.max(x_col), F.max(y_col), F.min(x_col), F.min(y_col)
-    ).first()
-    for name, lo, hi in ((x_col, nx, mx), (y_col, ny, my)):
-        if hi is not None and hi >= 65536:
-            raise ValueError(
-                f"zorder_write: max({name}) = {hi} >= 2^16 — the Morton "
-                f"key masks to 16 bits and would wrap; rescale the "
-                f"coordinate into [0, 65535] first"
-            )
-        if lo is not None and lo < 0:
-            raise ValueError(
-                f"zorder_write: min({name}) = {lo} < 0 — negative "
-                f"coordinates wrap under the 16-bit Morton mask; "
-                f"rescale into [0, 65535] first"
-            )
-    keyed = df.withColumn("_zkey", F.expr(morton_sql(x_col, y_col)))
+    # silently return wrong rows. The domain check is FOLDED into the
+    # key projection (raise_error) so it rides the same pass as the
+    # write — a separate validation aggregate would execute the whole
+    # upstream plan twice (review catch)
+    guarded = (
+        f"CASE WHEN {x_col} < 0 OR {x_col} > 65535 "
+        f"OR {y_col} < 0 OR {y_col} > 65535 THEN "
+        f"CAST(raise_error(concat("
+        f"'zorder_write: coordinate outside the 16-bit Morton domain "
+        f"(would wrap into the wrong file): ({x_col}, {y_col}) = (', "
+        f"CAST({x_col} AS STRING), ', ', CAST({y_col} AS STRING), "
+        f"') — rescale into [0, 65535] first')) AS BIGINT) "
+        f"ELSE {morton_sql(x_col, y_col)} END"
+    )
+    keyed = df.withColumn("_zkey", F.expr(guarded))
     write_dataset(keyed, path, "_zkey", n_files)
 
 

@@ -212,6 +212,11 @@ def training_data_pipeline(
     kept = store.run_stage(spark, "dedup", params, compute_dedup)
 
     words = "split(caption, ' ')"
+    # S10 discipline: a stage key covers every knob that changes its
+    # OUTPUT — quality_min_tokens shapes curate and everything after it
+    # (review catch: resuming with a different floor must not serve the
+    # old checkpoint)
+    qparams = {**params, "min_tokens": quality_min_tokens}
 
     def compute_curate():
         return (
@@ -223,7 +228,7 @@ def training_data_pipeline(
         )
 
     curated = store.run_stage(
-        spark, "curate", params, compute_curate, partition_col="lang_id"
+        spark, "curate", qparams, compute_curate, partition_col="lang_id"
     )
 
     def compute_split():
@@ -233,7 +238,7 @@ def training_data_pipeline(
         ).drop("_sid")
 
     splits = store.run_stage(
-        spark, "split", params, compute_split, partition_col="split"
+        spark, "split", qparams, compute_split, partition_col="split"
     )
 
     def compute_pack():
@@ -251,13 +256,12 @@ def training_data_pipeline(
             id_col="image_id",
             size_col="n_tokens",
             bucket_col="_bucket",
-            n_buckets=3 * pack_shards,
         )
 
     packed = store.run_stage(
         spark,
         "pack",
-        {**params, "budget": pack_budget, "shards": pack_shards},
+        {**qparams, "budget": pack_budget, "shards": pack_shards},
         compute_pack,
         partition_col="bucket",
     )

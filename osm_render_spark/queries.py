@@ -1119,17 +1119,12 @@ FROM corpus GROUP BY text ORDER BY canonical_id
     return _dual_sql_query(make)
 
 
-def _q_substring_dedup() -> QueryDef:
-    """Exact SUBSTRING dedup (operators/substring.py duplicated_spans):
-    maximal spans ≥ 40 chars whose every 12-gram also occurs in another
-    document — sub-document granularity the whole-doc dedup family
-    can't see (Lee et al. 2022 semantics, one-sort-shuffle shape). The
-    Spark side runs the REAL operator in key='exact' mode (gram-string
-    keys) so parity with the set-based DuckDB twin is byte-provable;
-    hash-key equivalence is pinned by tests/test_substring.py."""
-    k, min_len = 12, 40
-    duck = f"""
-WITH pos AS (
+def _substring_cov_cte(k: int) -> str:
+    """Shared DuckDB CTE prefix of the two substring-dedup oracles
+    (positions → grams → cross-doc dup keys → covered positions →
+    islands) — one definition so a fix to the gram/coverage arithmetic
+    can never diverge between them (review catch)."""
+    return f"""pos AS (
   SELECT doc_id, CAST(unnest(range(1, length(text) - {k - 2})) AS BIGINT) AS p,
          text
   FROM documents
@@ -1141,7 +1136,20 @@ isl AS (
   SELECT doc_id, p,
          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
   FROM cov
-),
+)"""
+
+
+def _q_substring_dedup() -> QueryDef:
+    """Exact SUBSTRING dedup (operators/substring.py duplicated_spans):
+    maximal spans ≥ 40 chars whose every 12-gram also occurs in another
+    document — sub-document granularity the whole-doc dedup family
+    can't see (Lee et al. 2022 semantics, one-sort-shuffle shape). The
+    Spark side runs the REAL operator in key='exact' mode (gram-string
+    keys) so parity with the set-based DuckDB twin is byte-provable;
+    hash-key equivalence is pinned by tests/test_substring.py."""
+    k, min_len = 12, 40
+    duck = f"""
+WITH {_substring_cov_cte(k)},
 spans AS (
   SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + {k} AS span_len,
          COUNT(*) AS n_grams
@@ -1173,19 +1181,7 @@ def _q_substring_scrub() -> QueryDef:
     counted."""
     k, min_len = 12, 40
     duck = f"""
-WITH pos AS (
-  SELECT doc_id, CAST(unnest(range(1, length(text) - {k - 2})) AS BIGINT) AS p,
-         text
-  FROM documents
-),
-g AS (SELECT doc_id, p, substr(text, CAST(p AS INT), {k}) AS gram FROM pos),
-dup AS (SELECT gram FROM g GROUP BY gram HAVING count(distinct doc_id) >= 2),
-cov AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
-isl AS (
-  SELECT doc_id, p,
-         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
-  FROM cov
-),
+WITH {_substring_cov_cte(k)},
 spans AS (
   SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + {k} AS span_len
   FROM isl GROUP BY doc_id, isl

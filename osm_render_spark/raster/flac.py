@@ -24,8 +24,10 @@ the JPEG codec).
 Scale note: like JPEG, entropy decode is sequential WITHIN a stream;
 the engine's parallel unit is the audio blob — Arrow batches of
 independent files inside mapInPandas (raster/ops.audio_features).
-Everything after residual decode (fixed-predictor integration,
-stereo reconstruction) is vectorized numpy.
+After residual decode, FIXED-predictor integration (the only predictor
+our encoder emits) and stereo reconstruction are vectorized numpy
+(order-many cumsums); general LPC reconstruction remains a per-sample
+loop — it is an integer IIR with a shift, inherently sequential.
 """
 
 from __future__ import annotations
@@ -217,6 +219,22 @@ def _read_residual(br: _BitReader, blocksize: int, order: int) -> list[int]:
     return out
 
 
+def _integrate_fixed(warm: list[int], res: list[int], order: int) -> np.ndarray:
+    """FIXED-predictor reconstruction: the residual is the order-th
+    difference of the signal, so decode is `order` successive cumsums —
+    each integration level is seeded with the matching difference of
+    the warmup samples (vectorized; the per-sample loop this replaces
+    was the decode hot spot)."""
+    arr = np.asarray(res, dtype=np.int64)
+    if order == 0:
+        return arr
+    w = np.asarray(warm, dtype=np.int64)
+    for k in range(order, 0, -1):
+        seed = np.diff(w, k - 1)[-1:]  # (k-1)-th difference, last value
+        arr = np.concatenate([seed, arr]).cumsum()
+    return np.concatenate([w[:-1], arr])
+
+
 def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
     if br.read(1):
         raise ValueError("subframe header padding bit set")
@@ -234,12 +252,7 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         order = sf_type - 8
         warm = [br.read_signed(eff) for _ in range(order)]
         res = _read_residual(br, blocksize, order)
-        coefs = _FIXED_COEFS[order]
-        xs = list(warm)
-        for r in res:
-            pred = sum(c * xs[-1 - j] for j, c in enumerate(coefs))
-            xs.append(pred + r)
-        x = np.array(xs, np.int64)
+        x = _integrate_fixed(warm, res, order)
     elif sf_type >= 32:  # LPC, order = (type & 31) + 1
         order = (sf_type & 31) + 1
         warm = [br.read_signed(eff) for _ in range(order)]
@@ -292,7 +305,7 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError("FLAC missing STREAMINFO")
     rate, channels, bps, total = info
 
-    chans: list[np.ndarray] = [np.empty(0, np.int64) for _ in range(channels)]
+    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     got = 0
     while pos < len(data) and (total == 0 or got < total):
         frame_start = pos
@@ -335,6 +348,9 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError("frame header CRC-8 mismatch")
         br.pos += 1
 
+        # (frame decode below appends to per-channel LISTS; a single
+        # concatenate after the frame loop keeps decode O(n) — the
+        # per-frame re-concatenate this replaces was O(frames²))
         if ch_code < 8:
             n_ch = ch_code + 1
             if n_ch != channels:
@@ -366,9 +382,15 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError("frame CRC-16 mismatch")
         pos = br.pos + 2
         for c in range(channels):
-            chans[c] = np.concatenate([chans[c], subs[c]])
+            chans[c].append(subs[c])
         got += blocksize
-    out = np.stack(chans, axis=1)
+    out = np.stack(
+        [
+            np.concatenate(ch) if ch else np.empty(0, np.int64)
+            for ch in chans
+        ],
+        axis=1,
+    )
     if total:
         out = out[:total]
     return out.astype(np.int32), rate, bps

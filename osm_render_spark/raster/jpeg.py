@@ -333,6 +333,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # fill bytes — real-world MJPG frames contain them
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            # stream ends in fill bytes with the marker cut off — keep
+            # the codec's malformed-input contract (ValueError, never
+            # IndexError)
+            raise ValueError(f"truncated JPEG: fill bytes at byte {pos} "
+                             "with no marker following")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -345,7 +351,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_SOF_UNSUPPORTED[marker]} decoding is not "
-                "implemented — baseline sequential (SOF0/SOF1) only"
+                "implemented — baseline sequential (SOF0/SOF1) and "
+                "progressive (SOF2) only"
             )
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])

@@ -200,3 +200,27 @@ def test_training_pipeline_resume_zero_recompute(spark, store, monkeypatch):
     out3 = _run_training(spark, store)
     assert calls == {"decode": 0, "dedup": 0}
     assert sorted(map(tuple, out3["packed"].collect())) == want_packed
+
+
+def test_training_pipeline_quality_knob_does_not_serve_stale_checkpoint(
+    spark, store
+):
+    """Review regression: quality_min_tokens shapes curate and every
+    downstream stage — resuming with a different floor must recompute,
+    never serve the old checkpoint."""
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+    from osm_render_spark.pipeline import training_data_pipeline
+
+    corpus = pipeline_corpus_df(spark, 60)
+    params = {"corpus": "planted", "n": 60}
+    lo = training_data_pipeline(
+        spark, corpus, store, params, quality_min_tokens=3
+    )
+    n_lo = lo["curated"].count()
+    hi = training_data_pipeline(
+        spark, corpus, store, params, quality_min_tokens=9
+    )
+    n_hi = hi["curated"].count()
+    assert n_hi < n_lo  # captions are 8 tokens: floor 9 drops them all
+    assert n_hi == 0
+    assert hi["packed"].count() == 0

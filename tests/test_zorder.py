@@ -35,19 +35,26 @@ def test_morton_monotone_per_axis(spark):
 def test_zorder_write_rejects_out_of_range_coords(spark, tmp_path):
     """The Morton key masks coordinates to 16 bits — a value >= 2^16 or
     < 0 would silently wrap into the wrong file and pruned bbox reads
-    would return wrong rows. zorder_write must refuse loudly."""
+    would return wrong rows. The guard rides the write pass itself
+    (raise_error in the key projection — no second scan of the input
+    plan), so the refusal surfaces as a Spark job failure."""
     import pytest
 
     big = spark.range(0, 100).select(
         (F.col("id") + 65_500).alias("x"), F.col("id").alias("y"), "id"
     )
-    with pytest.raises(ValueError, match=r"max\(x\).*2\^16"):
+    with pytest.raises(Exception, match="Morton domain"):
         zorder_write(big, str(tmp_path / "zbad"), "x", "y", 4)
     neg = spark.range(0, 100).select(
         F.col("id").alias("x"), (F.col("id") - 50).alias("y"), "id"
     )
-    with pytest.raises(ValueError, match=r"min\(y\).*negative"):
+    with pytest.raises(Exception, match="Morton domain"):
         zorder_write(neg, str(tmp_path / "zneg"), "x", "y", 4)
+    # in-range data still writes (the guard is free when valid)
+    ok = spark.range(0, 100).select(
+        F.col("id").alias("x"), (F.col("id") * 3 % 256).alias("y"), "id"
+    )
+    zorder_write(ok, str(tmp_path / "zok"), "x", "y", 2)
 
 
 def test_zorder_prunes_bbox_files_vs_1d_layout(spark, tmp_path):
