@@ -172,6 +172,10 @@ def training_data_pipeline(
     key covers inputs, not just knobs — pass the generator seed/size, or
     a snapshot id for a real table).
 
+    Export: feed the curated ids back to the input table and hand the
+    result to ``sources.webdataset.write_webdataset`` for the standard
+    tar-shard training packaging (deterministic shards + sha manifest).
+
     100 TB shape: every stage is a narrow map, a hash-agg on a fixed-
     width key, or an already-capped operator from the library; the only
     driver actions are dedup_images' edge-count gate and pack_sequences'

@@ -1,0 +1,197 @@
+"""WebDataset-style tar-shard sink + source for image+caption corpora
+(the published WebDataset convention: a dataset is a set of .tar files;
+each sample is a group of files sharing a basename — `<key>.jpg` /
+`<key>.png` for the image, `<key>.txt` for the caption; readers stream
+tars sequentially). This is the standard packaging for large-scale
+image+caption training corpora, and the natural EXPORT target for the
+input_hint table after training_data_pipeline curation.
+
+Write path (100 TB shape): shard assignment is deterministic hash
+arithmetic (pmod(xxhash64(id), n_shards)) computed JVM-side; each shard
+is built by ONE applyInPandas group writing a tar with stdlib tarfile —
+shards are the parallel unit, exactly like tiles in the render sink.
+`shard_rows` bounds group materialization (the applyInPandas
+whole-group contract), enforced with the same JVM-side guard as
+pack_sequences. Tars land via write-to-tmp + atomic rename (the
+raster/sink.py discipline), so readers never observe a partial shard
+and crashed-run debris self-heals. Tar bytes are DETERMINISTIC (fixed
+mtime/uid/gid, members sorted by key) — two writes of the same input
+are byte-identical, pinned by tests.
+
+A `_manifest` parquet records per-shard (n_samples, n_bytes, sha256),
+the per-partition lineage row the north rule asks for: a resumed or
+audited job can verify every shard without re-reading the corpus.
+
+Read path: binaryFile over the shard tars (each tar one task) →
+un-tar inside Arrow batches → (image_id, bytes, fmt, caption) rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EXT = {"png": "png", "jpeg": "jpg"}
+_FMT = {"png": "png", "jpg": "jpeg"}
+
+
+def write_webdataset(
+    images: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    max_shard_rows: int | None = 500_000,
+) -> dict:
+    """images(image_id, bytes, fmt, caption, ...) → `path/shard-%05d.tar`
+    + `path/_manifest` parquet. Returns {"n_shards", "n_samples"}.
+    Shard assignment is pmod(xxhash64(image_id), n_shards) — stable
+    under reprocessing, so a rewritten corpus reshards identically."""
+    os.makedirs(path, exist_ok=True)
+    work = images.select(
+        F.col("image_id").cast("string").alias("image_id"),
+        F.col("bytes").alias("data"),
+        F.col("fmt").cast("string").alias("fmt"),
+        F.col("caption").cast("string").alias("caption"),
+        F.pmod(F.xxhash64("image_id"), F.lit(n_shards)).alias("shard"),
+    )
+    if max_shard_rows is not None:
+        worst = (
+            work.groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc())
+            .first()
+        )
+        if worst is not None and worst["n"] > max_shard_rows:
+            raise ValueError(
+                f"shard {worst['shard']} holds {worst['n']} rows > "
+                f"max_shard_rows={max_shard_rows}: raise n_shards so "
+                f"whole-shard materialization stays within executor memory"
+            )
+
+    def build(pdf):
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("image_id")
+        buf = io.BytesIO()
+        # deterministic tar: fixed metadata, USTAR (no PAX timestamps)
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for row in pdf.itertuples(index=False):
+                ext = _EXT.get(row.fmt)
+                if ext is None:
+                    raise ValueError(f"unsupported fmt {row.fmt!r}")
+                for name, payload in (
+                    (f"{row.image_id}.{ext}", bytes(row.data)),
+                    (f"{row.image_id}.txt", row.caption.encode("utf-8")),
+                ):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tf.addfile(info, io.BytesIO(payload))
+        blob = buf.getvalue()
+        final = os.path.join(path, f"shard-{shard:05d}.tar")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.rename(tmp, final)  # atomic: readers never see a partial tar
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_samples": [len(pdf)],
+                "n_bytes": [len(blob)],
+                "sha256": [hashlib.sha256(blob).hexdigest()],
+            }
+        )
+
+    manifest = (
+        work.repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(
+            build, schema="shard long, n_samples long, n_bytes long, sha256 string"
+        )
+    )
+    # collect is manifest-sized (one row per shard)
+    rows = manifest.collect()
+    spark = images.sparkSession
+    spark.createDataFrame(rows, manifest.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "_manifest"))
+    # crashed-run debris: a .tmp with no final rename partner
+    for f in os.listdir(path):
+        if f.endswith(".tar.tmp"):
+            os.remove(os.path.join(path, f))
+    return {
+        "n_shards": len(rows),
+        "n_samples": int(sum(r["n_samples"] for r in rows)),
+    }
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """`path/shard-*.tar` → (image_id, bytes, fmt, caption). Each tar is
+    one task (binaryFile); samples are re-grouped by basename inside an
+    Arrow batch."""
+
+    def untar(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                groups: dict[str, dict] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        stem, ext = os.path.splitext(m.name)
+                        payload = tf.extractfile(m).read()
+                        g = groups.setdefault(stem, {})
+                        if ext == ".txt":
+                            g["caption"] = payload.decode("utf-8")
+                        else:
+                            g["data"] = payload
+                            g["fmt"] = _FMT.get(ext[1:], ext[1:])
+                rows = [
+                    (k, g["data"], g["fmt"], g["caption"])
+                    for k, g in sorted(groups.items())
+                ]
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "fmt", "caption"]
+                )
+
+    tars = spark.read.format("binaryFile").load(os.path.join(path, "shard-*.tar"))
+    return tars.select("content").mapInPandas(
+        untar, schema="image_id string, bytes binary, fmt string, caption string"
+    )
+
+
+def verify_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Audit the shard tree against its manifest: re-hash every tar and
+    return (shard, ok, expected_sha, actual_sha) — the lineage check a
+    resumed job runs before trusting an existing export."""
+    m = spark.read.parquet(os.path.join(path, "_manifest"))
+
+    def check(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                p = os.path.join(path, f"shard-{int(r.shard):05d}.tar")
+                try:
+                    with open(p, "rb") as f:
+                        actual = hashlib.sha256(f.read()).hexdigest()
+                except FileNotFoundError:
+                    actual = ""
+                rows.append((int(r.shard), actual == r.sha256, r.sha256, actual))
+            yield pd.DataFrame(
+                rows, columns=["shard", "ok", "expected_sha", "actual_sha"]
+            )
+
+    return m.mapInPandas(
+        check, schema="shard long, ok boolean, expected_sha string, actual_sha string"
+    )
