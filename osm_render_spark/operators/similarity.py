@@ -1058,3 +1058,48 @@ def ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("cand_id"), "rank", "cos")
     )
+
+
+def retrieval_recall_at_k(
+    candidates: DataFrame,
+    queries: DataFrame,
+    ks: tuple[int, ...] = (1, 3, 10),
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Paired cross-modal retrieval evaluation (the CLIP-style metric a
+    trained image+caption model is scored with): ``queries(query_id,
+    q_embedding)`` is one modality, ``candidates(vec_id, embedding)``
+    the other, and query_id equals its paired candidate's id. Each
+    query ranks ALL candidates by cosine (cosine_topk's map-side-pruned
+    kernel); recall@k = fraction of queries whose pair ranks ≤ k.
+    Returns one row per k: (k, n_queries, n_hits, recall).
+
+    Scale shape: inherits cosine_topk's contract — the QUERY side is
+    dimension-sized (broadcast into the kernel closure); the candidate
+    side streams once with per-batch top-k pruning before the rank
+    window. The recall aggregation is k·|q| rows."""
+    ks = sorted({int(k) for k in ks})
+    top = cosine_topk(candidates, queries, max(ks), id_col=id_col)
+    hits = top.where(F.col("cand_id") == F.col("query_id")).select(
+        "query_id", "rank"
+    )
+    base = queries.select("query_id").distinct()
+    joined = base.join(hits, "query_id", "left")
+    expanded = joined.select(
+        "query_id",
+        "rank",
+        F.explode(F.array(*[F.lit(k) for k in ks])).alias("k"),
+    )
+    return (
+        expanded.groupBy("k")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.sum(F.when(F.col("rank") <= F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hits").cast("double") / F.col("n_queries").cast("double"),
+        )
+    )

@@ -2090,6 +2090,90 @@ SELECT query_id, cand_id, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
 # ---------------------------------------------------------------------------
 # image / raster pipeline (input_hint table; rows-only checks — not
 # SQL-expressible; pixel parity is covered by tests/test_raster.py goldens)
+def _q_retrieval_recall() -> QueryDef:
+    """Cross-modal paired-retrieval evaluation (operators/similarity.
+    retrieval_recall_at_k — the CLIP-style metric): the 'text' side is
+    a deterministic per-id transform of each image embedding (component
+    vec_id % 64 zeroed), queries are every 25th image embedding, and
+    recall@{1,3,10} counts queries whose pair ranks ≤ k under exact
+    cosine. DuckDB recomputes the full ranking with the DECIMAL-sum
+    sqrt-free key (_cos_rank_key) and the same left-join/CASE recall
+    aggregation — n_hits and the recall double are value-hash-checked."""
+    kmax = 10
+    duck = f"""
+WITH ce AS (
+  SELECT vec_id, unnest(embedding) AS v0,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cand_id, i,
+         CASE WHEN i = vec_id % 64 + 1 THEN 0.0 ELSE v0 END AS cv
+  FROM ce
+),
+q AS (
+  SELECT vec_id AS query_id, unnest(embedding) AS qv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+dots AS (
+  SELECT query_id, cand_id, {_DEC_PROD.format(x='qv', y='cv')} AS s_dot
+  FROM q JOIN c USING (i) GROUP BY query_id, cand_id
+),
+nc AS (
+  SELECT cand_id, {_DEC_PROD.format(x='cv', y='cv')} AS s_nc
+  FROM c GROUP BY cand_id
+),
+keyed AS (
+  SELECT query_id, cand_id, {_cos_rank_key('s_dot', 's_nc')} AS key
+  FROM dots JOIN nc USING (cand_id)
+),
+r AS (
+  SELECT query_id, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY key DESC, cand_id)
+           AS rank
+  FROM keyed
+),
+hits AS (
+  SELECT query_id, rank FROM r WHERE cand_id = query_id AND rank <= {kmax}
+),
+base AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 25 = 0),
+j AS (
+  SELECT b.query_id, h.rank FROM base b LEFT JOIN hits h USING (query_id)
+),
+ks AS (SELECT unnest([1, 3, 10]) AS k)
+SELECT CAST(k AS INT) AS k,
+       COUNT(DISTINCT query_id) AS n_queries,
+       CAST(SUM(CASE WHEN rank <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(CAST(SUM(CASE WHEN rank <= k THEN 1 ELSE 0 END) AS BIGINT)
+            AS DOUBLE)
+         / CAST(COUNT(DISTINCT query_id) AS DOUBLE) AS recall
+FROM j CROSS JOIN ks
+GROUP BY k ORDER BY k
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.similarity import retrieval_recall_at_k
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # 'text' modality: component (vec_id % 64) zeroed — Spark HOF
+        # index is 0-based, the oracle's generate_subscripts is 1-based
+        cands = emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, (v, i) -> CASE WHEN i = CAST(vec_id % 64"
+                " AS INT) THEN CAST(0.0 AS FLOAT) ELSE v END)"
+            ).alias("embedding"),
+        )
+        queries = emb.where(F.expr("vec_id % 25 = 0")).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        return retrieval_recall_at_k(cands, queries, ks=(1, 3, 10)).orderBy("k")
+
+    return QueryDef(fn, duck)
+
+
 # ---------------------------------------------------------------------------
 
 def _q_image_pipeline() -> QueryDef:
@@ -3086,6 +3170,7 @@ def build_queries() -> dict[str, QueryDef]:
         "embedding_l2_top3": _q_embedding_l2_top3(),
         "ann_lsh_bucket": _q_ann_lsh_bucket(),
         "cosine_top3": _q_cosine_top3(),
+        "retrieval_recall": _q_retrieval_recall(),
         "token_count_regex": _q_token_count_regex(),
         "cosine_near_dups": _q_cosine_near_dups(),
         "ann_ivf_top3": _q_ann_ivf_top3(),

@@ -1136,3 +1136,30 @@ def test_hamming_near_dups_nondividing_band_counts(spark):
         }
         assert got == want, f"n_bands={nb}"
     assert len(want) >= 8
+
+
+def test_retrieval_recall_planted(spark):
+    """Planted pairing: candidate i = query i's vector for i in hits;
+    for 'miss' queries the pair vector is replaced by a far-away one,
+    so expected recall is exact."""
+    from osm_render_spark.operators.similarity import retrieval_recall_at_k
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16)).astype(np.float64)
+    cands = []
+    for i in range(40):
+        v = base[i].copy()
+        if i % 4 == 0:  # 10 "miss" pairs: orthogonal-ish replacement
+            v = np.roll(base[(i + 7) % 40], 5) * 3.0
+        cands.append((i, [float(x) for x in v]))
+    cdf = spark.createDataFrame(cands, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "query_id long, q_embedding array<float>",
+    )
+    out = {r["k"]: r for r in retrieval_recall_at_k(cdf, qdf, ks=(1, 10)).collect()}
+    assert out[1]["n_queries"] == 40
+    # the 30 intact pairs have cosine exactly 1 with themselves -> rank 1
+    assert out[1]["n_hits"] == 30
+    assert out[1]["recall"] == 30 / 40
+    assert out[10]["n_hits"] >= out[1]["n_hits"]
