@@ -68,7 +68,26 @@ def zorder_write(
         f"ELSE {morton_sql(x_col, y_col)} END"
     )
     keyed = df.withColumn("_zkey", F.expr(guarded))
-    write_dataset(keyed, path, "_zkey", n_files)
+    # stage into a tmp sibling, swap on success: the write-time guard
+    # fires MID-JOB, and writing straight to `path` in overwrite mode
+    # would have deleted an existing table before validation ran
+    # (review catch — a failed rewrite must leave the old data intact)
+    import os as _os
+    import shutil as _shutil
+
+    from ..plans.compact import atomic_dir_swap
+
+    tmp = f"{path}.zorder-tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        write_dataset(keyed, tmp, "_zkey", n_files)
+    except Exception:
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    if _os.path.isdir(path):
+        atomic_dir_swap(path, tmp)
+    else:
+        _os.rename(tmp, path)
 
 
 def bbox_morton_ranges(

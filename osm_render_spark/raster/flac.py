@@ -221,18 +221,21 @@ def _read_residual(br: _BitReader, blocksize: int, order: int) -> list[int]:
 
 def _integrate_fixed(warm: list[int], res: list[int], order: int) -> np.ndarray:
     """FIXED-predictor reconstruction: the residual is the order-th
-    difference of the signal, so decode is `order` successive cumsums —
-    each integration level is seeded with the matching difference of
-    the warmup samples (vectorized; the per-sample loop this replaces
-    was the decode hot spot)."""
+    difference of the signal, so decode is `order` successive cumsums.
+    Level k integrates the k-th-difference sequence: seed it with the
+    warmup's own (k-1)-th difference, cumsum, then DROP the seed — it
+    belongs to the warmup region, and leaving it in corrupts every
+    later level (review catch, verified by execution: orders ≥ 2
+    decoded wrong values; order-by-order equality with the naive
+    per-sample loop is now property-pinned in tests)."""
     arr = np.asarray(res, dtype=np.int64)
     if order == 0:
         return arr
     w = np.asarray(warm, dtype=np.int64)
     for k in range(order, 0, -1):
         seed = np.diff(w, k - 1)[-1:]  # (k-1)-th difference, last value
-        arr = np.concatenate([seed, arr]).cumsum()
-    return np.concatenate([w[:-1], arr])
+        arr = np.concatenate([seed, arr]).cumsum()[1:]
+    return np.concatenate([w, arr])
 
 
 def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:

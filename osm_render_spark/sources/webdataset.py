@@ -10,9 +10,11 @@ Write path (100 TB shape): shard assignment is deterministic hash
 arithmetic (pmod(xxhash64(id), n_shards)) computed JVM-side; each shard
 is built by ONE applyInPandas group writing a tar with stdlib tarfile —
 shards are the parallel unit, exactly like tiles in the render sink.
-`shard_rows` bounds group materialization (the applyInPandas
-whole-group contract), enforced with the same JVM-side guard as
-pack_sequences. Tars land via write-to-tmp + atomic rename (the
+Size `n_shards` for BYTES, not just rows: the whole shard materializes
+in one task (the applyInPandas contract — `max_shard_rows` guards the
+row count inside the kernel) and a tar over 2 GB is unreadable by
+Spark's binaryFile source (guarded with a clear error at build time).
+Tars land via write-to-tmp + atomic rename (the
 raster/sink.py discipline), so readers never observe a partial shard
 and crashed-run debris self-heals. Tar bytes are DETERMINISTIC (fixed
 mtime/uid/gid, members sorted by key) — two writes of the same input
@@ -58,24 +60,30 @@ def write_webdataset(
         F.col("caption").cast("string").alias("caption"),
         F.pmod(F.xxhash64("image_id"), F.lit(n_shards)).alias("shard"),
     )
-    if max_shard_rows is not None:
-        worst = (
-            work.groupBy("shard")
-            .agg(F.count("*").alias("n"))
-            .orderBy(F.col("n").desc())
-            .first()
-        )
-        if worst is not None and worst["n"] > max_shard_rows:
-            raise ValueError(
-                f"shard {worst['shard']} holds {worst['n']} rows > "
-                f"max_shard_rows={max_shard_rows}: raise n_shards so "
-                f"whole-shard materialization stays within executor memory"
-            )
+    # 2 GB - tar EOF padding: Spark's binaryFile source refuses files
+    # over Int.MaxValue bytes, so a bigger shard would be unreadable
+    max_shard_bytes = (1 << 31) - 1 - 10240
 
     def build(pdf):
         import pandas as pd
 
         shard = int(pdf["shard"].iloc[0])
+        # guards run INSIDE the kernel — a separate pre-count aggregate
+        # would execute the whole upstream plan twice (the zorder_write
+        # double-scan lesson); max_shard_rows bounds whole-group
+        # materialization, the byte cap bounds readability
+        if max_shard_rows is not None and len(pdf) > max_shard_rows:
+            raise ValueError(
+                f"shard {shard} holds {len(pdf)} rows > "
+                f"max_shard_rows={max_shard_rows}: raise n_shards so "
+                f"whole-shard materialization stays within executor memory"
+            )
+        if pdf["caption"].isna().any():
+            bad = pdf.loc[pdf["caption"].isna(), "image_id"].head(5).tolist()
+            raise ValueError(
+                f"NULL caption for image_ids {bad}: filter or impute "
+                f"before export"
+            )
         pdf = pdf.sort_values("image_id")
         buf = io.BytesIO()
         # deterministic tar: fixed metadata, USTAR (no PAX timestamps)
@@ -95,6 +103,11 @@ def write_webdataset(
                     info.uname = info.gname = ""
                     tf.addfile(info, io.BytesIO(payload))
         blob = buf.getvalue()
+        if len(blob) > max_shard_bytes:
+            raise ValueError(
+                f"shard {shard} is {len(blob)} bytes > 2 GB — Spark's "
+                f"binaryFile reader cannot open it; raise n_shards"
+            )
         final = os.path.join(path, f"shard-{shard:05d}.tar")
         tmp = final + ".tmp"
         with open(tmp, "wb") as f:
@@ -122,10 +135,18 @@ def write_webdataset(
     spark.createDataFrame(rows, manifest.schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "_manifest"))
-    # crashed-run debris: a .tmp with no final rename partner
+    # crashed-run debris (.tmp) AND stale shards from a previous export
+    # into the same directory (fewer shards now, or a shard that became
+    # empty): anything the fresh manifest doesn't list must go, or
+    # read_webdataset's glob would serve stale samples the audit never
+    # checks (review catch)
+    live = {f"shard-{int(r['shard']):05d}.tar" for r in rows}
     for f in os.listdir(path):
+        full = os.path.join(path, f)
         if f.endswith(".tar.tmp"):
-            os.remove(os.path.join(path, f))
+            os.remove(full)
+        elif f.startswith("shard-") and f.endswith(".tar") and f not in live:
+            os.remove(full)
     return {
         "n_shards": len(rows),
         "n_samples": int(sum(r["n_samples"] for r in rows)),

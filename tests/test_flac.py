@@ -203,3 +203,45 @@ def test_audio_features_on_flac_matches_wav(spark):
     )
     with pytest.raises(Exception, match="codec library"):
         audio_features(bad).collect()
+
+
+def test_integrate_fixed_equals_naive_loop_all_orders():
+    """Property pin for the vectorized FIXED reconstruction (review
+    catch: the cumsum seeding corrupted orders >= 2 while noisy
+    fixtures kept order 2 from ever being chosen): order-by-order
+    equality with the naive per-sample predictor loop."""
+    from osm_render_spark.raster.flac import _FIXED_COEFS, _integrate_fixed
+
+    rng = np.random.default_rng(1)
+    for order in range(5):
+        for _ in range(10):
+            n = int(rng.integers(order + 1, 60))
+            x = rng.integers(-30000, 30000, n).astype(np.int64)
+            res = x.copy()
+            for _ in range(order):
+                res = np.diff(res)
+            warm = list(x[:order])
+            coefs = _FIXED_COEFS[order]
+            xs = list(warm)
+            for r in res:
+                xs.append(sum(c * xs[-1 - j] for j, c in enumerate(coefs)) + r)
+            got = _integrate_fixed(warm, list(res), order)
+            assert got.tolist() == xs == x.tolist(), order
+
+
+@pytest.mark.parametrize(
+    "name,sig",
+    [
+        ("two_tone", lambda t: 1000 * np.sin(t / 50.0) + 300 * np.sin(t / 13.0)),
+        ("ramp", lambda t: t % 3000 - 1500),
+        ("parabola", lambda t: ((t % 200) - 100) ** 2 / 4.0),
+    ],
+)
+def test_noiseless_smooth_signals_lossless(name, sig):
+    """NOISELESS smooth content — the regime where the encoder's cost
+    ranking picks FIXED order 2 (the additive-noise fixtures never
+    exercised it, which let the order-2 decode bug slip through)."""
+    t = np.arange(12_000)
+    pcm = np.floor(sig(t) + 0.5).astype(np.int16)
+    dec, _, _ = decode_flac(encode_flac(pcm, 16000))
+    assert (dec[:, 0] == pcm).all()

@@ -84,5 +84,34 @@ def test_crash_debris_removed_and_guard(spark, tmp_path):
     open(debris, "wb").write(b"partial")
     write_webdataset(_corpus(spark, 10), path, n_shards=2)
     assert not os.path.exists(debris)
-    with pytest.raises(ValueError, match="max_shard_rows"):
+    # the row guard now fires inside the build kernel (no pre-count
+    # double scan), so it surfaces as a Spark job failure
+    with pytest.raises(Exception, match="max_shard_rows"):
         write_webdataset(_corpus(spark, 10), path, n_shards=1, max_shard_rows=5)
+
+
+def test_reexport_removes_stale_shards(spark, tmp_path):
+    """Re-exporting into the same directory with fewer shards must not
+    leave stale tars the reader would serve but the audit never checks
+    (review catch)."""
+    path = str(tmp_path / "wds")
+    write_webdataset(_corpus(spark, 30), path, n_shards=6)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".tar")])
+    assert n_before >= 3
+    write_webdataset(_corpus(spark, 30), path, n_shards=2)
+    tars = [f for f in os.listdir(path) if f.endswith(".tar")]
+    assert len(tars) <= 2
+    assert read_webdataset(spark, path).count() == 30  # no stale dupes
+
+
+def test_null_caption_raises_clearly(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    corpus = _corpus(spark, 8).withColumn(
+        "caption",
+        F.when(F.col("image_id") == "img0000000003", F.lit(None)).otherwise(
+            F.col("caption")
+        ),
+    )
+    with pytest.raises(Exception, match="NULL caption.*img0000000003"):
+        write_webdataset(corpus, str(tmp_path / "wds"), n_shards=1)

@@ -221,3 +221,24 @@ def test_manifest_table_is_relocatable(spark, tmp_path):
         (F.col("x").between(64, 95)) & (F.col("y").between(64, 95))
     ).count()
     assert got == want > 0
+
+
+def test_failed_zorder_rewrite_preserves_existing_table(spark, tmp_path):
+    """The write-time domain guard fires mid-job; a failed rewrite must
+    leave the previous table AND its manifest intact (review catch: the
+    overwrite used to clear the target before validation ran)."""
+    path = str(tmp_path / "z")
+    pts = _points(spark, 5_000)
+    zorder_write(pts, path, "x", "y", n_files=4)
+    want = spark.read.parquet(path).count()
+    bad = spark.range(0, 100).select(
+        (F.col("id") + 70_000).alias("x"), F.col("id").alias("y"), "id"
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="Morton domain"):
+        zorder_write(bad, path, "x", "y", n_files=4)
+    assert spark.read.parquet(path).count() == want
+    from osm_render_spark.sources.manifest import pruned_files
+
+    assert pruned_files(spark, path, 0, 1 << 32)  # manifest still resolves
