@@ -191,7 +191,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 
     # multimodal axis: decode+verify+feature throughput over synthetic
     # input_hint images generated on executors (no files involved)
-    from osm_render_spark.raster.ops import decode_features
+    from osm_render_spark.raster.ops import audio_features, decode_features
 
     def _gen_images(it):
         import pandas as pd
@@ -267,6 +267,39 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     img_sec = time.time() - t0
     imgs.unpersist()
 
+    # audio decode throughput: FLAC blobs through the real from-scratch
+    # codec (raster/flac.py) + feature kernel — the audio twin of
+    # images_decoded_per_sec
+    def _gen_audio(it):
+        import numpy as np
+        import pandas as pd
+
+        from osm_render_spark.raster.flac import encode_flac
+
+        for pdf in it:
+            rows = []
+            for k in pdf["id"]:
+                i = int(k)
+                t = np.arange(8000, dtype=np.float64)
+                pcm = np.floor(
+                    5000.0 * np.sin(t / (17.0 + i % 13))
+                    + ((t * (i + 7)) % 251.0)
+                    - 125.0
+                    + 0.5
+                ).astype(np.int16)
+                rows.append((i, encode_flac(pcm, 16000)))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    n_audio = 500
+    auds = spark.range(n_audio).mapInPandas(
+        _gen_audio, schema="audio_id long, bytes binary"
+    ).cache()
+    auds.count()  # generation untimed
+    t0 = time.time()
+    audio_features(auds).count()
+    audio_sec = time.time() - t0
+    auds.unpersist()
+
     # composed training pipeline e2e (decode/verify → exact+phash dedup
     # → langid/quality → split → pack), cold checkpoint store each run —
     # docs/sec through ALL stages incl. checkpoint parquet writes
@@ -317,6 +350,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "tile_assignments_per_sec": round(n_assign / assign_sec, 1),
         "joined_rows_per_sec": round((n_joined or 0) / join_sec, 1),
         "images_decoded_per_sec": round(n_img / img_sec, 1),
+        "audio_decoded_per_sec": round(n_audio / audio_sec, 1),
         "tiles_rendered_per_sec": round(n_tiles_rendered / render_sec, 1),
         "n_tiles_rendered": n_tiles_rendered,
         "pbf_nodes_per_sec": round(n_pbf / pbf_sec, 1),
