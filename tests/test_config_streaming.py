@@ -530,3 +530,56 @@ def test_exact_dedup_foreach_batch_idempotent_replay(spark, tmp_path):
     assert got2 == got
     seen = spark.read.parquet(seen_path).select("h").collect()
     assert len(seen) == 3 and len({r["h"] for r in seen}) == 3
+
+
+def test_image_ingest_foreach_batch_verify_dedup_replay(spark, tmp_path):
+    """Streaming multimodal ingest (streaming/images.py): per-batch
+    decode-verify (dims-corrupt rows dropped), exact caption+phash
+    dedup against the persistent seen table, crash-replay idempotence,
+    and the per-batch lineage metrics."""
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+    from osm_render_spark.streaming.images import image_ingest_foreach_batch
+
+    curated = str(tmp_path / "cur")
+    seen = str(tmp_path / "seen")
+    metrics = str(tmp_path / "metrics")
+    fn = image_ingest_foreach_batch(curated, seen, metrics)
+
+    corpus = pipeline_corpus_df(spark, 60).collect()
+    rows0, rows1 = corpus[:35], corpus[35:]
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+    b0 = spark.createDataFrame(rows0, schema)
+    # batch 1 carries its own rows PLUS replays of five batch-0 rows
+    b1 = spark.createDataFrame(rows1 + rows0[:5], schema)
+    fn(b0, 0)
+    fn(b1, 1)
+
+    got = spark.read.parquet(curated)
+    ids = [r["image_id"] for r in got.select("image_id").collect()]
+    assert len(ids) == len(set(ids))
+    # dims-corrupt planted rows (i % 17 == 16) never land
+    bad = {f"img{i:010d}" for i in range(60) if i % 17 == 16}
+    assert not bad & set(ids)
+    # caption dups (i%10==9) and phash near-dups keep only... near-dups
+    # are EXACT-key only here: the 2-bit-flipped phash rows are distinct
+    # keys and legitimately land; exact caption dups are dropped
+    caps = [r["caption"] for r in got.select("caption").collect()]
+    assert len(caps) == len(set(caps))
+    # cross-batch replays of batch-0 rows were suppressed by the seen table
+    assert len([i for i in ids if i in {r["image_id"] for r in rows0[:5]}]) == 5
+
+    # crash replay of batch 1: byte-identical rewrite, no dupes or loss
+    before = sorted(ids)
+    fn(b1, 1)
+    after = sorted(
+        r["image_id"] for r in spark.read.parquet(curated).collect()
+    )
+    assert after == before
+
+    m = {r["batch_id"]: r for r in spark.read.parquet(metrics).collect()}
+    assert m[0]["n_in"] == 35 and m[1]["n_in"] == 30
+    assert m[0]["n_fresh"] + m[1]["n_fresh"] == len(before)
+    assert all(r["n_verified"] <= r["n_in"] for r in m.values())
