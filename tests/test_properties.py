@@ -150,3 +150,35 @@ def test_bbox_morton_ranges_properties(x0, dx, y0, dy, budget):
     assert got >= want
     if budget >= 10**9:
         assert got == want
+
+
+@given(data=st.binary(max_size=4000))
+@settings(max_examples=300, deadline=None)
+def test_lz4_roundtrip_property(data):
+    """LZ4 block codec: compress∘decompress is the identity for ANY
+    byte string (the compressor's end-of-block restrictions and the
+    decompressor's overlap copies fuzzed together)."""
+    from osm_render_spark.sources.lz4 import (
+        lz4_compress_block,
+        lz4_decompress_block,
+    )
+
+    assert lz4_decompress_block(lz4_compress_block(data), len(data)) == data
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=600),
+    block=st.sampled_from([192, 256, 1000, 4096]),
+)
+@settings(max_examples=150, deadline=None)
+def test_flac_roundtrip_property(samples, block):
+    """FLAC: encode∘decode is lossless for ANY int16 signal and block
+    size — fuzzes the predictor-order cost ranking (constant / FIXED
+    0-2 / verbatim / rice-escape arbitration) the fixed test corpus
+    can't enumerate."""
+    from osm_render_spark.raster.flac import decode_flac, encode_flac
+
+    pcm = np.array(samples, dtype=np.int16)
+    dec, rate, bps = decode_flac(encode_flac(pcm, 8000, block=block))
+    assert (dec[:, 0] == pcm).all()
+    assert (rate, bps) == (8000, 16)
