@@ -461,17 +461,33 @@ def overlay_tiles(tiles: DataFrame, features: DataFrame) -> DataFrame:
 # image-table operators (training-data pipeline over the input_hint table)
 # ---------------------------------------------------------------------------
 
-def decode_features(images: DataFrame) -> DataFrame:
+def decode_features(images: DataFrame, on_error: str = "raise") -> DataFrame:
     """Decode the binary column, verify dims + phash, extract features —
     (image_id, w, h, fmt, phash_ok, dims_ok, mean_lum). The decode itself
     is the container-stubbed part only for real JPEG (codec docstring);
-    plumbing (Arrow batches, schema, partitioning) is production-shaped."""
+    plumbing (Arrow batches, schema, partitioning) is production-shaped.
+
+    ``on_error``: "raise" (batch default — a bad blob is a bug in a
+    controlled corpus) or "flag" — an undecodable blob yields a row
+    with dims_ok=False instead of failing the task. The streaming
+    ingest sink uses "flag": one poison blob from a crawl must not
+    crash-loop the query (replay hits the same blob forever)."""
+    if on_error not in ("raise", "flag"):
+        raise ValueError(f"on_error must be raise|flag, got {on_error!r}")
 
     def kernel(batches):
         for pdf in batches:
             recs = []
             for row in pdf.itertuples(index=False):
-                img = decode_image(row.bytes, row.fmt)
+                try:
+                    img = decode_image(row.bytes, row.fmt)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    recs.append(
+                        (row.image_id, 0, 0, row.fmt, None, False, None)
+                    )
+                    continue
                 recs.append(
                     (
                         row.image_id,

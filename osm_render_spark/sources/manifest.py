@@ -93,3 +93,47 @@ def is_path_not_found(e) -> bool:
         e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
     ) or ""
     return cond == "PATH_NOT_FOUND"
+
+
+def read_optional_parquet(
+    spark: SparkSession, path: str, before_batch: int | None = None
+):
+    """Read a table that may not exist yet (first micro-batch of a
+    streaming sink): returns the DataFrame, or None iff the path is
+    absent — any OTHER failure (permissions, corrupt footer, transient
+    FS error) propagates, because silently treating it as "first batch"
+    would skip a dedup anti-join and emit duplicates. With
+    ``before_batch``, filters to ``batch_id < N`` (the replay-safety
+    convention: a half-written replayed batch must not suppress its own
+    rows)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.option("basePath", path).parquet(path)
+    except AnalysisException as e:
+        if not is_path_not_found(e):
+            raise
+        return None
+    if before_batch is not None:
+        df = df.where(F.col("batch_id") < F.lit(int(before_batch)))
+    return df
+
+
+class dynamic_partition_overwrite:
+    """Context manager scoping partitionOverwriteMode=dynamic — the
+    idempotent-replay write mode every batch_id-partitioned streaming
+    sink uses; restores the previous mode on exit."""
+
+    _KEY = "spark.sql.sources.partitionOverwriteMode"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self._KEY, "static")
+        self.spark.conf.set(self._KEY, "dynamic")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self._KEY, self.old)
+        return False

@@ -49,7 +49,6 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -223,45 +222,31 @@ def exact_dedup_foreach_batch(out_path: str, seen_path: str):
     it exact past the bloom horizon)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.manifest import (
+            dynamic_partition_overwrite,
+            read_optional_parquet,
+        )
+
         spark = batch.sparkSession
         hashed = batch.withColumn("h", F.sha2(F.col("text"), 256))
-        try:
-            # read-or-absent probe instead of a filesystem check: works on
-            # any Hadoop-compatible store (os.path.exists is local-only).
-            # Only the PATH_NOT_FOUND error *class* means "first batch" —
-            # any other failure (transient FS error, permission, corrupt
-            # footer) must propagate, or a silent skip of the seen-table
-            # anti-join would emit duplicates instead of failing.
-            seen = (
-                spark.read.option("basePath", seen_path)
-                .parquet(seen_path)
-                .where(F.col("batch_id") < F.lit(int(batch_id)))
-                .select("h")
-            )
-            fresh = hashed.join(seen, "h", "left_anti")
-        except AnalysisException as e:
-            from ..sources.manifest import is_path_not_found
-
-            if not is_path_not_found(e):
-                raise
-            fresh = hashed
+        # read-or-absent probe (shared helper: the error-class dance and
+        # the batch_id < N replay convention live in sources/manifest)
+        seen = read_optional_parquet(spark, seen_path, before_batch=int(batch_id))
+        fresh = (
+            hashed if seen is None else hashed.join(seen.select("h"), "h", "left_anti")
+        )
         # one batch may legitimately carry a hash twice only on bloom
         # collision across shards — impossible (sharding is by text) —
         # but keep the write deterministic anyway
         fresh = fresh.dropDuplicates(["h"]).withColumn(
             "batch_id", F.lit(int(batch_id))
         )
-        mode_conf = ("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        old = spark.conf.get(mode_conf[0], "static")
-        spark.conf.set(*mode_conf)
-        try:
+        with dynamic_partition_overwrite(spark):
             fresh.select("doc_id", "text", "batch_id").write.mode(
                 "overwrite"
             ).partitionBy("batch_id").parquet(out_path)
             fresh.select("h", "batch_id").write.mode("overwrite").partitionBy(
                 "batch_id"
             ).parquet(seen_path)
-        finally:
-            spark.conf.set(mode_conf[0], old)
 
     return process

@@ -32,9 +32,8 @@ plans/compact.compact_parquet like any other append-heavy table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 
 def image_ingest_foreach_batch(
@@ -42,69 +41,96 @@ def image_ingest_foreach_batch(
 ):
     """Build the foreachBatch callable. Use:
     ``stream.writeStream.foreachBatch(image_ingest_foreach_batch(
-    curated, seen, metrics)).start()``."""
+    curated, seen, metrics)).start()``.
+
+    Hardening (review catches): undecodable blobs are FLAGGED, not
+    raised — one poison blob from a crawl must not crash-loop the
+    replayed batch; NULL captions key on the image BYTES instead
+    (domain-prefixed, so caption and bytes keys can't collide) rather
+    than collapsing all null-caption rows into one window partition;
+    keeper selection runs on a NARROW (image_id, _ck, phash)
+    projection — image payloads never enter the dedup shuffles — with
+    a full-key tie-break; and the batch is persisted once, so the
+    decode kernel runs once per micro-batch, not once per action."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         from ..raster.ops import decode_features
+        from ..sources.manifest import (
+            dynamic_partition_overwrite,
+            read_optional_parquet,
+        )
 
         spark = batch.sparkSession
-        n_in = batch.count()
-        feats = decode_features(batch)
-        ok_ids = feats.where(
-            F.col("dims_ok") & F.coalesce(F.col("phash_ok"), F.lit(True))
-        ).select("image_id")
-        verified = batch.join(ok_ids, "image_id")
-        keyed = verified.withColumn("_ck", F.sha2(F.col("caption"), 256))
+        batch = batch.persist()
         try:
-            seen = (
-                spark.read.option("basePath", seen_path)
-                .parquet(seen_path)
-                .where(F.col("batch_id") < F.lit(int(batch_id)))
+            n_in = batch.count()
+            feats = decode_features(batch, on_error="flag")
+            ok_ids = feats.where(
+                F.col("dims_ok") & F.coalesce(F.col("phash_ok"), F.lit(True))
+            ).select("image_id")
+            verified = batch.join(ok_ids, "image_id")
+            # dedup keys on a NARROW projection; caption-null rows key
+            # on their bytes (distinct domains via prefix)
+            ck = F.when(
+                F.col("caption").isNotNull(),
+                F.sha2(F.concat(F.lit("c:"), F.col("caption")), 256),
+            ).otherwise(F.sha2(F.concat(F.lit("b:"), F.base64("bytes")), 256))
+            keys = verified.select(
+                "image_id", ck.alias("_ck"), "phash"
+            ).persist()
+            seen = read_optional_parquet(
+                spark, seen_path, before_batch=int(batch_id)
             )
-            fresh = keyed.join(
-                seen.select("_ck"), "_ck", "left_anti"
-            ).join(seen.select("phash"), "phash", "left_anti")
-        except AnalysisException as e:
-            from ..sources.manifest import is_path_not_found
-
-            if not is_path_not_found(e):
-                raise
-            fresh = keyed
-        # intra-batch dedup, deterministic keeper (min image_id per key)
-        from pyspark.sql import Window
-
-        for key in ("_ck", "phash"):
-            w = Window.partitionBy(key).orderBy("image_id")
-            fresh = (
-                fresh.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        fresh = fresh.withColumn("batch_id", F.lit(int(batch_id)))
-        n_verified = verified.count()
-        n_fresh = fresh.count()
-
-        mode_conf = ("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        old = spark.conf.get(mode_conf[0], "static")
-        spark.conf.set(*mode_conf)
-        try:
-            fresh.select(
-                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                "batch_id",
-            ).write.mode("overwrite").partitionBy("batch_id").parquet(
-                curated_path
-            )
-            fresh.select("_ck", "phash", "batch_id").write.mode(
-                "overwrite"
-            ).partitionBy("batch_id").parquet(seen_path)
-            if metrics_path is not None:
-                spark.createDataFrame(
-                    [(int(batch_id), n_in, n_verified, n_fresh)],
-                    "batch_id long, n_in long, n_verified long, n_fresh long",
-                ).write.mode("overwrite").partitionBy("batch_id").parquet(
-                    metrics_path
+            fresh_keys = keys
+            if seen is not None:
+                fresh_keys = fresh_keys.join(
+                    seen.select("_ck"), "_ck", "left_anti"
+                ).join(seen.select("phash"), "phash", "left_anti")
+            # intra-batch dedup with a deterministic FULL-key tie-break
+            # (duplicate image_ids from an at-least-once source must
+            # resolve identically in every downstream action); image_id
+            # itself is a dedup key too, so a twice-delivered id keeps
+            # exactly one row
+            for key in ("image_id", "_ck", "phash"):
+                w = Window.partitionBy(key).orderBy("image_id", "phash", "_ck")
+                fresh_keys = (
+                    fresh_keys.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn")
                 )
+            fresh_keys = fresh_keys.persist()
+            n_verified = keys.count()
+            n_fresh = fresh_keys.count()
+            # exact three-key join back: only the keeper ROW matches,
+            # not every row sharing its image_id
+            fresh = (
+                verified.withColumn("_ck", ck)
+                .join(fresh_keys, ["image_id", "_ck", "phash"])
+                .dropDuplicates(["image_id"])
+                .withColumn("batch_id", F.lit(int(batch_id)))
+            )
+
+            with dynamic_partition_overwrite(spark):
+                fresh.select(
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                    "batch_id",
+                ).write.mode("overwrite").partitionBy("batch_id").parquet(
+                    curated_path
+                )
+                fresh.select("_ck", "phash", "batch_id").write.mode(
+                    "overwrite"
+                ).partitionBy("batch_id").parquet(seen_path)
+                if metrics_path is not None:
+                    spark.createDataFrame(
+                        [(int(batch_id), n_in, n_verified, n_fresh)],
+                        "batch_id long, n_in long, n_verified long, "
+                        "n_fresh long",
+                    ).write.mode("overwrite").partitionBy("batch_id").parquet(
+                        metrics_path
+                    )
+            keys.unpersist()
+            fresh_keys.unpersist()
         finally:
-            spark.conf.set(mode_conf[0], old)
+            batch.unpersist()
 
     return process

@@ -583,3 +583,57 @@ def test_image_ingest_foreach_batch_verify_dedup_replay(spark, tmp_path):
     assert m[0]["n_in"] == 35 and m[1]["n_in"] == 30
     assert m[0]["n_fresh"] + m[1]["n_fresh"] == len(before)
     assert all(r["n_verified"] <= r["n_in"] for r in m.values())
+
+
+def test_image_ingest_poison_blob_null_caption_dup_id(spark, tmp_path):
+    """Streaming-ingest hardening (review catches): an undecodable blob
+    is flagged and dropped instead of crash-looping the batch; a NULL
+    caption keys on the image bytes (neither mass-dropped nor exempt
+    from dedup); a twice-delivered image_id keeps exactly one row."""
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+    from osm_render_spark.streaming.images import image_ingest_foreach_batch
+
+    curated = str(tmp_path / "cur2")
+    seen = str(tmp_path / "seen2")
+    fn = image_ingest_foreach_batch(curated, seen)
+    rows = pipeline_corpus_df(spark, 12).collect()
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+
+    def mk(image_id, base, caption=..., data=None):
+        r = base.asDict()
+        r["image_id"] = image_id
+        if caption is not ...:
+            r["caption"] = caption
+        if data is not None:
+            r["bytes"] = data
+        return tuple(r[k] for k in
+                     ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+
+    b0 = spark.createDataFrame(
+        [mk(r["image_id"], r) for r in rows[:6]]
+        + [
+            mk("poison01", rows[6], data=bytearray(b"\x89PNG\r\n\x1a\nGARBAGE")),
+            mk("nullcap1", rows[7], caption=None),
+            mk("nullcap2", rows[8], caption=None),
+            mk("dupid001", rows[9]),
+            mk("dupid001", rows[10]),  # same id, different content
+        ],
+        schema,
+    )
+    fn(b0, 0)
+    got = {r["image_id"]: r for r in spark.read.parquet(curated).collect()}
+    assert "poison01" not in got  # flagged, not crashed
+    # distinct null-caption images BOTH land (keyed on bytes)
+    assert "nullcap1" in got and "nullcap2" in got
+    assert len([i for i in got if i == "dupid001"]) == 1
+
+    # a replayed null-caption image IS deduplicated cross-batch
+    b1 = spark.createDataFrame(
+        [mk("nullcap1b", rows[7], caption=None)], schema
+    )
+    fn(b1, 1)
+    ids = [r["image_id"] for r in spark.read.parquet(curated).collect()]
+    assert "nullcap1b" not in ids  # same bytes as nullcap1 -> suppressed
