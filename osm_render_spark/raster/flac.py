@@ -461,7 +461,8 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
     bw.write(0, 4)  # partition order 0
     if k >= 15:
         bw.write(15, 4)  # escape: raw residuals
-        bits = int(max(1, np.abs(res).max()).bit_length() + 1)
+        # int() first: numpy scalars have no .bit_length() on numpy 1.26
+        bits = max(1, int(np.abs(res).max())).bit_length() + 1
         bw.write(bits, 5)
         for v in res:
             bw.write(int(v), bits)

@@ -1000,23 +1000,38 @@ _PROG_SCRIPT_GRAY = [
 ]
 
 
+_HUFF_DUMMY = 256  # outside the 8-bit JPEG symbol space
+
+
 def _build_huffman(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
     """Frequency-optimized canonical (BITS, HUFFVAL). Progressive scans
     need EOBn symbols (0x10..0xE0) that the Annex K baseline tables lack,
     so each AC scan ships its own table — standard practice (libjpeg
     always optimizes progressive tables). Plain Huffman over the counts;
     if a pathological distribution exceeds JPEG's 16-bit code limit,
-    fall back to a flat fixed-length code (valid, just less tight)."""
+    fall back to a flat fixed-length code (valid, just less tight).
+
+    Mirrors libjpeg's jpeg_gen_optimal_table trick: a dummy 257th symbol
+    at frequency 1 joins the build and is dropped after length
+    assignment. It is popped FIRST (tie index -1), so it sits in the
+    first merged pair — which lands at maximum depth of the final tree —
+    and, being the largest symbol value, it takes the numerically-last
+    canonical code there: the all-ones codeword. Dropping it guarantees
+    no real symbol owns the all-ones code, so the 1-bit padding at
+    entropy-segment ends can never decode as a valid symbol (T.81
+    Annex K practice)."""
     import heapq
 
     syms = sorted(freqs)
     if not syms:
         raise ValueError("empty symbol alphabet")
-    if len(syms) == 1:
-        return [1] + [0] * 15, syms
-    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    work = dict(freqs)
+    work[_HUFF_DUMMY] = 1
+    heap = [(1, -1, (_HUFF_DUMMY,))] + [
+        (f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))
+    ]
     heapq.heapify(heap)
-    depth = dict.fromkeys(syms, 0)
+    depth = dict.fromkeys(work, 0)
     tie = len(heap)
     while len(heap) > 1:
         f1, _, g1 = heapq.heappop(heap)
@@ -1026,13 +1041,16 @@ def _build_huffman(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
         heapq.heappush(heap, (f1 + f2, tie, g1 + g2))
         tie += 1
     if max(depth.values()) > 16:
-        flat = max(1, (len(syms) - 1).bit_length())
-        depth = dict.fromkeys(syms, flat)
+        flat = max(1, (len(work) - 1).bit_length())
+        depth = dict.fromkeys(work, flat)
+    # canonical order: the dummy is last (max depth, largest symbol), so
+    # removing it drops only the final — all-ones — codeword
+    order = sorted(work, key=lambda s: (depth[s], s))
+    assert order[-1] == _HUFF_DUMMY
     bits = [0] * 16
     for s in syms:
         bits[depth[s] - 1] += 1
-    vals = sorted(syms, key=lambda s: (depth[s], s))
-    return bits, vals
+    return bits, order[:-1]
 
 
 class _EobState:

@@ -461,3 +461,33 @@ def test_hand_crafted_stream_decodes_bit_exact():
             want[y, x] = s / 4.0 + 128.0
     want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
     assert (dec[:, :, 0] == want).all()
+
+
+def test_optimized_huffman_reserves_all_ones_code():
+    """libjpeg jpeg_gen_optimal_table discipline: the dummy 257th symbol
+    takes the all-ones codeword, so no REAL symbol can decode from the
+    1-bit padding at entropy-segment ends — including the two cases the
+    old builder got wrong (all-ones at max length; flat fallback
+    saturating a power-of-two alphabet)."""
+    from osm_render_spark.raster.jpeg import _build_huffman, _canonical_codes
+
+    fib = [1, 1]
+    while len(fib) < 24:
+        fib.append(fib[-1] + fib[-2])
+    cases = [
+        {s: 1 for s in range(16)},       # power-of-two alphabet (flat trap)
+        {s: 1 for s in range(256)},      # full 8-bit alphabet
+        {0: 1000, 1: 500, 2: 2, 3: 1},   # skewed
+        {s: 2 ** (s % 11) for s in range(64)},
+        {0: 1, 1: 1},                    # minimal pair
+        {7: 5},                          # single symbol
+        {i: f for i, f in enumerate(fib)},  # forces >16-bit flat fallback
+    ]
+    for freqs in cases:
+        bits, vals = _build_huffman(freqs)
+        assert sorted(vals) == sorted(freqs)
+        codes = _canonical_codes(bits, vals)
+        assert len(codes) == len(freqs)
+        for _, code, ln in codes:
+            assert code != (1 << ln) - 1, (freqs, code, ln)
+        assert max(ln for _, _, ln in codes) <= 16
