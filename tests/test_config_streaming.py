@@ -637,3 +637,131 @@ def test_image_ingest_poison_blob_null_caption_dup_id(spark, tmp_path):
     fn(b1, 1)
     ids = [r["image_id"] for r in spark.read.parquet(curated).collect()]
     assert "nullcap1b" not in ids  # same bytes as nullcap1 -> suppressed
+
+
+def _clean_corpus_rows(spark, n):
+    """input_hint rows with NO planted events (unique captions/phashes,
+    decodable, dims honest) — for history-scaling assertions where
+    accidental dups would confound the candidate counts."""
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+
+    rows = pipeline_corpus_df(spark, n).collect()
+    return [
+        r
+        for i, r in enumerate(rows)
+        if i % 10 != 9 and i % 13 != 12 and i % 17 != 16
+    ]
+
+
+_INGEST_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def test_image_ingest_seen_read_constant_in_history(spark, tmp_path):
+    """The r5 `weak` closed: a batch's seen-side read scope is bounded
+    by its CANDIDATE keys (bloom-positive only), not by corpus history.
+    An all-fresh batch scans ZERO seen buckets no matter how many
+    batches precede it, and a duplicate-carrying batch scans the same
+    bucket count whether the history is 3 batches or 6."""
+    from osm_render_spark.streaming.images import image_ingest_foreach_batch
+
+    curated = str(tmp_path / "cur")
+    seen = str(tmp_path / "seen")
+    metrics = str(tmp_path / "met")
+    fn = image_ingest_foreach_batch(curated, seen, metrics)
+
+    rows = _clean_corpus_rows(spark, 160)
+    assert len(rows) >= 120
+    chunks = [rows[i * 20 : (i + 1) * 20] for i in range(6)]
+    dups = chunks[0][:3]  # replayed content from batch 0
+
+    for i in range(3):
+        fn(spark.createDataFrame(chunks[i], _INGEST_SCHEMA), i)
+    # all-fresh batch after 3 batches of history: zero seen-side scan
+    fn(spark.createDataFrame(chunks[3], _INGEST_SCHEMA), 3)
+    # dup batch after 4 batches of history
+    fn(spark.createDataFrame(chunks[4] + dups, _INGEST_SCHEMA), 4)
+    # grow history, then the SAME dup content again after 6 batches
+    fn(spark.createDataFrame(chunks[5], _INGEST_SCHEMA), 5)
+    fn(spark.createDataFrame(dups, _INGEST_SCHEMA), 6)
+
+    m = {r["batch_id"]: r for r in spark.read.parquet(metrics).collect()}
+    # fresh batches: the bloom rules out ALL history without any read
+    assert m[3]["n_buckets_scanned"] == 0 and m[3]["n_candidates"] == 0
+    assert m[5]["n_buckets_scanned"] == 0 and m[5]["n_candidates"] == 0
+    # dup batches: candidates = the dup keys only (2 per image), and the
+    # scanned bucket count is identical at both history depths — the
+    # read scope tracks candidates, not history
+    assert 0 < m[4]["n_candidates"] <= 6
+    assert 0 < m[4]["n_buckets_scanned"] <= m[4]["n_candidates"]
+    assert m[6]["n_candidates"] == m[4]["n_candidates"]
+    assert m[6]["n_buckets_scanned"] == m[4]["n_buckets_scanned"]
+    # and the dup batches ingested only their fresh rows
+    assert m[4]["n_fresh"] == 20 and m[6]["n_fresh"] == 0
+
+
+def test_image_ingest_prefilter_equals_exhaustive(spark, tmp_path):
+    """Curated output of the bloom-prefiltered fast path is byte-equal
+    to the exhaustive path (prefilter=False exact-checks every key) on
+    the same batch sequence — the bloom changes the read scope, never
+    the result."""
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+    from osm_render_spark.streaming.images import image_ingest_foreach_batch
+
+    rows = pipeline_corpus_df(spark, 60).collect()
+    batches = [rows[:25], rows[25:50] + rows[:5], rows[50:] + rows[30:33]]
+
+    outs = []
+    for tag, pf in (("fast", True), ("full", False)):
+        curated = str(tmp_path / f"cur_{tag}")
+        fn = image_ingest_foreach_batch(
+            curated, str(tmp_path / f"seen_{tag}"), prefilter=pf
+        )
+        for i, b in enumerate(batches):
+            fn(spark.createDataFrame(b, _INGEST_SCHEMA), i)
+        got = sorted(
+            (
+                r["image_id"], bytes(r["bytes"]), r["w"], r["h"], r["fmt"],
+                r["caption"], r["phash"], r["batch_id"],
+            )
+            for r in spark.read.parquet(curated).collect()
+        )
+        outs.append(got)
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
+def test_image_ingest_seen_store_prunes_partitions(spark, tmp_path):
+    """Layout pin: the seen store is kb-bucket-partitioned, and a
+    bucket-restricted read carries a PartitionFilter on kb — the scan
+    lists/reads ONLY matching bucket directories, which is what bounds
+    the exact check's IO at 10^12-key history."""
+    from osm_render_spark.streaming.images import image_ingest_foreach_batch
+
+    seen = str(tmp_path / "seen")
+    fn = image_ingest_foreach_batch(str(tmp_path / "cur"), seen)
+    rows = _clean_corpus_rows(spark, 40)
+    fn(spark.createDataFrame(rows[:15], _INGEST_SCHEMA), 0)
+    fn(spark.createDataFrame(rows[15:30], _INGEST_SCHEMA), 1)
+
+    df = (
+        spark.read.option("basePath", seen)
+        .parquet(seen)
+        .where(F.col("kb").isin([3, 7]) & (F.col("batch_id") < 2))
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "kb" in plan.split("PartitionFilters")[1][:200]
+    # bloom sidecar is invisible to the table read
+    cols = set(spark.read.parquet(seen).columns)
+    assert cols == {"k", "kb", "batch_id"}
+    # sidecar retention: only the latest two versions survive
+    import os
+
+    vers = sorted(
+        d for d in os.listdir(seen + "/_bloom") if d.startswith("batch_id=")
+    )
+    assert vers == ["batch_id=0", "batch_id=1"]
