@@ -138,17 +138,27 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # shared box shows 3-4× host-load swings between runs, min-of-2
     # reports the engine's steady state rather than the co-tenants'
     # schedule). Round-over-round tracking can use either unbroken.
+    # full run SERIES in the artifact (r5 VERDICT "what's wrong" #2: a
+    # single committed number captured under host load contradicted the
+    # documented band — now every pass and its loadavg ships in the
+    # JSON, and `value` stays the best-of-series). SPARK_GRAFT_BENCH_RUNS
+    # widens the series for round-closing evidence.
+    n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     loadavg_before = os.getloadavg()
     queries: dict[str, float] = {}
     queries_wall: dict[str, float] = {}
+    queries_runs: dict[str, list[float]] = {}
+    pass_load = [0.0] * n_runs
     total_rows = 0
     for name in HEADLINE:
         runs = []
-        for _ in range(2):
+        for i in range(n_runs):
             t0 = time.time()
             df = defs[name].spark_fn(spark, sf_dir)
             n = df.count()
             runs.append(time.time() - t0)
+            pass_load[i] = max(pass_load[i], os.getloadavg()[0])
+        queries_runs[name] = [round(r, 3) for r in runs]
         queries_wall[name] = round(runs[0], 3)
         queries[name] = round(min(runs), 3)
         total_rows += n
@@ -300,6 +310,25 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     audio_sec = time.time() - t0
     auds.unpersist()
 
+    # exact substring dedup throughput: duplicated_spans over the
+    # documents table — positions/s is the recipe's natural unit (one
+    # k-gram key per character position; k-independent 24 B shuffle
+    # rows)
+    from osm_render_spark.operators.substring import duplicated_spans
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_positions = (
+        docs_tbl.selectExpr(
+            "sum(greatest(length(text) - 11, 0)) AS p"
+        ).collect()[0]["p"]
+        or 0
+    )  # k=12 default
+    duplicated_spans(docs_tbl).count()  # warm
+    t0 = time.time()
+    n_dup_spans = duplicated_spans(docs_tbl).count()
+    substr_sec = time.time() - t0
+    docs_tbl.unpersist()
+
     # composed training pipeline e2e (decode/verify → exact+phash dedup
     # → langid/quality → split → pack), cold checkpoint store each run —
     # docs/sec through ALL stages incl. checkpoint parquet writes
@@ -337,6 +366,18 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "queries": queries,
         "queries_wall": queries_wall,
         "value_wall": round(sum(queries_wall.values()), 3),
+        # the full series: per-query walls for every pass, and per-pass
+        # suite sums with the worst 1-min loadavg observed during that
+        # pass — so the artifact itself shows whether an outlier pass
+        # was engine or co-tenant load
+        "queries_runs": queries_runs,
+        "runs": [
+            {
+                "sum": round(sum(queries_runs[q][i] for q in HEADLINE), 3),
+                "loadavg_max": round(pass_load[i], 2),
+            }
+            for i in range(n_runs)
+        ],
         "legacy12_best_of_2": round(sum(queries[q] for q in LEGACY12), 3),
         "legacy12_wall": round(sum(queries_wall[q] for q in LEGACY12), 3),
         "extra_queries": extra_queries,
@@ -355,6 +396,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "n_tiles_rendered": n_tiles_rendered,
         "pbf_nodes_per_sec": round(n_pbf / pbf_sec, 1),
         "pbf_mb_per_sec": round(pbf_mb / pbf_sec, 2),
+        "substring_positions_per_sec": round(n_positions / substr_sec, 1),
+        "substring_dup_spans": n_dup_spans,
         "pipeline_e2e_sec": round(pipe_sec, 3),
         "pipeline_docs_per_sec": round(n_pipe / pipe_sec, 1),
         "pipeline_docs_packed": n_packed,
@@ -759,6 +802,86 @@ def zorder_job(cpus: int, n_points: int = 4_000_000) -> dict:
     return out
 
 
+def substring_job(cpus: int) -> dict:
+    """Adversarial-skew demonstration for exact substring dedup
+    (VERDICT r5 #4): 3,000 small documents plus ONE 10 MB document,
+    with a boilerplate sentence planted in 50% of the small docs.
+
+    Why this corpus is the worst case: the boilerplate grams are hot
+    keys in the gram aggregation (1,500 occurrences each), and the
+    giant document is a hot cell in BOTH the per-doc window (10M
+    positions in one partition) and the islands groupBy. Both cells are
+    bounded by design — the gram agg keeps constant-size MIN/COUNT
+    state per key (never a list of occurrences), and the window is a
+    single linear cumulative pass — so throughput should stay within
+    the uniform corpus's order of magnitude and the plan keeps its
+    3-exchange shape (pinned in tests/test_substring.py)."""
+    from pyspark.sql import functions as F
+
+    from osm_render_spark.operators.substring import duplicated_spans
+    from osm_render_spark.session import get_spark
+
+    spark = get_spark("substring_job", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    boiler = "All rights reserved. Subscribe to our newsletter for updates! "
+
+    def _gen_docs(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for k in pdf["id"]:
+                i = int(k)
+                rng = np.random.default_rng(i + 11)
+                if i == 0:
+                    n = 10_000_000  # the one giant document
+                else:
+                    n = 200 + i % 400
+                body = (
+                    rng.integers(97, 123, n, dtype=np.uint8)
+                    .tobytes()
+                    .decode("ascii")
+                )
+                if 0 < i and i % 2 == 0:
+                    body = body[: n // 2] + boiler + body[n // 2 :]
+                rows.append((i, body))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    docs = (
+        spark.range(0, 3001, 1, cpus * 2)
+        .mapInPandas(_gen_docs, schema="doc_id long, text string")
+        .cache()
+    )
+    n_positions = docs.selectExpr(
+        "sum(greatest(length(text) - 11, 0)) AS p"
+    ).collect()[0]["p"]
+    # warm on a tiny literal corpus — a limit() over the mapInPandas
+    # generator would kill python workers mid-write (CLAUDE.md gotcha)
+    warm = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnop")],
+        "doc_id long, text string",
+    )
+    duplicated_spans(warm).count()
+    t0 = time.time()
+    spans = duplicated_spans(docs).cache()
+    n_spans = spans.count()
+    sec = time.time() - t0
+    n_docs_with_spans = spans.select("doc_id").distinct().count()
+    spans.unpersist()
+    docs.unpersist()
+    return {
+        "metric": "substring-dedup positions/sec on the skewed corpus "
+        "(1x10MB doc + 3000 small, boilerplate in 50%)",
+        "value": round(n_positions / sec, 1),
+        "unit": "positions/sec",
+        "n_positions": int(n_positions),
+        "n_dup_spans": n_spans,
+        "n_docs_with_spans": n_docs_with_spans,
+        "wall_sec": round(sec, 2),
+        "cpus": cpus,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -783,6 +906,10 @@ def main() -> int:
 
     if "--zorder" in sys.argv:
         print(json.dumps(zorder_job(cpus)))
+        return 0
+
+    if "--substring" in sys.argv:
+        print(json.dumps(substring_job(cpus)))
         return 0
 
     if "--scaling" in sys.argv:

@@ -98,9 +98,9 @@ def test_rejects_bad_params(spark):
 
 
 def test_plan_shape_no_all_pairs_and_no_fourth_shuffle(spark):
-    """The scale contract: no position×position join surface, and the
-    islands groupBy reuses the window's doc_id partitioning (three
-    Exchanges total: gram-key agg, semi-join side, window)."""
+    """The scale contract: no position×position join surface, and TWO
+    Exchanges total — the gram-key window (cross-doc detection) and the
+    per-doc window, whose partitioning the islands groupBy reuses."""
     df = duplicated_spans(_corpus(spark), k=8)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -108,7 +108,7 @@ def test_plan_shape_no_all_pairs_and_no_fourth_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     n_exchange = plan.count("Exchange hashpartitioning")
-    assert n_exchange <= 3, f"{n_exchange} shuffles:\n{plan}"
+    assert n_exchange <= 2, f"{n_exchange} shuffles:\n{plan}"
 
 
 def test_scrub_removes_all_but_min_doc_copy(spark):
@@ -160,3 +160,45 @@ def test_scrub_hash_equals_exact(spark):
         )
     )
     assert a == b
+
+def test_skewed_corpus_keeps_plan_shape_and_bounded_cells(spark):
+    """Adversarial skew (VERDICT r5 #4): one giant document plus many
+    small ones, with a boilerplate sentence shared by 50% of the small
+    docs. The hot boilerplate grams hit ONE aggregation key each with
+    constant-size agg state (no occurrence lists), and the giant doc is
+    one window partition walked linearly — the plan keeps its
+    <=3-exchange, no-all-pairs shape on this corpus, and the results
+    are exactly the planted boilerplate spans."""
+    import numpy as np
+
+    boiler = "All rights reserved. Subscribe to our newsletter today! "
+    rows = []
+    for i in range(601):
+        rng = np.random.default_rng(i + 7)
+        n = 200_000 if i == 0 else 150 + i % 100
+        body = rng.integers(97, 123, n, dtype=np.uint8).tobytes().decode()
+        if 0 < i and i % 2 == 0:
+            body = body[: n // 2] + boiler + body[n // 2 :]
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    df = duplicated_spans(docs, k=12)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+    got = df.collect()
+    boiler_docs = {i for i in range(1, 601) if i % 2 == 0}
+    assert {r["doc_id"] for r in got} == boiler_docs
+    # every span covers the planted boilerplate; spans may extend a few
+    # chars past it where a boundary gram (1-2 random chars + the fixed
+    # boiler prefix) collides across the 300 boiler docs, but never by
+    # more than k-1 per side
+    k = 12
+    for r in got:
+        i, s, ln = r["doc_id"], r["span_start"], r["span_len"]
+        assert len(boiler) <= ln < len(boiler) + 2 * k, (i, ln)
+        assert boiler in rows[i][1][s - 1 : s - 1 + ln], (i, s, ln)
