@@ -277,6 +277,102 @@ def cosine_near_dups(
     return pairs
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    quantizer: str = "kmeans",
+    cluster_cap: int = 65536,
+    block: int = 1024,
+    return_stats: bool = False,
+):
+    """SemDeDup — embedding-space near-duplicate removal at corpus scale
+    (the public recipe of Abbas et al. 2023, arXiv:2303.09540,
+    re-expressed Spark-first):
+
+    1. **cluster**: centroids from the sampled spherical k-means
+       quantizer (driver-sized sample — the standard IVF recipe) or the
+       deterministic ``head`` quantizer (SQL-expressible, the oracle
+       mode); every vector assigned to its argmax-cosine centroid in a
+       broadcast Arrow kernel — NO shuffle of the corpus for
+       assignment, exactly the paper's "cluster then dedup within
+       clusters" trick that avoids any corpus-wide pair surface.
+    2. **within-cluster near-dups**: one applyInPandas per cluster,
+       blocked ≤ block² cosine tiles (the cosine_near_dups kernel
+       shape) — never an all-pairs m @ m.T over the cluster.
+    3. **canonical keep**: a vector is dropped iff its cluster contains
+       a SMALLER-ID vector with cosine ≥ threshold — deterministic,
+       order-free, and exactly replicable as a SQL EXISTS (the
+       paper keeps one member per ε-ball; min-id is the
+       engine-independent canonical choice).
+
+    Returns (``id_col``, cluster_id, keep) for every input vector.
+    Clusters larger than ``cluster_cap`` are NOT materialized into the
+    kernel (applyInPandas would buffer the whole group — CLAUDE.md):
+    their rows pass through with keep=true and the cluster is reported
+    via ``return_stats=True`` as (cluster_id, n_rows) — an over-cap
+    cluster means the quantizer is too coarse; raise n_clusters (the
+    paper uses ~50k clusters at LAION scale).
+
+    100 TB shape: two exchanges (the cluster-size count and the
+    per-cluster applyInPandas), both on the narrow (id, embedding)
+    projection; centroids are broadcast; the quadratic surface is
+    bounded by cluster_cap² per task and blocked into block² tiles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    c_mat = _resolve_centroids(embeddings, n_clusters, id_col, quantizer)
+    assigned = _assign_to_lists(embeddings, c_mat, id_col, id_t)
+    sizes = assigned.groupBy("list_id").agg(F.count("*").alias("n_rows"))
+    over_cap = sizes.where(F.col("n_rows") > cluster_cap)
+    in_cap = assigned.join(
+        F.broadcast(over_cap.select("list_id")), "list_id", "left_anti"
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lid = int(key[0])
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0  # zero-norm row → cos ≡ 0, never a dup
+        n = len(ids)
+        drop = np.zeros(n, dtype=bool)
+        for i0 in range(0, n, block):
+            a_blk = m[i0 : i0 + block]
+            na = norms[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                b_blk = m[j0 : j0 + block]
+                nb = norms[j0 : j0 + block]
+                cos = (a_blk @ b_blk.T) / (na[:, None] * nb[None, :])
+                ii, jj = np.nonzero(cos >= threshold)
+                gi, gj = ii + i0, jj + j0
+                drop[gj[gi < gj]] = True  # some smaller-id near-dup exists
+        return pd.DataFrame(
+            {id_col: ids, "cluster_id": lid, "keep": ~drop}
+        )
+
+    decided = in_cap.groupBy("list_id").applyInPandas(
+        kernel, schema=f"{id_col} {id_t}, cluster_id long, keep boolean"
+    )
+    passed = assigned.join(
+        F.broadcast(over_cap.select("list_id")), "list_id", "left_semi"
+    ).select(
+        F.col(id_col),
+        F.col("list_id").alias("cluster_id"),
+        F.lit(True).alias("keep"),
+    )
+    out = decided.unionByName(passed)
+    if return_stats:
+        return out, over_cap.withColumnRenamed("list_id", "cluster_id")
+    return out
+
+
 def _head_centroids(embeddings: DataFrame, n_centroids: int, id_col: str):
     """Deterministic sampling quantizer: the n_centroids lowest-id
     vectors. SQL-expressible (the ann_ivf_top3 oracle replicates it),
@@ -382,7 +478,9 @@ def _resolve_centroids(embeddings, n_centroids, id_col, quantizer):
     raise ValueError(f"unknown quantizer {quantizer!r}")
 
 
-def _assign_to_lists(embeddings: DataFrame, c_mat, id_col: str) -> DataFrame:
+def _assign_to_lists(
+    embeddings: DataFrame, c_mat, id_col: str, id_t: str = "long"
+) -> DataFrame:
     """(list_id, id, embedding): argmax-cosine list assignment, one numpy
     pass per Arrow batch; zero-norm vectors assign to list 0."""
     import numpy as np
@@ -411,7 +509,7 @@ def _assign_to_lists(embeddings: DataFrame, c_mat, id_col: str) -> DataFrame:
             )
 
     return embeddings.select(id_col, "embedding").mapInPandas(
-        assign, schema=f"list_id long, {id_col} long, embedding array<float>"
+        assign, schema=f"list_id long, {id_col} {id_t}, embedding array<float>"
     )
 
 

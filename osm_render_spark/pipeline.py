@@ -154,6 +154,9 @@ def training_data_pipeline(
     pack_budget: int = 64,
     quality_min_tokens: int = 3,
     pack_shards: int = 8,
+    embeddings: DataFrame | None = None,
+    semdedup_threshold: float = 0.92,
+    semdedup_clusters: int | None = None,
 ) -> dict[str, DataFrame]:
     """The composed multimodal TRAINING-DATA pipeline (the north rule's
     image+caption curation path), every heavy stage a checkpointed unit
@@ -214,6 +217,38 @@ def training_data_pipeline(
         return canon_text.join(canon_img, "image_id")
 
     kept = store.run_stage(spark, "dedup", params, compute_dedup)
+
+    if embeddings is not None:
+        # optional SemDeDup stage: embedding-space near-dup removal over
+        # the exact-dedup survivors. ``embeddings`` is (image_id,
+        # embedding array<float>); keepers are intersected into `kept`.
+        # S10 discipline: the stage key carries every output-shaping knob.
+        from .operators.similarity import semantic_dedup
+
+        sparams = {
+            **params,
+            "sem_threshold": semdedup_threshold,
+            "sem_clusters": semdedup_clusters,
+        }
+
+        def compute_semdedup():
+            emb_kept = embeddings.join(kept, "image_id")
+            return (
+                semantic_dedup(
+                    emb_kept,
+                    threshold=semdedup_threshold,
+                    n_clusters=semdedup_clusters,
+                    id_col="image_id",
+                )
+                .where(F.col("keep"))
+                .select("image_id")
+            )
+
+        kept = store.run_stage(spark, "semdedup", sparams, compute_semdedup)
+        # downstream stage keys (curate/split/pack) must see the semdedup
+        # knobs too — their outputs depend on the keeper set (S10: keys
+        # cover every output-shaping knob, and keys are NOT input-chained)
+        params = sparams
 
     words = "split(caption, ' ')"
     # S10 discipline: a stage key covers every knob that changes its

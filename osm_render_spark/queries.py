@@ -2635,6 +2635,100 @@ ORDER BY way_id, tile_x, tile_y
     return QueryDef(fn, duck)
 
 
+def _q_semantic_dedup() -> QueryDef:
+    """SemDeDup (operators/similarity.semantic_dedup) oracle-checked
+    end-to-end with the deterministic 'head' quantizer: DuckDB
+    replicates centroid choice (8 lowest-id vectors), argmax-cosine
+    cluster assignment (the sqrt-free DECIMAL rank key, ties to the
+    lowest cluster), the within-cluster near-dup test as
+    dot ≥ 0 ∧ dot² ≥ t²·‖a‖²·‖b‖² on exact DECIMAL sums, and the min-id
+    canonical keep (drop ⇔ a smaller-id near-dup exists in the
+    cluster). A duplicated slice plants real semantic dups (cos = 1);
+    the k-means quantizer is the operator's scale default, pinned by
+    the planted-paraphrase test instead."""
+    t2 = 0.95 * 0.95
+    duck = f"""
+WITH base AS (
+  SELECT vec_id AS vid, embedding FROM embeddings WHERE vec_id % 2 = 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vid, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS list_id, embedding
+  FROM base ORDER BY vid LIMIT 8
+),
+ce AS (
+  SELECT list_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM cent
+),
+cnorm AS (
+  SELECT list_id, {_DEC_PROD.format(x='v', y='v')} AS s_nc FROM ce GROUP BY list_id
+),
+xe AS (
+  SELECT vid, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM base
+),
+xnorm AS (
+  SELECT vid, {_DEC_PROD.format(x='v', y='v')} AS s_nx FROM xe GROUP BY vid
+),
+adot AS (
+  SELECT x.vid, e.list_id, {_DEC_PROD.format(x='x.v', y='e.v')} AS s_dot
+  FROM xe x JOIN ce e USING (i) GROUP BY x.vid, e.list_id
+),
+assign AS (
+  SELECT vid, list_id FROM (
+    SELECT vid, list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vid
+             ORDER BY {_cos_rank_key('s_dot', 's_nc')} DESC, list_id
+           ) AS rn
+    FROM adot JOIN cnorm USING (list_id)
+  ) t WHERE rn = 1
+),
+pd AS (
+  SELECT a.vid AS a, b.vid AS b, {_DEC_PROD.format(x='x.v', y='y.v')} AS s_dot
+  FROM assign a
+  JOIN assign b ON a.list_id = b.list_id AND a.vid < b.vid
+  JOIN xe x ON x.vid = a.vid
+  JOIN xe y ON y.vid = b.vid AND y.i = x.i
+  GROUP BY a.vid, b.vid
+),
+dropped AS (
+  SELECT DISTINCT pd.b AS vid
+  FROM pd JOIN xnorm na ON na.vid = pd.a JOIN xnorm nb ON nb.vid = pd.b
+  WHERE pd.s_dot >= 0
+    AND na.s_nx > 0 AND nb.s_nx > 0
+    AND CAST(pd.s_dot AS DOUBLE) * CAST(pd.s_dot AS DOUBLE)
+        >= {t2!r} * (CAST(na.s_nx AS DOUBLE) * CAST(nb.s_nx AS DOUBLE))
+)
+SELECT s.vid AS vec_id, s.list_id AS cluster_id,
+       d.vid IS NULL AS keep
+FROM assign s LEFT JOIN dropped d ON d.vid = s.vid
+ORDER BY vec_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.similarity import semantic_dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dup = emb.where(F.expr("vec_id % 10 = 0")).withColumn(
+            "vec_id", F.col("vec_id") + 1000000
+        )
+        corpus = emb.where(F.expr("vec_id % 2 = 0")).unionAll(dup)
+        # cap-free: the DuckDB oracle has no cluster cap (same reason
+        # _q_cosine_near_dups disables its bucket cap)
+        return semantic_dedup(
+            corpus,
+            threshold=0.95,
+            n_clusters=8,
+            quantizer="head",
+            cluster_cap=1 << 40,
+        ).orderBy("vec_id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_ann_ivf_top3() -> QueryDef:
     """IVF-flat ANN, oracle-checked end-to-end with the deterministic
     'head' quantizer (centroids = 16 lowest-id candidates — the
@@ -3173,6 +3267,7 @@ def build_queries() -> dict[str, QueryDef]:
         "retrieval_recall": _q_retrieval_recall(),
         "token_count_regex": _q_token_count_regex(),
         "cosine_near_dups": _q_cosine_near_dups(),
+        "semantic_dedup": _q_semantic_dedup(),
         "ann_ivf_top3": _q_ann_ivf_top3(),
         "ann_ivf_q8_top3": _q_ann_ivf_q8_top3(),
         "way_tile_fanout": _q_way_tile_fanout(),

@@ -1163,3 +1163,149 @@ def test_retrieval_recall_planted(spark):
     assert out[1]["n_hits"] == 30
     assert out[1]["recall"] == 30 / 40
     assert out[10]["n_hits"] >= out[1]["n_hits"]
+
+
+# --- semantic dedup (SemDeDup) ---------------------------------------------
+
+def _paraphrase_corpus(spark, n_groups=6, group_size=3, dim=8):
+    """Planted paraphrase clusters: each group is one base direction
+    plus tiny per-member perturbations (cos > 0.99 within a group);
+    distinct groups are near-orthogonal (cos < 0.5 across groups)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for g in range(n_groups):
+        base = rng.normal(0, 1, dim)
+        base /= np.linalg.norm(base)
+        for m in range(group_size):
+            # round-robin ids: the head quantizer takes the LOWEST ids
+            # as centroids, so consecutive ids must come from DIFFERENT
+            # groups or one group's members split across near-identical
+            # centroids; group g's min id is g
+            vid = m * n_groups + g
+            v = base + rng.normal(0, 0.01, dim)
+            rows.append((vid, g, [float(x) for x in v]))
+    # plus singletons: unique directions, no near-dups
+    for s in range(10):
+        v = rng.normal(0, 1, dim)
+        rows.append((n_groups * group_size + s, -1, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, group long, embedding array<float>"
+    )
+
+
+def test_semantic_dedup_recovers_planted_paraphrases(spark):
+    """Each planted paraphrase group keeps exactly its min-id member;
+    singletons all survive — under both quantizers."""
+    from osm_render_spark.operators.similarity import semantic_dedup
+
+    corpus = _paraphrase_corpus(spark)
+    want_keep = set(range(6)) | set(range(18, 28))
+    for quant in ("kmeans", "head"):
+        got = semantic_dedup(
+            corpus, threshold=0.95, n_clusters=4, quantizer=quant
+        ).collect()
+        assert len(got) == 28
+        kept = {r["vec_id"] for r in got if r["keep"]}
+        assert kept == want_keep, (quant, sorted(kept))
+
+
+def test_semantic_dedup_cluster_cap_accounted(spark):
+    """Over-cap clusters are NOT materialized into the kernel: their
+    rows pass through keep=true and the cluster is reported in stats."""
+    from osm_render_spark.operators.similarity import semantic_dedup
+
+    corpus = _paraphrase_corpus(spark)
+    out, stats = semantic_dedup(
+        corpus,
+        threshold=0.95,
+        n_clusters=1,  # everything lands in one cluster...
+        quantizer="head",
+        cluster_cap=10,  # ...which exceeds the cap
+        return_stats=True,
+    )
+    rows = out.collect()
+    assert len(rows) == 28 and all(r["keep"] for r in rows)
+    st = stats.collect()
+    assert len(st) == 1 and st[0]["n_rows"] == 28
+
+
+def test_semantic_dedup_plan_no_all_pairs(spark):
+    """Scale shape: no corpus-wide pair surface — assignment is a
+    broadcast Arrow kernel, the quadratic work lives inside the
+    per-cluster kernel, and the whole operator is <= 3 exchanges."""
+    from osm_render_spark.operators.similarity import semantic_dedup
+
+    df = semantic_dedup(_paraphrase_corpus(spark), n_clusters=4, quantizer="head")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_semantic_dedup_rejects_bad_threshold(spark):
+    from osm_render_spark.operators.similarity import semantic_dedup
+
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(_paraphrase_corpus(spark), threshold=0.0)
+
+
+def test_pipeline_semdedup_stage(spark, tmp_path):
+    """training_data_pipeline with the optional SemDeDup stage: a
+    planted embedding near-dup pair keeps only the smaller image_id,
+    and the stage key carries the threshold (a different threshold is
+    a different checkpoint, not a stale read)."""
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+    from osm_render_spark.pipeline import training_data_pipeline
+    from osm_render_spark.plans.checkpoint import CheckpointStore
+
+    corpus = pipeline_corpus_df(spark, 30).cache()
+    ids = [r["image_id"] for r in corpus.select("image_id").collect()]
+    ids.sort()
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, 8)
+    emb_rows = []
+    for i, iid in enumerate(ids):
+        if i in (1, 2):  # planted semantic near-dup pair
+            v = base + rng.normal(0, 0.005, 8)
+        else:
+            v = rng.normal(0, 1, 8)
+        emb_rows.append((iid, [float(x) for x in v]))
+    embeddings = spark.createDataFrame(
+        emb_rows, "image_id string, embedding array<float>"
+    )
+
+    out = training_data_pipeline(
+        spark,
+        corpus,
+        CheckpointStore(str(tmp_path / "store")),
+        params={"corpus": "semtest", "n": 30},
+        embeddings=embeddings,
+        semdedup_threshold=0.95,
+        semdedup_clusters=2,
+    )
+    kept_ids = {r["image_id"] for r in out["curated"].select("image_id").collect()}
+    # the pair (ids[1], ids[2]): only the smaller survives — IF both
+    # made it through decode-verify and exact dedup first
+    survivors = [i for i in (ids[1], ids[2]) if i in kept_ids]
+    assert ids[2] not in kept_ids
+    # a different threshold is a DIFFERENT stage key: with threshold so
+    # high nothing is a near-dup, both planted rows come back (fresh
+    # compute, not the 0.95 checkpoint)
+    out2 = training_data_pipeline(
+        spark,
+        corpus,
+        CheckpointStore(str(tmp_path / "store")),
+        params={"corpus": "semtest", "n": 30},
+        embeddings=embeddings,
+        semdedup_threshold=0.999999,
+        semdedup_clusters=2,
+    )
+    kept2 = {r["image_id"] for r in out2["curated"].select("image_id").collect()}
+    assert kept_ids <= kept2
+    corpus.unpersist()
