@@ -2371,6 +2371,92 @@ ORDER BY k
 
 
 @functools.lru_cache(maxsize=1)
+def _jpeg_ms_oracle_values() -> str:
+    """Driver-side multi-scan-JPEG checksums as a VALUES list (same
+    memoization rationale as _jpeg_oracle_values)."""
+    import numpy as np
+
+    from .raster.jpeg import decode_jpeg, encode_jpeg
+
+    values = []
+    for k in range(25):
+        img = _jpeg_test_image(k)
+        q, sub, dri = _jpeg_variant(k)
+        dec_m = decode_jpeg(encode_jpeg(img, q, sub, dri, multi_scan=True))
+        dec_b = decode_jpeg(encode_jpeg(img, q, sub, dri))
+        cs = int(dec_m.astype(np.int64).sum() % 1000000007)
+        eq = int((dec_m == dec_b).all())
+        values.append(f"({k}, {cs}, {eq})")
+    return ", ".join(values)
+
+
+def _q_jpeg_multiscan_roundtrip() -> QueryDef:
+    """MULTI-SCAN sequential baseline JPEG (one non-interleaved SOS per
+    component — the T.81 variant the r5 decoder rejected) under the
+    oracle: per nation key, encode with three component scans
+    (quality/subsampling/restart rotated per key), decode, and emit
+    dimensions, the PSNR ≥ 40 dB verdict vs pre-encode ground truth,
+    the decoded checksum (bit-exact determinism driver vs executors),
+    and equals_single — 1 iff the multi-scan decode is bit-identical to
+    the single interleaved scan of the same coefficients."""
+    duck = f"""
+SELECT v.k AS k, 48 AS w, 48 AS h, 1 AS psnr_ok, v.checksum AS checksum,
+       v.eq AS equals_single
+FROM (VALUES {_jpeg_ms_oracle_values()}) AS v(k, checksum, eq)
+JOIN nation ON n_nationkey = v.k
+ORDER BY k
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from .raster.codec import psnr as _psnr
+        from .raster.jpeg import decode_jpeg, encode_jpeg
+
+        keys = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(F.col("n_nationkey").cast("long").alias("k"))
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["k"]:
+                    k = int(k)
+                    img = _jpeg_test_image(k)
+                    q, sub, dri = _jpeg_variant(k)
+                    dec_m = decode_jpeg(
+                        encode_jpeg(img, q, sub, dri, multi_scan=True)
+                    )
+                    dec_b = decode_jpeg(encode_jpeg(img, q, sub, dri))
+                    rows.append(
+                        (
+                            k,
+                            dec_m.shape[1],
+                            dec_m.shape[0],
+                            int(_psnr(img, dec_m) >= 40.0),
+                            int(dec_m.astype(np.int64).sum() % 1000000007),
+                            int((dec_m == dec_b).all()),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["k", "w", "h", "psnr_ok", "checksum", "equals_single"],
+                )
+
+        return keys.mapInPandas(
+            kernel,
+            schema=(
+                "k long, w int, h int, psnr_ok int, checksum long, "
+                "equals_single int"
+            ),
+        ).orderBy("k")
+
+    return QueryDef(fn, duck)
+
+
+@functools.lru_cache(maxsize=1)
 def _jpeg_prog_oracle_values() -> str:
     """Driver-side progressive-JPEG checksums as a VALUES list (same
     memoization rationale as _jpeg_oracle_values)."""
@@ -3243,6 +3329,7 @@ def build_queries() -> dict[str, QueryDef]:
         "image_pipeline": _q_image_pipeline(),
         "jpeg_roundtrip": _q_jpeg_roundtrip(),
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip(),
+        "jpeg_multiscan_roundtrip": _q_jpeg_multiscan_roundtrip(),
         "flac_roundtrip": _q_flac_roundtrip(),
         "dedup_exact": _q_dedup_exact(),
         "substring_dedup": _q_substring_dedup(),

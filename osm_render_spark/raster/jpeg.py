@@ -5,11 +5,15 @@ library, this engine carries its own codec because the container has
 none).
 
 Decoder: baseline sequential Huffman DCT (SOF0, and SOF1 which decodes
-identically at 8-bit precision) AND progressive (SOF2: spectral
-selection, successive approximation, EOB runs, interleaved DC +
-non-interleaved AC scans, restarts inside any scan — a large share of
-real web JPEGs are progressive, so a multimodal corpus reader can't
-skip it). Grayscale or 3-component YCbCr with any sampling factors
+identically at 8-bit precision) — single interleaved scan AND
+MULTI-SCAN sequential (several SOS per frame, one component each, the
+progressive path's component-grid traversal with baseline's full-band
+block loop; subset-interleaved partial scans raise by name) — AND
+progressive (SOF2: spectral selection, successive approximation, EOB
+runs, interleaved DC + non-interleaved AC scans, restarts inside any
+scan — a large share of real web JPEGs are progressive, so a multimodal
+corpus reader can't skip it). Grayscale or 3-component YCbCr with any
+sampling factors
 1..2 (4:4:4, 4:2:2, 4:2:0, 4:4:0), 8- and 16-bit quantization tables,
 restart markers, and the MJPEG convention of OMITTED Huffman tables
 (the Annex K standard tables are installed when a baseline scan starts
@@ -404,10 +408,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     # Annex K tables are implied
                     huff_dc = {0: HUFF_DC_LUMA, 1: HUFF_DC_CHROMA}
                     huff_ac = {0: HUFF_AC_LUMA, 1: HUFF_AC_CHROMA}
-                return _decode_scan(
-                    data, pos, frame, scan_comps, qt, huff_dc, huff_ac,
-                    restart_interval,
+                if len(scan_comps) == len(frame[2]):
+                    if grids is not None:
+                        raise ValueError(
+                            "interleaved all-component scan after partial "
+                            "scans in a sequential stream"
+                        )
+                    return _decode_scan(
+                        data, pos, frame, scan_comps, qt, huff_dc, huff_ac,
+                        restart_interval,
+                    )
+                # MULTI-SCAN sequential baseline (T.81 allows several SOS
+                # per SOF0 frame, one subset of components each): decode
+                # each non-interleaved scan into the shared grids — the
+                # progressive path's component-grid traversal with
+                # baseline's full-band block loop — and reconstruct at EOI
+                if len(scan_comps) != 1:
+                    raise NotImplementedError(
+                        "multi-component PARTIAL scan in a sequential "
+                        "JPEG (subset-interleaved); one-component scans "
+                        "and full-component scans are supported"
+                    )
+                if grids is None:
+                    _hm, _vm, mcu_cols, mcu_rows = _mcu_geometry(frame)
+                    grids = [
+                        np.zeros((mcu_rows * vi, mcu_cols * hi, 64), np.int32)
+                        for _cid, hi, vi, _tq in frame[2]
+                    ]
+                pos = _decode_baseline_ni_scan(
+                    data, pos, frame, scan_comps[0], grids,
+                    huff_dc, huff_ac, restart_interval,
                 )
+                continue
             # progressive: accumulate this scan's band into the shared
             # coefficient grids, keep parsing — reconstruction at EOI
             band = (
@@ -428,9 +460,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 huff_dc, huff_ac, restart_interval,
             )
         # APPn / COM / anything else with a length: skipped
-    if progressive and grids is not None:
-        # a stream truncated after any completed scan still reconstructs
-        # (progressive's point); missing bands/refinements are just zero
+    if grids is not None:
+        # progressive, or multi-scan sequential: a stream truncated after
+        # any completed scan still reconstructs; missing bands /
+        # refinements / component scans are just zero
         return _reconstruct(frame, grids, qt)
     raise ValueError("no SOS scan found")
 
@@ -444,10 +477,74 @@ def _mcu_geometry(frame):
     return hmax, vmax, mcu_cols, mcu_rows
 
 
+def _decode_baseline_ni_scan(
+    data, pos, frame, scan_comp, grids, huff_dc, huff_ac, dri
+):
+    """One NON-interleaved sequential-baseline scan (multi-scan SOF0:
+    one component per SOS, the full 0..63 band per block) into the
+    shared per-component grids. The traversal is the progressive path's
+    component-grid geometry (ceil of the component's scaled dims, not
+    the MCU-padded grid); the block loop is baseline's DC+AC decode.
+    Returns the stream position of the marker ending the scan."""
+    img_h, img_w, comps = frame
+    hmax, vmax, _mc, _mr = _mcu_geometry(frame)
+    by_id = {cid: (i, hi, vi) for i, (cid, hi, vi, _tq) in enumerate(comps)}
+    cs, td, ta = scan_comp
+    ci, hi, vi = by_id[cs]
+    cbh = -(-(-(-img_w * hi // hmax)) // 8)
+    cbv = -(-(-(-img_h * vi // vmax)) // 8)
+    n_units = cbv * cbh
+    if td not in huff_dc:
+        raise ValueError(f"missing DC Huffman table {td}")
+    if ta not in huff_ac:
+        raise ValueError(f"missing AC Huffman table {ta}")
+    dc_sym, dc_len = _decode_lut(*huff_dc[td])
+    ac_sym, ac_len = _decode_lut(*huff_ac[ta])
+    g = grids[ci]
+    segments, end = _scan_segments(data, pos, n_units, dri)
+    unit = 0
+    for seg in segments:
+        bits = _BitReader(seg)
+        pred = 0  # restarts reset the DC predictor
+        for _ in range(min(dri, n_units - unit) if dri else n_units):
+            by, bx = divmod(unit, cbh)
+            row = g[by, bx]
+            p = bits.peek16()
+            ln = dc_len[p]
+            if ln == 0:
+                raise ValueError("invalid DC Huffman code")
+            bits.skip(ln)
+            s = dc_sym[p]
+            pred += _extend(bits.read(s), s) if s else 0
+            row[0] = pred
+            k = 1
+            while k < 64:
+                p = bits.peek16()
+                ln = ac_len[p]
+                if ln == 0:
+                    raise ValueError("invalid AC Huffman code")
+                bits.skip(ln)
+                rs = ac_sym[p]
+                s = rs & 15
+                if s == 0:
+                    if rs == 0xF0:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                row[k] = _extend(bits.read(s), s)
+                k += 1
+            unit += 1
+    return end
+
+
 def _decode_scan(data, pos, frame, scan_comps, qt, huff_dc, huff_ac, dri):
     img_h, img_w, comps = frame
     if len(scan_comps) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+        # decode_jpeg routes partial scans to _decode_baseline_ni_scan
+        raise ValueError("interleaved decoder fed a partial scan")
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
     hmax, vmax, mcu_cols, mcu_rows = _mcu_geometry(frame)
     n_mcus = mcu_cols * mcu_rows
@@ -829,18 +926,55 @@ def _blockify(plane: np.ndarray, mcu_rows: int, mcu_cols: int, vi: int, hi: int)
     )
 
 
+def _emit_block(bw, row, pred: int, dc_map, ac_map) -> int:
+    """Entropy-code one zigzag block (DC diff + AC RLE); returns the new
+    DC predictor. Shared by the interleaved and multi-scan writers."""
+    diff = int(row[0]) - pred
+    pred = int(row[0])
+    s = abs(diff).bit_length()
+    mag = diff + (1 << s) - 1 if diff < 0 else diff
+    code, ln = dc_map[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(mag, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(row[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_map[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        mag = v + (1 << s) - 1 if v < 0 else v
+        code, ln = ac_map[run << 4 | s]
+        bw.write(code, ln)
+        bw.write(mag, s)
+        run = 0
+    if run:
+        code, ln = ac_map[0x00]
+        bw.write(code, ln)
+    return pred
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    multi_scan: bool = False,
 ) -> bytes:
     """(h, w[, c]) uint8 → baseline JFIF bytes. c ∈ {1 gray, 3 RGB,
     4 RGBA (alpha dropped — JPEG has no alpha)}. ``subsampling``:
     "444" (no chroma subsampling) or "420" (2×2 box mean).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (exercises the decoder's restart path and is what a robust
-    encoder does for error resilience on large images)."""
+    encoder does for error resilience on large images).
+    ``multi_scan`` emits one NON-interleaved SOS per component (T.81
+    multi-scan sequential — the same quantized coefficients, so the
+    decode is bit-exactly equal to the single-scan encoding)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -913,6 +1047,42 @@ def encode_jpeg(
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if multi_scan and nc > 1:
+        # one NON-interleaved SOS per component, raster over the
+        # component's own block grid (ceil of its scaled dims — MCU
+        # padding blocks are NOT coded in a non-interleaved scan);
+        # restart_interval counts component blocks here (T.81: MCU =
+        # one data unit in a non-interleaved scan)
+        for ci in range(nc):
+            hi, vi = factors[ci]
+            cbh = -(-(-(-w * hi // hmax)) // 8)
+            cbv = -(-(-(-h * vi // vmax)) // 8)
+            sos = bytes([1, ci + 1, tsel[ci] << 4 | tsel[ci]]) + b"\x00\x3f\x00"
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            dc_map, ac_map = dc_maps[tsel[ci]], ac_maps[tsel[ci]]
+            nb = hi * vi
+            bw = _BitWriter()
+            pred = 0
+            rst = 0
+            for unit in range(cbv * cbh):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    bw.flush()
+                    out += bw.buf
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) & 7
+                    pred = 0
+                by, bx = divmod(unit, cbh)
+                # zz_all is MCU-ordered: (mcu, v, h) → flat index
+                idx = ((by // vi) * mcu_cols + bx // hi) * nb + (
+                    by % vi
+                ) * hi + bx % hi
+                pred = _emit_block(bw, zz_all[ci][idx], pred, dc_map, ac_map)
+            bw.flush()
+            out += bw.buf
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     # SOS
     sos = bytes([nc])
     for i in range(nc):
@@ -937,34 +1107,9 @@ def encode_jpeg(
             dc_map, ac_map = dc_maps[tsel[ci]], ac_maps[tsel[ci]]
             nb = hi * vi
             for b in range(nb):
-                row = zz_all[ci][mcu * nb + b]
-                diff = int(row[0]) - preds[ci]
-                preds[ci] = int(row[0])
-                s = abs(diff).bit_length()
-                mag = diff + (1 << s) - 1 if diff < 0 else diff
-                code, ln = dc_map[s]
-                bw.write(code, ln)
-                if s:
-                    bw.write(mag, s)
-                run = 0
-                for k in range(1, 64):
-                    v = int(row[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_map[0xF0]
-                        bw.write(code, ln)
-                        run -= 16
-                    s = abs(v).bit_length()
-                    mag = v + (1 << s) - 1 if v < 0 else v
-                    code, ln = ac_map[run << 4 | s]
-                    bw.write(code, ln)
-                    bw.write(mag, s)
-                    run = 0
-                if run:
-                    code, ln = ac_map[0x00]
-                    bw.write(code, ln)
+                preds[ci] = _emit_block(
+                    bw, zz_all[ci][mcu * nb + b], preds[ci], dc_map, ac_map
+                )
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI

@@ -491,3 +491,126 @@ def test_optimized_huffman_reserves_all_ones_code():
         for _, code, ln in codes:
             assert code != (1 << ln) - 1, (freqs, code, ln)
         assert max(ln for _, _, ln in codes) <= 16
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("dri", [0, 2])
+def test_multi_scan_baseline_equals_single_scan(sub, dri):
+    """T.81 multi-scan sequential (one non-interleaved SOS per
+    component): same quantized coefficients as the single interleaved
+    scan, so the decode must be BIT-exact — including with restart
+    markers (which count component blocks in a non-interleaved scan)
+    and with 420's MCU padding blocks absent from the partial scans."""
+    from osm_render_spark.raster.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(8, 8), (17, 23), (48, 32)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        one = decode_jpeg(encode_jpeg(img, 85, sub, restart_interval=dri))
+        multi = encode_jpeg(img, 85, sub, restart_interval=dri, multi_scan=True)
+        assert multi.count(b"\xff\xda") == 3  # three SOS markers
+        assert (decode_jpeg(multi) == one).all(), (h, w)
+
+
+def test_multi_scan_truncated_reconstructs_partial():
+    """A multi-scan stream truncated after the Y scan still
+    reconstructs (missing chroma scans decode as zero coefficients) —
+    the same tolerance the progressive decoder documents."""
+    from osm_render_spark.raster.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16, 3), 200, np.uint8)
+    data = encode_jpeg(img, 90, multi_scan=True)
+    second_sos = data.index(b"\xff\xda", data.index(b"\xff\xda") + 2)
+    out = decode_jpeg(data[:second_sos] + b"\xff\xd9")
+    assert out.shape == (16, 16, 3)  # luma present, chroma neutral-zero
+
+
+def test_hand_crafted_multi_scan_stream_decodes_bit_exact():
+    """Independent-of-our-encoder validation of the multi-scan path: a
+    3-component 8x8 stream crafted by hand per T.81 — three
+    non-interleaved scans with their own DC categories and per-scan
+    predictors — must decode to the DC-only color block computed here
+    from the standard's formulas (no shared code with raster/jpeg.py)."""
+    import struct
+
+    from osm_render_spark.raster.jpeg import decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpg = (
+        bytes([0xFF, 0xD8])
+        + seg(0xDB, bytes([0x00]) + bytes([2] * 64))  # Q0: flat 2
+        + seg(0xDB, bytes([0x01]) + bytes([3] * 64))  # Q1: flat 3
+        + seg(
+            0xC0,
+            bytes([8])
+            + struct.pack(">HH", 8, 8)
+            + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + seg(0xC4, bytes([0x00, 1] + [0] * 15 + [2]))  # DC0: '0'->cat 2
+        + seg(0xC4, bytes([0x01, 1] + [0] * 15 + [3]))  # DC1: '0'->cat 3
+        + seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))  # AC0: '0'->EOB
+        + seg(0xC4, bytes([0x11, 1] + [0] * 15 + [0x00]))  # AC1: '0'->EOB
+        # Y scan:  DC '0'+'10' (+2), EOB '0'  -> 0100 pad 1111 = 0x4F
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0x4F])
+        # Cb scan: DC '0'+'011' (-4), EOB '0' -> 00110 pad 111 = 0x37
+        + seg(0xDA, bytes([1, 2, 0x11, 0, 63, 0]))
+        + bytes([0x37])
+        # Cr scan: DC '0'+'100' (+4), EOB '0' -> 01000 pad 111 = 0x47
+        + seg(0xDA, bytes([1, 3, 0x11, 0, 63, 0]))
+        + bytes([0x47])
+        + bytes([0xFF, 0xD9])
+    )
+    dec = decode_jpeg(jpg)
+    assert dec.shape == (8, 8, 3)
+
+    def plane(dc_coef):  # DC-only IDCT: every pixel = coef/8 + 128
+        return float(np.floor(dc_coef / 8.0 + 128.0 + 0.5))
+
+    y, cb, cr = plane(2 * 2), plane(-4 * 3), plane(4 * 3)
+    want = [
+        int(np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)),
+        int(
+            np.clip(
+                np.floor(
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                ),
+                0,
+                255,
+            )
+        ),
+        int(np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)),
+    ]
+    for ch in range(3):
+        assert (dec[:, :, ch] == want[ch]).all(), (ch, want, dec[0, 0])
+
+
+def test_subset_interleaved_partial_scan_rejected_by_name():
+    """A 2-of-3-component partial scan (subset-interleaved) is a
+    documented gap: clear NotImplementedError, never a wrong decode."""
+    import struct
+
+    from osm_render_spark.raster.jpeg import decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpg = (
+        bytes([0xFF, 0xD8])
+        + seg(0xDB, bytes([0x00]) + bytes([2] * 64))
+        + seg(
+            0xC0,
+            bytes([8])
+            + struct.pack(">HH", 8, 8)
+            + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + seg(0xC4, bytes([0x00, 1] + [0] * 15 + [2]))
+        + seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+        + seg(0xDA, bytes([2, 1, 0x00, 2, 0x00, 0, 63, 0]))
+        + bytes([0x4F])
+        + bytes([0xFF, 0xD9])
+    )
+    with pytest.raises(NotImplementedError, match="subset-interleaved"):
+        decode_jpeg(jpg)
