@@ -573,7 +573,14 @@ def audio_features(audios: DataFrame, frame: int = 400) -> DataFrame:
     FLAC (raster/flac.py, from-scratch lossless codec) plus the
     deterministic fake_audio_bytes fixture format; perceptual codecs
     (mp3/aac/...) raise NotImplementedError (no codec library in this
-    container)."""
+    container). Why MP3 stays stubbed while JPEG/FLAC/LZ4/zstd were
+    built from scratch: Layer III's pipeline math (IMDCT, synthesis
+    polyphase) is derivable, but ISO 11172-3's normative DATA tables
+    (the 512-coefficient window, 34 Huffman tables, scalefactor bands)
+    are copyrighted constants with no in-container independent decoder
+    to validate against — fabricating them is exactly the
+    self-consistent-codec trap this repo's codec discipline exists to
+    avoid (zstd had the system CLI as adversary; MP3 has nothing)."""
     import struct
     import zlib
 

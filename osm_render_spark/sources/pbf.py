@@ -315,10 +315,11 @@ def _inflate_blob(payload: bytes) -> bytes:
     """Blob message → raw (decompressed) payload bytes. Codecs: raw,
     zlib (the OSM default), lzma and bzip2 via the python stdlib
     (VERDICT r2 #9; bzip2 is marked obsolete by the format — read
-    support only, plus a writer flag for round-trip tests), and lz4
+    support only, plus a writer flag for round-trip tests), lz4
     (fileformat.proto field 6, LZ4 *block* format — from-scratch codec
-    in sources/lz4.py since the container has no lz4 library). zstd
-    has no stdlib codec below python 3.14 → clear error."""
+    in sources/lz4.py since the container has no lz4 library), and
+    zstd (field 7 — from-scratch RFC 8878 decoder in sources/zstd.py,
+    validated against libzstd; python below 3.14 has no stdlib zstd)."""
     raw, raw_size = None, None
     comp, comp_codec = None, None
     for num, _w, v in scan_fields(payload):
@@ -326,17 +327,16 @@ def _inflate_blob(payload: bytes) -> bytes:
             raw = bytes(v)
         elif num == 2:
             raw_size = v
-        elif num in (3, 4, 5, 6):  # zlib / lzma / obsolete-bzip2 / lz4
+        elif num in (3, 4, 5, 6, 7):  # zlib / lzma / bzip2 / lz4 / zstd
             comp = bytes(v)
-            comp_codec = {3: "zlib", 4: "lzma", 5: "bzip2", 6: "lz4"}[num]
-        elif num == 7:
-            comp_codec = "zstd"
+            comp_codec = {3: "zlib", 4: "lzma", 5: "bzip2", 6: "lz4",
+                          7: "zstd"}[num]
     if raw is None:
         if comp is None:
             raise NotImplementedError(
-                f"blob uses {comp_codec or 'an unknown'} compression; this "
-                "reader supports raw, zlib (the OSM default), lzma, bzip2 "
-                "and lz4 blobs — recompress the extract with zlib"
+                "blob uses an unknown compression field; this reader "
+                "supports raw, zlib (the OSM default), lzma, bzip2, lz4 "
+                "and zstd blobs — recompress the extract with zlib"
             )
         if comp_codec == "zlib":
             raw = zlib.decompress(comp)
@@ -350,6 +350,12 @@ def _inflate_blob(payload: bytes) -> bytes:
             # the block format carries no size; raw_size is the
             # Blob-level contract (checked inside on mismatch)
             raw = lz4_decompress_block(comp, raw_size)
+        elif comp_codec == "zstd":
+            from .zstd import zstd_decompress
+
+            # frame carries its own checksum/FCS; raw_size is the
+            # Blob-level contract (checked inside on mismatch)
+            raw = zstd_decompress(comp, raw_size)
         else:  # bzip2
             import bz2
 
@@ -808,6 +814,22 @@ def _blob(btype: str, raw: bytes, codec: str = "zlib") -> bytes:
         from .lz4 import lz4_compress_block
 
         blob = _varint_field(2, len(raw)) + _len_field(6, lz4_compress_block(raw))
+    elif codec == "zstd":
+        # deliberately NOT our own encoder: sources/zstd.py is
+        # decode-only so the round-trip is adversarial (system libzstd
+        # compresses, our RFC 8878 decoder reads it back)
+        import shutil
+        import subprocess
+
+        if shutil.which("zstd") is None:
+            raise NotImplementedError(
+                "zstd blob WRITING needs the system zstd CLI (reading "
+                "zstd blobs needs nothing — sources/zstd.py)"
+            )
+        comp = subprocess.run(
+            ["zstd", "-c", "-3"], input=raw, capture_output=True, check=True
+        ).stdout
+        blob = _varint_field(2, len(raw)) + _len_field(7, comp)
     elif codec == "raw":
         blob = _len_field(1, raw)
     else:

@@ -305,7 +305,7 @@ def test_scan_blob_index_stream_reads_headers_only():
         assert CountingIO.read_bytes < 64 * len(idx)
 
 
-@pytest.mark.parametrize("codec", ["lzma", "bzip2", "raw", "lz4"])
+@pytest.mark.parametrize("codec", ["lzma", "bzip2", "raw", "lz4", "zstd"])
 def test_blob_codec_roundtrip(spark, codec):
     """VERDICT r2 #9: lzma/bzip2 (python stdlib) and raw blobs decode;
     each codec round-trips to the same entities as the zlib default."""
@@ -335,9 +335,33 @@ def test_unsupported_blob_codec_raises_clearly():
         _inflate_blob,
     )
 
-    payload = _varint_field(2, 5) + _len_field(7, b"zstdX")  # field 7 = zstd
-    with pytest.raises(NotImplementedError, match="zstd"):
+    # a Blob with raw_size but NO recognized payload field at all
+    payload = _varint_field(2, 5) + _len_field(9, b"mystery")
+    with pytest.raises(NotImplementedError, match="zlib"):
         _inflate_blob(payload)
+
+
+def test_zstd_blob_decodes_via_from_scratch_decoder():
+    """fileformat.proto field 7: a zstd blob (compressed by the system
+    libzstd) decodes through sources/zstd.py with the raw_size contract
+    enforced."""
+    import subprocess
+
+    from osm_render_spark.sources.pbf import (
+        _len_field,
+        _varint_field,
+        _inflate_blob,
+    )
+
+    raw = b"OSMData payload " * 100
+    comp = subprocess.run(
+        ["zstd", "-c", "-19"], input=raw, capture_output=True, check=True
+    ).stdout
+    payload = _varint_field(2, len(raw)) + _len_field(7, comp)
+    assert _inflate_blob(payload) == raw
+    bad = _varint_field(2, len(raw) + 1) + _len_field(7, comp)
+    with pytest.raises(ValueError, match="size"):
+        _inflate_blob(bad)
 
 
 def test_read_pbf_directory_of_files(spark):
