@@ -3159,6 +3159,115 @@ FROM fan GROUP BY 1, 2, 3 ORDER BY tile_key
     return QueryDef(fn, duck)
 
 
+def _q_tile_pyramid() -> QueryDef:
+    """Tile-pyramid rollup (raster/pyramid.build_tile_pyramid): render
+    the deepest zoom once, derive each parent level as a raster
+    reduction. Oracle checks the pyramid's SHAPE — per-(zoom, tile)
+    n_ways / way_sum / n_children manifest digests, which the engine's
+    rollup kernel computes from the groups it actually composed, so a
+    parent-key, quadrant-grouping, or level-iteration bug
+    hash-mismatches. Pixel content (exact 2× box filter, land fill for
+    missing quadrants) is pinned by tests/test_pyramid against an
+    independent single-process numpy reference."""
+    zoom, d = 6, 0.05
+    n = 1 << zoom
+
+    def tx(e: str) -> str:
+        from .functions.projection import tile_x_sql
+
+        return tile_x_sql(e, zoom)
+
+    def ty(e: str) -> str:
+        from .functions.projection import tile_y_sql
+
+        return tile_y_sql(e, zoom)
+
+    duck = f"""
+WITH w AS (
+  SELECT o_orderkey AS way_id,
+         {LON_ORD} AS lon0, ({LON_ORD} + {d!r}) AS lon1,
+         {LAT_ORD} AS lat0, ({LAT_ORD} + {d!r}) AS lat1
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+ranges AS (
+  SELECT way_id,
+         {tx('lon0')} AS tx0, {tx('lon1')} AS tx1,
+         {ty('lat1')} AS ty0, {ty('lat0')} AS ty1
+  FROM w
+),
+fan1 AS (
+  SELECT way_id, unnest(generate_series(tx0, tx1)) AS tile_x, ty0, ty1 FROM ranges
+),
+fan AS (
+  SELECT way_id, tile_x, unnest(generate_series(ty0, ty1)) AS tile_y FROM fan1
+),
+l6 AS (
+  SELECT tile_x, tile_y, COUNT(*) AS n_ways,
+         CAST(SUM(way_id) AS BIGINT) AS way_sum
+  FROM fan GROUP BY 1, 2
+),
+l5 AS (
+  SELECT CAST(FLOOR(tile_x / 2) AS BIGINT) AS tile_x,
+         CAST(FLOOR(tile_y / 2) AS BIGINT) AS tile_y,
+         CAST(SUM(n_ways) AS BIGINT) AS n_ways,
+         CAST(SUM(way_sum) AS BIGINT) AS way_sum,
+         COUNT(*) AS n_children
+  FROM l6 GROUP BY 1, 2
+),
+l4 AS (
+  SELECT CAST(FLOOR(tile_x / 2) AS BIGINT) AS tile_x,
+         CAST(FLOOR(tile_y / 2) AS BIGINT) AS tile_y,
+         CAST(SUM(n_ways) AS BIGINT) AS n_ways,
+         CAST(SUM(way_sum) AS BIGINT) AS way_sum,
+         COUNT(*) AS n_children
+  FROM l5 GROUP BY 1, 2
+)
+SELECT 6 AS zoom, tile_x * {n} + tile_y AS tile_key, tile_x, tile_y,
+       n_ways, way_sum, 0 AS n_children FROM l6
+UNION ALL
+SELECT 5, tile_x * {n // 2} + tile_y, tile_x, tile_y,
+       n_ways, way_sum, n_children FROM l5
+UNION ALL
+SELECT 4, tile_x * {n // 4} + tile_y, tile_x, tile_y,
+       n_ways, way_sum, n_children FROM l4
+ORDER BY zoom, tile_key
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .raster.ops import render_slippy_tiles
+        from .raster.pyramid import build_tile_pyramid
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.expr("o_orderkey % 100 = 0")
+        )
+        ways = orders.select(
+            F.col("o_orderkey").alias("way_id"),
+            F.lit("water").alias("kind"),
+            F.expr(
+                f"""array(
+                  struct({LON_ORD} AS lon, {LAT_ORD} AS lat),
+                  struct({LON_ORD} + {d} AS lon, {LAT_ORD} AS lat),
+                  struct({LON_ORD} + {d} AS lon, {LAT_ORD} + {d} AS lat),
+                  struct({LON_ORD} AS lon, {LAT_ORD} + {d} AS lat),
+                  struct({LON_ORD} AS lon, {LAT_ORD} AS lat)
+                )"""
+            ).alias("geometry"),
+        )
+        base = render_slippy_tiles(ways, zoom=zoom, tile_px=64)
+        pyr = build_tile_pyramid(base, zoom, zoom_min=zoom - 2, tile_px=64)
+        return pyr.select(
+            F.col("zoom").cast("int").alias("zoom"),
+            "tile_key",
+            "tile_x",
+            "tile_y",
+            "n_ways",
+            "way_sum",
+            "n_children",
+        ).orderBy("zoom", "tile_key")
+
+    return QueryDef(fn, duck)
+
+
 def _q_event_hourly_rollup() -> QueryDef:
     """Event-time tumbling-window rollup over the events table — the
     batch twin of streaming.ingest.streaming_tile_counts' windowed agg
@@ -3359,6 +3468,7 @@ def build_queries() -> dict[str, QueryDef]:
         "ann_ivf_q8_top3": _q_ann_ivf_q8_top3(),
         "way_tile_fanout": _q_way_tile_fanout(),
         "slippy_render": _q_slippy_render(),
+        "tile_pyramid": _q_tile_pyramid(),
         "pbf_roundtrip": _q_pbf_roundtrip(),
         "quantize_int8": _q_quantize_int8(),
         "event_hourly_rollup": _q_event_hourly_rollup(),
