@@ -216,11 +216,22 @@ def scrub_duplicated_spans(
         removals = spans2.join(keep, "_g").where(F.col("doc_id") != F.col("_keep"))
     else:
         removals = spans2
+    id_t = docs.schema[id_col].dataType.simpleString()
+    return _apply_span_cuts(base, removals, id_t)
+
+
+def _apply_span_cuts(base: DataFrame, removals: DataFrame, id_t: str) -> DataFrame:
+    """Cut (span_start, span_len) intervals out of each document's text:
+    base(doc_id, _t) × removals(doc_id, span_start, span_len, ...) →
+    (doc_id, text, n_spans_removed, n_chars_removed). Spans are assumed
+    disjoint per doc (maximal islands guarantee) so the cut is one
+    linear pass; the spans-per-doc collect_list is bounded by
+    doc_len / min_len. Shared by scrub_duplicated_spans and
+    decontaminate so the cut arithmetic can never diverge."""
     rem = removals.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
     )
     joined = base.join(rem, "doc_id", "left")
-    id_t = docs.schema[id_col].dataType.simpleString()
 
     def kernel(batches):
         import pandas as pd
@@ -263,4 +274,172 @@ def scrub_duplicated_spans(
             f"doc_id {id_t}, text string, n_spans_removed long, "
             f"n_chars_removed long"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination: corpus spans that overlap a BENCHMARK set
+# ---------------------------------------------------------------------------
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 12,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    key: str = "hash",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(doc_id, span_start, span_len, n_grams) — maximal spans in the
+    CORPUS whose every k-gram also occurs somewhere in the BENCHMARK
+    set (train/test decontamination: the published eval-overlap recipe,
+    same gram granularity as duplicated_spans but against a second
+    table instead of cross-document).
+
+    Distributed shape: corpus positions are keyed by the same Arrow
+    rolling-hash kernel as duplicated_spans (text never rides position
+    rows); the benchmark reduces to its DISTINCT gram-key set — at
+    training scale the benchmark is dimension-sized (MBs of eval suites
+    vs TBs of corpus), so with ``broadcast_benchmark`` the containment
+    test is a broadcast LEFT SEMI join and the corpus side never
+    shuffles for it; the only wide exchange left is the per-doc islands
+    window. Set ``broadcast_benchmark=False`` for benchmark sets too
+    big to broadcast (falls back to a shuffled semi-join, which AQE may
+    still convert back to broadcast if the stats allow).
+
+    ``key="exact"`` uses gram strings (the oracle mode — zero collision
+    probability); hash==exact is pinned by tests.
+    """
+    if key not in ("hash", "exact"):
+        raise ValueError(f"key must be 'hash' or 'exact', got {key!r}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    bench = benchmark.select(F.col(bench_text_col).alias("_t"))
+    if key == "hash":
+        id_t = corpus.schema[id_col].dataType.simpleString()
+        keyed = base.mapInPandas(
+            _gram_hash_gen(k), schema=f"doc_id {id_t}, p long, _gkey long"
+        )
+        bkeyed = bench.select(F.lit(0).alias("doc_id"), "_t").mapInPandas(
+            _gram_hash_gen(k), schema="doc_id int, p long, _gkey long"
+        )
+    else:
+        arr = F.when(
+            F.length("_t") >= k,
+            F.expr(
+                f"transform(sequence(1, length(_t) - {k - 1}), "
+                f"p -> struct(CAST(p AS BIGINT) AS p, "
+                f"substring(_t, p, {k}) AS g))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<struct<p: bigint, g: string>>)"))
+        keyed = base.select("doc_id", F.explode(arr).alias("_e")).select(
+            "doc_id", F.col("_e.p").alias("p"), F.col("_e.g").alias("_gkey")
+        )
+        bkeyed = bench.select(F.lit(0).alias("doc_id"), "_t").select(
+            F.explode(arr).alias("_e")
+        ).select(F.col("_e.g").alias("_gkey"))
+    bgrams = bkeyed.select("_gkey").distinct()
+    if broadcast_benchmark:
+        bgrams = F.broadcast(bgrams)
+    cov = keyed.join(bgrams, "_gkey", "left_semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = cov.withColumn("_isl", F.col("p") - F.row_number().over(w))
+    spans = (
+        isl.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") - F.min("p") + F.lit(k)).alias("span_len"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("_isl")
+    )
+    if min_len is not None:
+        spans = spans.where(F.col("span_len") >= min_len)
+    return spans
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 12,
+    min_len: int | None = None,
+    mode: str = "drop",
+    max_overlap_pct: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    key: str = "hash",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Remove benchmark contamination from the corpus.
+
+    mode="drop": a document is DROPPED when its contaminated characters
+    exceed ``max_overlap_pct`` percent of its length (integer math:
+    100·chars > pct·len — engine-exact, no float fraction). Survivors
+    return with (doc_id, text, n_spans, n_chars_contaminated).
+
+    mode="scrub": contaminated spans are CUT from every document (the
+    benchmark is authoritative — no keep-one-copy rule), via the same
+    cut kernel as scrub_duplicated_spans. Returns
+    (doc_id, text, n_spans_removed, n_chars_removed).
+
+    n_chars_contaminated (drop mode) is EXACT — the size of the union
+    of contaminated char ranges. Two position-islands separated by a
+    gap < k have overlapping char ranges ([min_p, max_p + k - 1]), so
+    summing span_len would double-count up to k-1 chars per adjacent
+    pair (and can exceed the document length on gram-dense text); the
+    ranges are interval-merged first (one extra per-doc window over the
+    span table — doc_len/min_len rows, never positions).
+    """
+    if mode not in ("drop", "scrub"):
+        raise ValueError(f"mode must be 'drop' or 'scrub', got {mode!r}")
+    spans = contaminated_spans(
+        corpus, benchmark, k, min_len, id_col, text_col, bench_text_col,
+        key, broadcast_benchmark,
+    )
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    if mode == "scrub":
+        return _apply_span_cuts(base, spans, id_t)
+    # exact covered-char union: classic interval merge — a span starts a
+    # new merged group iff it begins past every earlier span's end
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    iv = spans.withColumn(
+        "_end", F.col("span_start") + F.col("span_len")
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col("span_start") > F.coalesce(
+                F.max("_end").over(wprev), F.lit(-1)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_grp", F.sum("_new").over(w))
+    merged = iv.groupBy("doc_id", "_grp").agg(
+        (F.max("_end") - F.min("span_start")).alias("_cov")
+    )
+    stats = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("_cov").alias("n_chars_contaminated"),
+    )
+    joined = base.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.col("_t").alias("text"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_chars_contaminated", F.lit(0)).alias(
+            "n_chars_contaminated"
+        ),
+    )
+    return joined.where(
+        F.lit(100) * F.col("n_chars_contaminated")
+        <= F.lit(max_overlap_pct) * F.length("text")
     )

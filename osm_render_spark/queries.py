@@ -3159,6 +3159,137 @@ FROM fan GROUP BY 1, 2, 3 ORDER BY tile_key
     return QueryDef(fn, duck)
 
 
+def _decontam_cov_cte(k: int) -> str:
+    """Shared DuckDB CTE prefix of the decontamination oracles: the
+    documents table split into corpus (doc_id % 10 <> 0) and benchmark
+    (doc_id % 10 = 0); covered corpus positions = positions whose
+    k-gram occurs anywhere in the benchmark; islands merge them."""
+    return f"""corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+),
+bench AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+pos AS (
+  SELECT doc_id, CAST(unnest(range(1, length(text) - {k - 2})) AS BIGINT) AS p,
+         text
+  FROM corpus
+),
+g AS (SELECT doc_id, p, substr(text, CAST(p AS INT), {k}) AS gram FROM pos),
+bpos AS (
+  SELECT CAST(unnest(range(1, length(text) - {k - 2})) AS BIGINT) AS p, text
+  FROM bench
+),
+bg AS (SELECT DISTINCT substr(text, CAST(p AS INT), {k}) AS gram FROM bpos),
+cov AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM bg)),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM cov
+)"""
+
+
+def _q_decontam_spans() -> QueryDef:
+    """Train/test decontamination, detection half (operators/substring.
+    contaminated_spans): maximal corpus spans whose every 12-gram also
+    occurs in the BENCHMARK split (doc_id % 10 = 0 plays the benchmark;
+    the rest is the corpus). Spark runs the real operator in key='exact'
+    mode — same discipline as substring_dedup; hash==exact pinned by
+    tests/test_decontaminate.py."""
+    k, min_len = 12, 40
+    duck = f"""
+WITH {_decontam_cov_cte(k)},
+spans AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + {k} AS span_len,
+         COUNT(*) AS n_grams
+  FROM isl GROUP BY doc_id, isl
+)
+SELECT doc_id, span_start, span_len, n_grams
+FROM spans WHERE span_len >= {min_len}
+ORDER BY doc_id, span_start
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.substring import contaminated_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = docs.where("doc_id % 10 <> 0")
+        bench = docs.where("doc_id % 10 = 0")
+        return contaminated_spans(
+            corpus, bench, k=k, min_len=min_len, key="exact"
+        ).orderBy("doc_id", "span_start")
+
+    return QueryDef(fn, duck)
+
+
+def _q_decontaminate_drop() -> QueryDef:
+    """Decontamination, removal half in drop mode (operators/substring.
+    decontaminate): a corpus document is dropped when its contaminated
+    characters exceed 20% of its length (exact integer comparison —
+    100·chars > 20·len; chars = the interval-MERGED covered-char union,
+    never the double-counting span_len sum). Output: surviving doc ids
+    + their contamination stats, so the span accounting, the interval
+    merge, AND the drop decision are all value-hashed. min_len=40 /
+    pct=20 give a non-trivial split at both SFs (sf0.01: 444/450
+    survive; sf0.1: ~2.6k/4.5k)."""
+    k, min_len, pct = 12, 40, 20
+    duck = f"""
+WITH {_decontam_cov_cte(k)},
+spans AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + {k} AS span_len
+  FROM isl GROUP BY doc_id, isl
+  HAVING MAX(p) - MIN(p) + {k} >= {min_len}
+),
+iv AS (
+  SELECT doc_id, span_start, span_start + span_len AS e,
+    CASE WHEN span_start > COALESCE(MAX(span_start + span_len) OVER
+      (PARTITION BY doc_id ORDER BY span_start
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS nw
+  FROM spans
+),
+grps AS (
+  SELECT doc_id, span_start, e,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY span_start
+                       ROWS UNBOUNDED PRECEDING) AS grp
+  FROM iv
+),
+merged AS (
+  SELECT doc_id, grp, MAX(e) - MIN(span_start) AS cov
+  FROM grps GROUP BY doc_id, grp
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         CAST(SUM(cov) AS BIGINT) AS n_chars_contaminated
+  FROM merged GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(s.n_spans, 0) AS n_spans,
+       COALESCE(s.n_chars_contaminated, 0) AS n_chars_contaminated,
+       length(c.text) AS doc_len
+FROM corpus c LEFT JOIN stats s USING (doc_id)
+WHERE 100 * COALESCE(s.n_chars_contaminated, 0) <= {pct} * length(c.text)
+ORDER BY c.doc_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.substring import decontaminate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = docs.where("doc_id % 10 <> 0")
+        bench = docs.where("doc_id % 10 = 0")
+        out = decontaminate(
+            corpus, bench, k=k, min_len=min_len, mode="drop",
+            max_overlap_pct=pct, key="exact",
+        )
+        return out.select(
+            "doc_id",
+            "n_spans",
+            "n_chars_contaminated",
+            F.length("text").cast("long").alias("doc_len"),
+        ).orderBy("doc_id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_tile_pyramid() -> QueryDef:
     """Tile-pyramid rollup (raster/pyramid.build_tile_pyramid): render
     the deepest zoom once, derive each parent level as a raster
@@ -3443,6 +3574,8 @@ def build_queries() -> dict[str, QueryDef]:
         "dedup_exact": _q_dedup_exact(),
         "substring_dedup": _q_substring_dedup(),
         "substring_scrub": _q_substring_scrub(),
+        "decontam_spans": _q_decontam_spans(),
+        "decontaminate_drop": _q_decontaminate_drop(),
         "token_count": _q_token_count(),
         "text_quality": _q_text_quality(),
         "langid": _q_langid(),
