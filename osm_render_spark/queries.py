@@ -3290,6 +3290,81 @@ ORDER BY c.doc_id
     return QueryDef(fn, duck)
 
 
+def _q_simplify_ways() -> QueryDef:
+    """RDP geometry simplification (operators/simplify.simplify_ways).
+    Each order becomes a 9-point rectangle ring: 4 corners + 4 edge
+    midpoints + the closing point, with the bottom midpoint bumped
+    outward by amp = (way_id % 4)·0.003. At eps = 0.005 RDP provably
+    keeps exactly the corners + closure (collinear midpoints die) plus
+    the bump iff amp > eps — the survivor set is in closed form, so
+    DuckDB can state n_points_out AND an integer coordinate digest over
+    the kept points without running RDP at all (margins are ≥5% of the
+    compared distances, far above double rounding). The digest uses
+    floor(x·1e5 + 0.5) per point THEN integer sums — associative, no
+    float-order hazard. Kernel-vs-reference parity itself is pinned by
+    tests/test_simplify.py's hypothesis fuzz."""
+    eps, w = 0.005, 0.02
+
+    def f(lon: str, lat: str) -> str:
+        return (
+            f"CAST(FLOOR(({lon}) * CAST(100000 AS DOUBLE) + 0.5) AS BIGINT) * 3"
+            f" + CAST(FLOOR(({lat}) * CAST(100000 AS DOUBLE) + 0.5) AS BIGINT)"
+        )
+
+    amp = "(CAST(o_orderkey % 4 AS DOUBLE) * CAST(0.003 AS DOUBLE))"
+    lon0, lat0 = LON_ORD, LAT_ORD
+    duck = f"""
+SELECT o_orderkey AS way_id,
+       9 AS n_points_in,
+       CASE WHEN {amp} > {eps!r} THEN 6 ELSE 5 END AS n_points_out,
+       2 * ({f(lon0, lat0)})
+         + ({f(f'{lon0} + {w!r}', lat0)})
+         + ({f(f'{lon0} + {w!r}', f'{lat0} + {w!r}')})
+         + ({f(lon0, f'{lat0} + {w!r}')})
+         + CASE WHEN {amp} > {eps!r}
+                THEN ({f(f'{lon0} + {w / 2!r}', f'{lat0} - {amp}')})
+                ELSE 0 END AS digest
+FROM orders WHERE o_orderkey % 100 = 0
+ORDER BY way_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.simplify import simplify_ways
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.expr("o_orderkey % 100 = 0")
+        )
+        ways = orders.select(
+            F.col("o_orderkey").alias("way_id"),
+            F.expr(
+                f"""array(
+                  struct({lon0} AS lon, {lat0} AS lat),
+                  struct({lon0} + {w / 2!r} AS lon, {lat0} - {amp} AS lat),
+                  struct({lon0} + {w!r} AS lon, {lat0} AS lat),
+                  struct({lon0} + {w!r} AS lon, {lat0} + {w / 2!r} AS lat),
+                  struct({lon0} + {w!r} AS lon, {lat0} + {w!r} AS lat),
+                  struct({lon0} + {w / 2!r} AS lon, {lat0} + {w!r} AS lat),
+                  struct({lon0} AS lon, {lat0} + {w!r} AS lat),
+                  struct({lon0} AS lon, {lat0} + {w / 2!r} AS lat),
+                  struct({lon0} AS lon, {lat0} AS lat)
+                )"""
+            ).alias("geometry"),
+        )
+        simp = simplify_ways(ways, eps=eps, space="lonlat")
+        return simp.select(
+            "way_id",
+            "n_points_in",
+            "n_points_out",
+            F.expr(
+                "aggregate(geometry, CAST(0 AS BIGINT), (acc, z) -> acc"
+                " + CAST(FLOOR(z.lon * CAST(100000 AS DOUBLE) + 0.5) AS BIGINT) * 3"
+                " + CAST(FLOOR(z.lat * CAST(100000 AS DOUBLE) + 0.5) AS BIGINT))"
+            ).alias("digest"),
+        ).orderBy("way_id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_tile_pyramid() -> QueryDef:
     """Tile-pyramid rollup (raster/pyramid.build_tile_pyramid): render
     the deepest zoom once, derive each parent level as a raster
@@ -3602,6 +3677,7 @@ def build_queries() -> dict[str, QueryDef]:
         "way_tile_fanout": _q_way_tile_fanout(),
         "slippy_render": _q_slippy_render(),
         "tile_pyramid": _q_tile_pyramid(),
+        "simplify_ways": _q_simplify_ways(),
         "pbf_roundtrip": _q_pbf_roundtrip(),
         "quantize_int8": _q_quantize_int8(),
         "event_hourly_rollup": _q_event_hourly_rollup(),
