@@ -3290,6 +3290,64 @@ ORDER BY c.doc_id
     return QueryDef(fn, duck)
 
 
+def _q_density_tiles() -> QueryDef:
+    """Point-density heatmap tiles (raster/heatmap.density_tiles). The
+    oracle value-hashes the per-tile histogram DIGESTS — n_points,
+    max_bin (the densest pixel's count) and Σ_points bin_index — which
+    the engine's kernel computes from the histogram grid it actually
+    rendered, so a binning, transpose, or grouping bug hash-mismatches.
+    The bin arithmetic is ONE shared SQL string (heatmap.pixel_bin_sql)
+    pasted into both engines. PNG intensity rounding is pinned by
+    tests/test_heatmap.py against a numpy reference."""
+    zoom, tile_px = 6, 32
+    n = 1 << zoom
+
+    def mk(lon: str, lat: str) -> tuple[str, str, str]:
+        from .functions.projection import tile_x_sql, tile_y_sql
+        from .raster.heatmap import pixel_bin_sql
+
+        return (
+            tile_x_sql(lon, zoom),
+            tile_y_sql(lat, zoom),
+            pixel_bin_sql(lon, lat, zoom, tile_px),
+        )
+
+    txs, tys, bins = mk(LON_ORD, LAT_ORD)
+    duck = f"""
+WITH pts AS (
+  SELECT {txs} AS tile_x, {tys} AS tile_y, {bins} AS bin
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+per_bin AS (
+  SELECT tile_x, tile_y, bin, COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2, 3
+)
+SELECT tile_x * {n} + tile_y AS tile_key, tile_x, tile_y,
+       CAST(SUM(cnt) AS BIGINT) AS n_points,
+       CAST(MAX(cnt) AS BIGINT) AS max_bin,
+       CAST(SUM(bin * cnt) AS BIGINT) AS pix_digest
+FROM per_bin GROUP BY 1, 2, 3 ORDER BY tile_key
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .raster.heatmap import density_tiles
+
+        pts = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .where(F.expr("o_orderkey % 10 = 0"))
+            .select(
+                F.expr(LON_ORD).alias("lon"), F.expr(LAT_ORD).alias("lat")
+            )
+        )
+        tiles = density_tiles(pts, zoom=zoom, tile_px=tile_px)
+        return tiles.select(
+            "tile_key", "tile_x", "tile_y", "n_points", "max_bin",
+            "pix_digest",
+        ).orderBy("tile_key")
+
+    return QueryDef(fn, duck)
+
+
 def _q_simplify_ways() -> QueryDef:
     """RDP geometry simplification (operators/simplify.simplify_ways).
     Each order becomes a 9-point rectangle ring: 4 corners + 4 edge
@@ -3678,6 +3736,7 @@ def build_queries() -> dict[str, QueryDef]:
         "slippy_render": _q_slippy_render(),
         "tile_pyramid": _q_tile_pyramid(),
         "simplify_ways": _q_simplify_ways(),
+        "density_tiles": _q_density_tiles(),
         "pbf_roundtrip": _q_pbf_roundtrip(),
         "quantize_int8": _q_quantize_int8(),
         "event_hourly_rollup": _q_event_hourly_rollup(),

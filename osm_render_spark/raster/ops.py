@@ -43,6 +43,47 @@ AREA_COLORS = {
 }
 
 
+def buffered_group_map(df, key_col: str, render_group, cols, schema):
+    """Many groups per Arrow batch: repartition on ``key_col`` + sort
+    within partitions, then iterate groups inside mapInPandas, buffering
+    the group that spans a batch boundary. One applyInPandas group per
+    key costs ~4 ms of per-group overhead — at millions of tiles that
+    dominates; this shape amortizes it across whole batches. Shared by
+    render_slippy_tiles, the pyramid rollup, and density_tiles so the
+    boundary-buffering logic can never diverge.
+
+    ``render_group(pdf) -> tuple`` produces one output row (``cols``
+    order) per key group; groups arrive sorted by key."""
+    import pandas as pd  # noqa: F811 — kernel-local import for executors
+
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    arranged = df.repartition(n_part, key_col).sortWithinPartitions(key_col)
+
+    def kernel(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            last_key = pdf[key_col].iloc[-1]
+            head = pdf[pdf[key_col] != last_key]
+            pending = pdf[pdf[key_col] == last_key]
+            if len(head):
+                out = [
+                    render_group(g) for _k, g in head.groupby(key_col, sort=True)
+                ]
+                yield pd.DataFrame(out, columns=cols)
+        if pending is not None and len(pending):
+            out = [
+                render_group(g) for _k, g in pending.groupby(key_col, sort=True)
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return arranged.mapInPandas(kernel, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # map rendering (OsmRenderMap analog, OsmRender.m:430-537)
 # ---------------------------------------------------------------------------
@@ -291,53 +332,27 @@ def render_slippy_tiles(
         ).alias("ys"),
     )
 
-    # Many tiles per Arrow batch: repartition on tile_key + sort within
-    # partitions, then iterate groups inside mapInPandas (buffering the
-    # group that spans a batch boundary). One applyInPandas group per tile
-    # costs ~4 ms of per-group overhead — at millions of tiles that
-    # dominates; this shape amortizes it across a whole batch.
-    n_part = max(local.sparkSession.sparkContext.defaultParallelism, 8)
-    arranged = local.repartition(n_part, "tile_key").sortWithinPartitions("tile_key")
+    def render_group(g: pd.DataFrame):
+        surf = render_map_kernel(g, tile_px, tile_px)
+        # n_ways/way_sum: engine-independent per-tile manifest digests
+        # (each way appears exactly once per covered tile) — the
+        # slippy_render oracle recomputes them from the fan-out
+        # arithmetic in DuckDB
+        return (
+            int(g["tile_key"].iloc[0]),
+            int(g["tile_x"].iloc[0]),
+            int(g["tile_y"].iloc[0]),
+            encode_png(surf),
+            len(g),
+            int(g["way_id"].sum()),
+        )
 
-    def kernel(batches):
-        pending: pd.DataFrame | None = None
-
-        def render_group(g: pd.DataFrame):
-            surf = render_map_kernel(g, tile_px, tile_px)
-            # n_ways/way_sum: engine-independent per-tile manifest digests
-            # (each way appears exactly once per covered tile) — the
-            # slippy_render oracle recomputes them from the fan-out
-            # arithmetic in DuckDB
-            return (
-                int(g["tile_key"].iloc[0]),
-                int(g["tile_x"].iloc[0]),
-                int(g["tile_y"].iloc[0]),
-                encode_png(surf),
-                len(g),
-                int(g["way_id"].sum()),
-            )
-
-        cols = ["tile_key", "tile_x", "tile_y", "bytes", "n_ways", "way_sum"]
-        for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-                pending = None
-            if len(pdf) == 0:
-                continue
-            last_key = pdf["tile_key"].iloc[-1]
-            tail = pdf[pdf["tile_key"] == last_key]
-            head = pdf[pdf["tile_key"] != last_key]
-            pending = tail
-            if len(head):
-                out = [render_group(g) for _k, g in head.groupby("tile_key", sort=True)]
-                yield pd.DataFrame(out, columns=cols)
-        if pending is not None and len(pending):
-            out = [render_group(g) for _k, g in pending.groupby("tile_key", sort=True)]
-            yield pd.DataFrame(out, columns=cols)
-
-    return arranged.mapInPandas(
-        kernel,
-        schema=(
+    return buffered_group_map(
+        local,
+        "tile_key",
+        render_group,
+        ["tile_key", "tile_x", "tile_y", "bytes", "n_ways", "way_sum"],
+        (
             "tile_key long, tile_x long, tile_y long, bytes binary, "
             "n_ways long, way_sum long"
         ),

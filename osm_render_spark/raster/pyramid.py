@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .codec import decode_png, encode_png
-from .ops import LAND_COLOR
+from .ops import LAND_COLOR, buffered_group_map
 
 
 def downsample2x(img: np.ndarray) -> np.ndarray:
@@ -102,14 +102,6 @@ def rollup_level(tiles: DataFrame, zoom: int, tile_px: int = 256) -> DataFrame:
         "way_sum",
     )
 
-    # same group-buffered mapInPandas shape as render_slippy_tiles: many
-    # parents per Arrow batch (one applyInPandas group per parent would
-    # pay ~4 ms/group — at millions of tiles that dominates)
-    n_part = max(tiles.sparkSession.sparkContext.defaultParallelism, 8)
-    arranged = prepared.repartition(n_part, "parent_key").sortWithinPartitions(
-        "parent_key"
-    )
-
     def render_group(g: pd.DataFrame):
         png = _compose_parent(
             list(zip(g["qx"], g["qy"], g["bytes"])), tile_px
@@ -124,38 +116,16 @@ def rollup_level(tiles: DataFrame, zoom: int, tile_px: int = 256) -> DataFrame:
             len(g),
         )
 
-    cols = [
-        "tile_key", "tile_x", "tile_y", "bytes", "n_ways", "way_sum",
-        "n_children",
-    ]
-
-    def kernel(batches):
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-                pending = None
-            if len(pdf) == 0:
-                continue
-            last_key = pdf["parent_key"].iloc[-1]
-            head = pdf[pdf["parent_key"] != last_key]
-            pending = pdf[pdf["parent_key"] == last_key]
-            if len(head):
-                out = [
-                    render_group(g)
-                    for _k, g in head.groupby("parent_key", sort=True)
-                ]
-                yield pd.DataFrame(out, columns=cols)
-        if pending is not None and len(pending):
-            out = [
-                render_group(g)
-                for _k, g in pending.groupby("parent_key", sort=True)
-            ]
-            yield pd.DataFrame(out, columns=cols)
-
-    return arranged.mapInPandas(
-        kernel,
-        schema=(
+    # group-buffered mapInPandas (shared shape — raster/ops.py)
+    return buffered_group_map(
+        prepared,
+        "parent_key",
+        render_group,
+        [
+            "tile_key", "tile_x", "tile_y", "bytes", "n_ways", "way_sum",
+            "n_children",
+        ],
+        (
             "tile_key long, tile_x long, tile_y long, bytes binary, "
             "n_ways long, way_sum long, n_children long"
         ),
