@@ -28,7 +28,7 @@ a new one at this doc.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -127,4 +127,125 @@ def pack_sequences(
         "seq_idx",
         "pos_in_seq",
         "seq_fill",
+    )
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing (image-batch assembly for multimodal training)
+# ---------------------------------------------------------------------------
+
+
+def aspect_buckets(
+    max_pixels: int = 1024 * 1024,
+    step: int = 64,
+    max_dim: int = 2048,
+    max_ratio: float = 4.0,
+) -> list[tuple[int, int]]:
+    """Deterministic bucket list (the published aspect-bucketing recipe:
+    fixed pixel budget, dims in multiples of ``step``): for every width
+    that fits, the TALLEST height within the budget — so each bucket is
+    maximal — bounded by ``max_dim`` and ``max_ratio``. Sorted by
+    (width, height); index in this list is the bucket id everywhere
+    (operator, oracle, tests)."""
+    out = set()
+    for w in range(step, max_dim + 1, step):
+        h = min((max_pixels // w) // step * step, max_dim)
+        if h < step:
+            continue
+        r = max(w / h, h / w)
+        if r <= max_ratio:
+            out.add((w, h))
+    return sorted(out)
+
+
+def bucket_images_by_aspect(
+    images: DataFrame,
+    batch_size: int,
+    buckets: list[tuple[int, int]] | None = None,
+    id_col: str = "image_id",
+    w_col: str = "width",
+    h_col: str = "height",
+) -> DataFrame:
+    """Assign each image to its nearest aspect-ratio bucket and form
+    fixed-size training batches inside each bucket — the image twin of
+    pack_sequences (variable-shape inputs → uniform training units).
+
+    Nearest bucket = argmin over |ln((w·bh) / (h·bw))| (log-aspect
+    distance; symmetric in portrait/landscape), ties to the LOWEST
+    bucket index. Batches: images order by id inside their bucket,
+    batch_idx = rank div batch_size; ``complete`` marks full batches
+    (the short tail per bucket — at most batch_size−1 images — is what
+    a trainer would pad or drop).
+
+    Scale shape: assignment is per-row Column arithmetic over a
+    LITERAL bucket array (an aggregate HOF — ~|buckets| JVM-interpreted
+    ops per row, no shuffle, no row multiplication; the broadcast-join
+    alternative multiplies the scan by |buckets| and re-aggregates);
+    the only exchange is the per-bucket batching window, keyed on
+    ~dozens of buckets — hot buckets (most of a web corpus is a few
+    common aspects) are ordered ranks, the same bounded-window story as
+    every per-group operator here."""
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if buckets is None:
+        buckets = aspect_buckets()
+    if not buckets:
+        raise ValueError("bucket list is empty")
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("i"),
+                F.lit(bw).cast("long").alias("bw"),
+                F.lit(bh).cast("long").alias("bh"),
+            )
+            for i, (bw, bh) in enumerate(buckets)
+        ]
+    )
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    base = images.select(
+        F.col(id_col).alias("image_id"),
+        w.alias("_w"),
+        h.alias("_h"),
+        arr.alias("_buckets"),
+    )
+    # strictly-less keeps the FIRST (lowest-index) bucket on exact ties
+    best = F.expr(
+        "aggregate(_buckets, "
+        " struct(CAST(-1 AS INT) AS i, CAST(0 AS BIGINT) AS bw, "
+        "        CAST(0 AS BIGINT) AS bh, CAST('Infinity' AS DOUBLE) AS d), "
+        " (acc, b) -> CASE WHEN ABS(LN(CAST(_w * b.bh AS DOUBLE) "
+        "                             / CAST(_h * b.bw AS DOUBLE))) < acc.d "
+        "   THEN struct(b.i AS i, b.bw AS bw, b.bh AS bh, "
+        "               ABS(LN(CAST(_w * b.bh AS DOUBLE) "
+        "                      / CAST(_h * b.bw AS DOUBLE))) AS d) "
+        "   ELSE acc END)"
+    )
+    assigned = base.select(
+        "image_id",
+        F.col("_w").alias("width"),
+        F.col("_h").alias("height"),
+        best.alias("_b"),
+    ).select(
+        "image_id",
+        "width",
+        "height",
+        F.col("_b.i").alias("bucket_idx"),
+        F.col("_b.bw").alias("bucket_w"),
+        F.col("_b.bh").alias("bucket_h"),
+    )
+    win = Window.partitionBy("bucket_idx").orderBy("image_id")
+    rn = F.row_number().over(win) - F.lit(1)
+    n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy("bucket_idx"))
+    return assigned.select(
+        "image_id",
+        "width",
+        "height",
+        "bucket_idx",
+        "bucket_w",
+        "bucket_h",
+        (rn / batch_size).cast("long").alias("batch_idx"),
+        (rn % batch_size).alias("pos_in_batch"),
+        (
+            ((rn / batch_size).cast("long") + 1) * batch_size <= n_in_bucket
+        ).alias("complete"),
     )

@@ -3290,6 +3290,79 @@ ORDER BY c.doc_id
     return QueryDef(fn, duck)
 
 
+def _q_aspect_buckets() -> QueryDef:
+    """Aspect-ratio bucketing + batch assembly (operators/packing.
+    bucket_images_by_aspect). Synthetic image dims derive from
+    p_partkey (integer arithmetic, identical in both engines); the
+    bucket list is generated ONCE by packing.aspect_buckets and inlined
+    into the DuckDB side as VALUES, where a (distance, idx)-ordered
+    row_number picks the same winner the operator's strictly-less HOF
+    scan does (identical LN expression text → identical doubles; the
+    tie-break to the lowest index only fires on exact equality)."""
+    from .operators.packing import aspect_buckets
+
+    buckets = aspect_buckets()
+    batch_size = 8
+    vals = ", ".join(f"({i}, {w}, {h})" for i, (w, h) in enumerate(buckets))
+    wexpr = "CAST(64 * (1 + p_partkey % 28) AS BIGINT)"
+    hexpr = "CAST(64 * (1 + (p_partkey // 7) % 28) AS BIGINT)"
+    duck = f"""
+WITH imgs AS (
+  SELECT p_partkey AS image_id, {wexpr} AS width, {hexpr} AS height
+  FROM part WHERE p_partkey % 3 = 0
+),
+b(i, bw, bh) AS (VALUES {vals}),
+scored AS (
+  SELECT image_id, width, height, b.i, b.bw, b.bh,
+         ROW_NUMBER() OVER (
+           PARTITION BY image_id
+           ORDER BY ABS(LN(CAST(width * b.bh AS DOUBLE)
+                           / CAST(height * b.bw AS DOUBLE))), b.i
+         ) AS rnk
+  FROM imgs CROSS JOIN b
+),
+assigned AS (
+  SELECT image_id, width, height, i AS bucket_idx, bw AS bucket_w,
+         bh AS bucket_h
+  FROM scored WHERE rnk = 1
+),
+batched AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY bucket_idx ORDER BY image_id) - 1 AS rn,
+    COUNT(*) OVER (PARTITION BY bucket_idx) AS nb
+  FROM assigned
+)
+SELECT image_id, width, height, bucket_idx, bucket_w, bucket_h,
+       CAST(rn // {batch_size} AS BIGINT) AS batch_idx,
+       CAST(rn % {batch_size} AS BIGINT) AS pos_in_batch,
+       CAST((rn // {batch_size} + 1) * {batch_size} <= nb AS INT) AS complete
+FROM batched ORDER BY image_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.packing import bucket_images_by_aspect
+
+        imgs = (
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.expr("p_partkey % 3 = 0"))
+            .select(
+                F.col("p_partkey").alias("image_id"),
+                F.expr(wexpr).alias("width"),
+                F.expr(
+                    "CAST(64 * (1 + (p_partkey DIV 7) % 28) AS BIGINT)"
+                ).alias("height"),
+            )
+        )
+        out = bucket_images_by_aspect(imgs, batch_size, buckets=buckets)
+        return out.select(
+            "image_id", "width", "height", "bucket_idx", "bucket_w",
+            "bucket_h", "batch_idx", "pos_in_batch",
+            F.col("complete").cast("int").alias("complete"),
+        ).orderBy("image_id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_density_tiles() -> QueryDef:
     """Point-density heatmap tiles (raster/heatmap.density_tiles). The
     oracle value-hashes the per-tile histogram DIGESTS — n_points,
@@ -3697,6 +3770,7 @@ def build_queries() -> dict[str, QueryDef]:
         "rollup_revenue": _q_rollup_revenue(),
         "stratified_split": _q_stratified_split(),
         "sequence_packing": _q_sequence_packing(),
+        "aspect_buckets": _q_aspect_buckets(),
         "pii_scrub": _q_pii_scrub(),
         "morton_code": _q_morton_code(),
         "image_pipeline": _q_image_pipeline(),
