@@ -327,7 +327,92 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     t0 = time.time()
     n_dup_spans = duplicated_spans(docs_tbl).count()
     substr_sec = time.time() - t0
+    # decontamination throughput: same kernel family as substring dedup
+    # but corpus×benchmark — positions/s over the %10 split
+    from osm_render_spark.operators.substring import contaminated_spans
+
+    decon_corpus = docs_tbl.where("doc_id % 10 <> 0")
+    decon_bench = docs_tbl.where("doc_id % 10 = 0")
+    contaminated_spans(decon_corpus, decon_bench).count()  # warm
+    t0 = time.time()
+    n_decon_spans = contaminated_spans(decon_corpus, decon_bench).count()
+    decon_sec = time.time() - t0
     docs_tbl.unpersist()
+
+    # tile pyramid: base render at z6 + every ancestor level to z0 —
+    # end-to-end wall (what a user pays for a full tile tree). The 4/3
+    # story: pyramid_over_base ≈ total wall / one base render.
+    from osm_render_spark.raster.pyramid import build_tile_pyramid
+
+    t0 = time.time()
+    n_pyramid_tiles = build_tile_pyramid(
+        render_slippy_tiles(ways, 6, 128), 6, zoom_min=0, tile_px=128
+    ).count()
+    pyramid_sec = time.time() - t0
+
+    # density heatmap: orders-derived points → z8/64px intensity tiles
+    from osm_render_spark.raster.heatmap import density_tiles
+
+    density_tiles(pts.limit(2000), 8, 64).count()  # warm
+    t0 = time.time()
+    n_heat_tiles = density_tiles(pts, 8, 64).count()
+    heat_sec = time.time() - t0
+    n_heat_points = pts.count()
+
+    # RDP simplification: 200-vertex zigzag ways (wiggle below eps) —
+    # vertices/s through the numpy kernel
+    from osm_render_spark.operators.simplify import simplify_ways
+
+    n_simp_ways, n_verts = 3000, 200
+    dense_ways = spark.range(n_simp_ways).select(
+        F.col("id").alias("way_id"),
+        F.expr(
+            f"""transform(sequence(0, {n_verts - 1}),
+              i -> struct({derived_lon_sql('id * 7 + 1')} + i * 0.0001 AS lon,
+                          {derived_lat_sql('id * 11 + 3')} + (i % 2) * 0.00002 AS lat))"""
+        ).alias("geometry"),
+    )
+    simplify_ways(dense_ways.limit(200), eps=0.00005).count()  # warm
+    t0 = time.time()
+    simplify_ways(dense_ways, eps=0.00005).count()
+    simp_sec = time.time() - t0
+
+    # aspect-ratio bucketing: part-derived image dims → batch assembly
+    from osm_render_spark.operators.packing import bucket_images_by_aspect
+
+    ar_imgs = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(
+            F.col("p_partkey").alias("image_id"),
+            F.expr("CAST(64 * (1 + p_partkey % 28) AS BIGINT)").alias("width"),
+            F.expr("CAST(64 * (1 + (p_partkey DIV 7) % 28) AS BIGINT)").alias(
+                "height"
+            ),
+        )
+        .cache()
+    )
+    n_ar = ar_imgs.count()
+    bucket_images_by_aspect(ar_imgs, 64).count()  # warm
+    t0 = time.time()
+    bucket_images_by_aspect(ar_imgs, 64).count()
+    ar_sec = time.time() - t0
+    ar_imgs.unpersist()
+
+    # zstd decode throughput (sources/zstd.py, from scratch): driver-side
+    # single-core MB/s — the parallel unit is the blob (pbf.py decodes
+    # blobs inside Arrow batches), so cluster throughput is cores × this
+    import subprocess as _subprocess
+
+    from osm_render_spark.sources.zstd import zstd_decompress
+
+    zstd_payload = (b"tile " * 51 + b"\n") * 8000  # ~2 MB structured text
+    zstd_comp = _subprocess.run(
+        ["zstd", "-c", "-3"], input=zstd_payload, capture_output=True
+    ).stdout
+    zstd_decompress(zstd_comp)  # warm
+    t0 = time.time()
+    zstd_decompress(zstd_comp)
+    zstd_sec = time.time() - t0
 
     # composed training pipeline e2e (decode/verify → exact+phash dedup
     # → langid/quality → split → pack), cold checkpoint store each run —
@@ -398,6 +483,16 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "pbf_mb_per_sec": round(pbf_mb / pbf_sec, 2),
         "substring_positions_per_sec": round(n_positions / substr_sec, 1),
         "substring_dup_spans": n_dup_spans,
+        "decontam_positions_per_sec": round(n_positions / decon_sec, 1),
+        "decontam_spans": n_decon_spans,
+        "pyramid_tiles_per_sec": round(n_pyramid_tiles / pyramid_sec, 1),
+        "pyramid_total_tiles": n_pyramid_tiles,
+        "pyramid_over_base": round(pyramid_sec / render_sec, 2),
+        "heatmap_points_per_sec": round(n_heat_points / heat_sec, 1),
+        "heatmap_tiles": n_heat_tiles,
+        "simplify_vertices_per_sec": round(n_simp_ways * n_verts / simp_sec, 1),
+        "aspect_bucket_images_per_sec": round(n_ar / ar_sec, 1),
+        "zstd_decode_mb_per_sec": round(len(zstd_payload) / 1e6 / zstd_sec, 2),
         "pipeline_e2e_sec": round(pipe_sec, 3),
         "pipeline_docs_per_sec": round(n_pipe / pipe_sec, 1),
         "pipeline_docs_packed": n_packed,
