@@ -89,3 +89,31 @@ def write_sprite_files(sprites: DataFrame, out_dir: str) -> DataFrame:
         kernel,
         schema="scene_id long, area_id long, mode string, path string, n_bytes long",
     )
+
+
+def write_pyramid_tree(pyramid: DataFrame, out_dir: str) -> DataFrame:
+    """Multi-zoom variant of write_tile_tree for build_tile_pyramid's
+    output (carries a ``zoom`` column): every level lands in its own
+    ``{out}/z{z}/x{x}/y{y}.png`` slot of ONE slippy tree — the layout a
+    tile server mounts directly. Same executor-side atomic writes and
+    manifest contract (zoom, tile_key, path, n_bytes)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                path = os.path.join(
+                    out_dir,
+                    f"z{int(r.zoom)}",
+                    f"x{int(r.tile_x)}",
+                    f"y{int(r.tile_y)}.png",
+                )
+                n = _write_atomic(path, bytes(r.bytes))
+                rows.append((int(r.zoom), int(r.tile_key), path, n))
+            yield pd.DataFrame(
+                rows, columns=["zoom", "tile_key", "path", "n_bytes"]
+            )
+
+    return pyramid.select("zoom", "tile_key", "tile_x", "tile_y", "bytes").mapInPandas(
+        kernel, schema="zoom long, tile_key long, path string, n_bytes long"
+    )

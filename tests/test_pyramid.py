@@ -167,3 +167,27 @@ def test_pyramid_determinism(spark):
         return sorted((r["zoom"], r["tile_key"], bytes(r["bytes"])) for r in rows)
 
     assert digest() == digest()
+
+
+def test_pyramid_tree_sink(spark, tmp_path):
+    import os
+
+    from osm_render_spark.raster.sink import write_pyramid_tree
+
+    ways = _ways(spark)
+    pyr = build_tile_pyramid(
+        render_slippy_tiles(ways, ZOOM, TILE_PX), ZOOM, ZOOM - 2, TILE_PX
+    )
+    out = str(tmp_path / "tree")
+    manifest = write_pyramid_tree(pyr, out).collect()
+    rows = pyr.collect()
+    assert len(manifest) == len(rows)
+    by_key = {(r["zoom"], r["tile_key"]): r for r in rows}
+    for m in manifest:
+        r = by_key[(m["zoom"], m["tile_key"])]
+        assert m["path"] == os.path.join(
+            out, f"z{r['zoom']}", f"x{r['tile_x']}", f"y{r['tile_y']}.png"
+        )
+        assert open(m["path"], "rb").read() == bytes(r["bytes"])
+    # all three zoom directories exist
+    assert set(os.listdir(out)) == {f"z{z}" for z in range(ZOOM - 2, ZOOM + 1)}
