@@ -3363,6 +3363,98 @@ FROM batched ORDER BY image_id
     return QueryDef(fn, duck)
 
 
+def _q_vector_tiles() -> QueryDef:
+    """MVT vector-tile sink (raster/mvt.vector_tiles): same rectangle
+    ways and fan-out as slippy_render, but emitting Mapbox-Vector-Tile
+    blobs. Oracle value-hashes the per-tile manifest (n_features) plus
+    coord_digest = Σ_points qx·31 + qy over the tile-local INTEGER
+    coordinates the encoder actually serialized (the kernel sums them
+    pre-zigzag), recomputed in DuckDB from the shared mercator/floor
+    arithmetic — so quantization, fan-out, and grouping are all
+    hash-pinned. Byte-level MVT conformance is pinned by tests/test_mvt
+    against the spec's documented command-stream examples."""
+    zoom, d, extent = 6, 0.05, 256
+    n = 1 << zoom
+
+    def tx(e: str) -> str:
+        from .functions.projection import tile_x_sql
+
+        return tile_x_sql(e, zoom)
+
+    def ty(e: str) -> str:
+        from .functions.projection import tile_y_sql
+
+        return tile_y_sql(e, zoom)
+
+    from .functions.projection import merc_x_sql, merc_y_sql
+
+    def q(lon: str, lat: str) -> str:
+        return (
+            f"(CAST(FLOOR(({merc_x_sql(lon, zoom)} - tile_x) * {extent} + 0.5) AS BIGINT) * 31"
+            f" + CAST(FLOOR(({merc_y_sql(lat, zoom)} - tile_y) * {extent} + 0.5) AS BIGINT))"
+        )
+
+    duck = f"""
+WITH w AS (
+  SELECT o_orderkey AS way_id,
+         {LON_ORD} AS lon0, ({LON_ORD} + {d!r}) AS lon1,
+         {LAT_ORD} AS lat0, ({LAT_ORD} + {d!r}) AS lat1
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+ranges AS (
+  SELECT way_id, lon0, lon1, lat0, lat1,
+         {tx('lon0')} AS tx0, {tx('lon1')} AS tx1,
+         {ty('lat1')} AS ty0, {ty('lat0')} AS ty1
+  FROM w
+),
+fan1 AS (
+  SELECT way_id, lon0, lon1, lat0, lat1,
+         unnest(generate_series(tx0, tx1)) AS tile_x, ty0, ty1
+  FROM ranges
+),
+fan AS (
+  SELECT way_id, lon0, lon1, lat0, lat1, tile_x,
+         unnest(generate_series(ty0, ty1)) AS tile_y
+  FROM fan1
+),
+digests AS (
+  SELECT way_id, tile_x, tile_y,
+         2 * {q('lon0', 'lat0')} + {q('lon1', 'lat0')}
+           + {q('lon1', 'lat1')} + {q('lon0', 'lat1')} AS wdig
+  FROM fan
+)
+SELECT tile_x * {n} + tile_y AS tile_key, tile_x, tile_y,
+       COUNT(*) AS n_features, CAST(SUM(wdig) AS BIGINT) AS coord_digest
+FROM digests GROUP BY 1, 2, 3 ORDER BY tile_key
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .raster.mvt import vector_tiles
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.expr("o_orderkey % 100 = 0")
+        )
+        ways = orders.select(
+            F.col("o_orderkey").alias("way_id"),
+            F.lit("water").alias("kind"),
+            F.expr(
+                f"""array(
+                  struct({LON_ORD} AS lon, {LAT_ORD} AS lat),
+                  struct({LON_ORD} + {d} AS lon, {LAT_ORD} AS lat),
+                  struct({LON_ORD} + {d} AS lon, {LAT_ORD} + {d} AS lat),
+                  struct({LON_ORD} AS lon, {LAT_ORD} + {d} AS lat),
+                  struct({LON_ORD} AS lon, {LAT_ORD} AS lat)
+                )"""
+            ).alias("geometry"),
+        )
+        tiles = vector_tiles(ways, zoom=zoom, extent=extent)
+        return tiles.select(
+            "tile_key", "tile_x", "tile_y", "n_features", "coord_digest"
+        ).orderBy("tile_key")
+
+    return QueryDef(fn, duck)
+
+
 def _q_density_tiles() -> QueryDef:
     """Point-density heatmap tiles (raster/heatmap.density_tiles). The
     oracle value-hashes the per-tile histogram DIGESTS — n_points,
@@ -3811,6 +3903,7 @@ def build_queries() -> dict[str, QueryDef]:
         "tile_pyramid": _q_tile_pyramid(),
         "simplify_ways": _q_simplify_ways(),
         "density_tiles": _q_density_tiles(),
+        "vector_tiles": _q_vector_tiles(),
         "pbf_roundtrip": _q_pbf_roundtrip(),
         "quantize_int8": _q_quantize_int8(),
         "event_hourly_rollup": _q_event_hourly_rollup(),
