@@ -99,3 +99,16 @@ def test_deterministic(spark):
         )
 
     assert run() == run()
+
+
+def test_assignment_adds_no_exchange(spark):
+    # the only exchange is the per-bucket batching window — assignment
+    # itself is per-row Column arithmetic
+    rows = [(i, 100 + i, 100) for i in range(50)]
+    plan = (
+        bucket_images_by_aspect(_mk(spark, rows), 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1

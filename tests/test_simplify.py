@@ -184,3 +184,17 @@ def test_simplify_feeds_renderer(spark):
         for r in render_slippy_tiles(simp, ZOOM, TILE_PX).collect()
     }
     assert want == got
+
+
+def test_simplify_is_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    ways = spark.range(10).select(
+        F.col("id").alias("way_id"),
+        F.expr(
+            "transform(sequence(0, 4), i -> struct(CAST(i AS DOUBLE) AS lon,"
+            " CAST(i AS DOUBLE) AS lat))"
+        ).alias("geometry"),
+    )
+    plan = simplify_ways(ways, 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
