@@ -49,8 +49,6 @@ def zorder_write(
     records per-file key min/max for file skipping. Query via
     pruned_files_bbox / sources.manifest.read_pruned on the key range
     of the bbox (conservative: the bbox's full Morton span)."""
-    from ..sources.manifest import write_dataset
-
     # the Morton interleave masks to 16 bits — a coordinate >= 2^16
     # would WRAP into the wrong file and pruned bbox reads would then
     # silently return wrong rows. The domain check is FOLDED into the
@@ -68,19 +66,28 @@ def zorder_write(
         f"ELSE {morton_sql(x_col, y_col)} END"
     )
     keyed = df.withColumn("_zkey", F.expr(guarded))
-    # stage into a tmp sibling, swap on success: the write-time guard
-    # fires MID-JOB, and writing straight to `path` in overwrite mode
-    # would have deleted an existing table before validation ran
-    # (review catch — a failed rewrite must leave the old data intact)
+    staged_clustered_write(keyed, path, "_zkey", n_files)
+
+
+def staged_clustered_write(
+    keyed: DataFrame, path: str, key_col: str, n_files: int
+) -> None:
+    """Write a keyed DataFrame clustered by ``key_col`` via the manifest
+    machinery, staging into a tmp sibling and swapping on success: the
+    write-time domain guard fires MID-JOB, and writing straight to
+    ``path`` in overwrite mode would have deleted an existing table
+    before validation ran (review catch — a failed rewrite must leave
+    the old data intact)."""
     import os as _os
     import shutil as _shutil
 
     from ..plans.compact import atomic_dir_swap
+    from ..sources.manifest import write_dataset
 
     tmp = f"{path}.zorder-tmp"
     _shutil.rmtree(tmp, ignore_errors=True)
     try:
-        write_dataset(keyed, tmp, "_zkey", n_files)
+        write_dataset(keyed, tmp, key_col, n_files)
     except Exception:
         _shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -90,25 +97,29 @@ def zorder_write(
         _os.rename(tmp, path)
 
 
-def bbox_morton_ranges(
-    x0: int, x1: int, y0: int, y1: int, max_ranges: int = 64
+def quadtree_bbox_ranges(
+    x0: int,
+    x1: int,
+    y0: int,
+    y1: int,
+    max_ranges: int,
+    block_range,
+    order: int = 16,
 ) -> list[tuple[int, int]]:
-    """Decompose a bbox (inclusive, 16-bit coords) into contiguous
-    Morton key ranges — the quadtree walk behind every Z-order range
-    scan (LITMAX/BIGMIN family): an aligned quad block is contiguous in
-    Morton order, so the bbox becomes a union of aligned blocks' ranges.
-    Without this, the single conservative span [morton(x0,y0),
-    morton(x1,y1)] explodes across power-of-2 boundaries (a bbox
-    straddling x=128 spans nearly the whole key space and prunes
-    nothing). ``max_ranges`` is a hard bound on the returned list:
-    refinement stops when the budget is hit and remaining frontier
-    blocks emit coarse ranges, then the smallest inter-range gaps are
-    bridged until the list fits — always a correct superset, just
-    coarser. Ranges are merged when
-    adjacent; output is sorted and disjoint."""
+    """Shared quadtree walk behind bbox → key-range decomposition for ANY
+    quadtree space-filling curve (Morton, Hilbert): an aligned 2^k quad
+    block is contiguous in curve order — all its cells share the key's
+    high prefix — so a bbox becomes a union of aligned blocks' ranges.
+    ``block_range(cx, cy, k) -> (lo, hi)`` supplies the curve-specific
+    contiguous range of the block at corner (cx, cy), side 2^k.
+    ``max_ranges`` is a hard bound on the returned list: refinement stops
+    when the budget is hit and remaining frontier blocks emit coarse
+    ranges, then the smallest inter-range gaps are bridged until the list
+    fits — always a correct superset, just coarser. Output is sorted,
+    disjoint, adjacent-merged."""
     out: list[tuple[int, int]] = []
-    # (corner_x, corner_y, side_log2); root covers [0, 65536)^2
-    stack = [(0, 0, 16)]
+    # (corner_x, corner_y, side_log2); root covers [0, 2^order)^2
+    stack = [(0, 0, order)]
     budget_hit = False
     while stack:
         cx, cy, k = stack.pop()
@@ -116,17 +127,15 @@ def bbox_morton_ranges(
         hx, hy = cx + side - 1, cy + side - 1
         if hx < x0 or cx > x1 or hy < y0 or cy > y1:
             continue  # disjoint
-        base = _morton_py(cx, cy)
         if (cx >= x0 and hx <= x1 and cy >= y0 and hy <= y1) or k == 0:
-            out.append((base, base + (1 << (2 * k)) - 1))
+            out.append(block_range(cx, cy, k))
             continue
         if len(out) >= max_ranges and not budget_hit:
             budget_hit = True
         if budget_hit:
-            out.append((base, base + (1 << (2 * k)) - 1))  # coarse superset
+            out.append(block_range(cx, cy, k))  # coarse superset
             continue
         h = side >> 1
-        # push in reverse-Morton order so out[] grows roughly sorted
         stack.append((cx + h, cy + h, k - 1))
         stack.append((cx + h, cy, k - 1))
         stack.append((cx, cy + h, k - 1))
@@ -148,6 +157,24 @@ def bbox_morton_ranges(
         )
         merged[gi : gi + 2] = [(merged[gi][0], merged[gi + 1][1])]
     return merged
+
+
+def bbox_morton_ranges(
+    x0: int, x1: int, y0: int, y1: int, max_ranges: int = 64
+) -> list[tuple[int, int]]:
+    """Decompose a bbox (inclusive, 16-bit coords) into contiguous
+    Morton key ranges — the quadtree walk behind every Z-order range
+    scan (LITMAX/BIGMIN family). Without this, the single conservative
+    span [morton(x0,y0), morton(x1,y1)] explodes across power-of-2
+    boundaries (a bbox straddling x=128 spans nearly the whole key space
+    and prunes nothing). For Morton the block's corner IS its minimum
+    key, so the block range is [morton(cx,cy), +4^k)."""
+
+    def block(cx: int, cy: int, k: int) -> tuple[int, int]:
+        base = _morton_py(cx, cy)
+        return (base, base + (1 << (2 * k)) - 1)
+
+    return quadtree_bbox_ranges(x0, x1, y0, y1, max_ranges, block)
 
 
 def _morton_py(x: int, y: int) -> int:

@@ -42,7 +42,6 @@ def rdp_mask(xs: np.ndarray, ys: np.ndarray, eps: float) -> np.ndarray:
     keep[0] = keep[-1] = True
     if n <= 2:
         return keep
-    eps2 = eps * eps
     stack = [(0, n - 1)]
     while stack:
         i, j = stack.pop()
@@ -53,13 +52,15 @@ def rdp_mask(xs: np.ndarray, ys: np.ndarray, eps: float) -> np.ndarray:
         px = xs[i + 1 : j] - x0
         py = ys[i + 1 : j] - y0
         norm2 = dx * dx + dy * dy
+        # UN-squared distances: squaring first underflows for denormal
+        # offsets (d=1e-308 squares to 0.0 and a point strictly off the
+        # segment would be dropped at eps=0 — hypothesis catch)
         if norm2 == 0.0:
-            d2 = px * px + py * py  # degenerate anchors: point distance
+            d = np.hypot(px, py)  # degenerate anchors: point distance
         else:
-            cross = px * dy - py * dx
-            d2 = cross * cross / norm2
-        m = int(np.argmax(d2))
-        if d2[m] > eps2:
+            d = np.abs(px * dy - py * dx) / np.sqrt(norm2)
+        m = int(np.argmax(d))
+        if d[m] > eps:
             keep[i + 1 + m] = True
             stack.append((i, i + 1 + m))
             stack.append((i + 1 + m, j))
