@@ -2652,6 +2652,103 @@ ORDER BY k
     return QueryDef(fn, duck)
 
 
+def _q_exif_gps_scrub() -> QueryDef:
+    """EXIF GPS PII scrub (raster/exif.py) under the oracle: per nation
+    key, build a REAL JPEG (the jpeg_roundtrip image/variant rotation)
+    carrying a hand-built Exif APP1 whose GPS rationals are a closed
+    form of k, then on executors (a) parse the metadata back with the
+    real TIFF/IFD parser and (b) run strip_gps.  lat_e7/lon_e7 are
+    INDEPENDENTLY recomputed by the oracle from the same closed form —
+    the SQL never sees the parser — with the expression tree matching
+    the engine's float math op-for-op (d + m/60 + (s/100)/3600, sign
+    flip, floor(x·1e7 + 0.5); F6 + CLAUDE.md association discipline).
+    removed/gps_after/intact pin the scrub verdict: GPS gone, every
+    byte outside the APP1 segment spliced through unchanged, other
+    Exif fields still readable."""
+
+    def _lat_sql(dk: int, dm: int, mk: int, mm: int, sk: int) -> str:
+        # sign * (d + m/60 + (s/100)/3600) * 1e7, floored half-up
+        sign = "CAST(CASE WHEN k % 2 = 1 THEN 1 ELSE -1 END AS DOUBLE)"
+        deg = (
+            f"(CAST((k * {dk}) % {dm} AS DOUBLE)"
+            f" + CAST((k * {mk}) % {mm} AS DOUBLE) / CAST(60 AS DOUBLE)"
+            f" + CAST((k * {sk}) % 6000 AS DOUBLE) / CAST(100 AS DOUBLE)"
+            f" / CAST(3600 AS DOUBLE))"
+        )
+        return (
+            f"CAST(FLOOR({sign} * {deg} * CAST(10000000 AS DOUBLE)"
+            f" + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
+
+    duck = f"""
+SELECT k, CAST(1 + (k % 8) AS INT) AS orientation,
+       {_lat_sql(3, 89, 7, 60, 11)} AS lat_e7,
+       {_lat_sql(5, 179, 13, 60, 17)} AS lon_e7,
+       1 AS removed, 0 AS gps_after, 1 AS intact
+FROM (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+ORDER BY k
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        from .raster import exif as X
+        from .raster.jpeg import encode_jpeg
+
+        keys = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(F.col("n_nationkey").cast("long").alias("k"))
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["k"]:
+                    k = int(k)
+                    q, sub, dri = _jpeg_variant(k)
+                    jp = encode_jpeg(_jpeg_test_image(k), q, sub, dri)
+                    ex = X.Exif("<" if k % 3 else ">")
+                    ex.ifds["0th"] = {
+                        X.TAG_ORIENTATION: (X.SHORT, [1 + k % 8]),
+                        X.TAG_MAKE: (X.ASCII, f"cam{k}"),
+                    }
+                    ex.ifds["gps"] = X.make_gps_ifd(
+                        (((k * 3) % 89, 1), ((k * 7) % 60, 1),
+                         ((k * 11) % 6000, 100)),
+                        "N" if k % 2 else "S",
+                        (((k * 5) % 179, 1), ((k * 13) % 60, 1),
+                         ((k * 17) % 6000, 100)),
+                        "E" if k % 2 else "W",
+                    )
+                    tagged = X.insert_exif(jp, X.serialize_tiff(ex))
+                    parsed = X.parse_tiff(X.find_exif_app1(tagged)[2])
+                    lat, lon = X.gps_degrees(parsed.ifds["gps"])
+                    orient = int(parsed.ifds["0th"][X.TAG_ORIENTATION][1][0])
+                    scrubbed, removed = X.strip_gps(tagged)
+                    after = X.parse_tiff(X.find_exif_app1(scrubbed)[2])
+                    intact = int(
+                        X.strip_exif(scrubbed)[0] == jp
+                        and after.ifds["0th"][X.TAG_MAKE][1] == f"cam{k}"
+                    )
+                    rows.append(
+                        (k, orient, X._e7(lat), X._e7(lon), int(removed),
+                         int("gps" in after.ifds), intact)
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["k", "orientation", "lat_e7", "lon_e7",
+                             "removed", "gps_after", "intact"],
+                )
+
+        return keys.mapInPandas(
+            kernel,
+            schema=("k long, orientation int, lat_e7 long, lon_e7 long, "
+                    "removed int, gps_after int, intact int"),
+        ).orderBy("k")
+
+    return QueryDef(fn, duck)
+
+
 def _q_way_tile_fanout() -> QueryDef:
     """The slippy fan-out's tile-assignment core as an exact oracle check:
     per 'way' (order), the bbox of its vertices (lineitem-derived points)
@@ -3870,6 +3967,7 @@ def build_queries() -> dict[str, QueryDef]:
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip(),
         "jpeg_multiscan_roundtrip": _q_jpeg_multiscan_roundtrip(),
         "flac_roundtrip": _q_flac_roundtrip(),
+        "exif_gps_scrub": _q_exif_gps_scrub(),
         "dedup_exact": _q_dedup_exact(),
         "substring_dedup": _q_substring_dedup(),
         "substring_scrub": _q_substring_scrub(),
