@@ -2652,6 +2652,91 @@ ORDER BY k
     return QueryDef(fn, duck)
 
 
+def _quality_test_image(k: int) -> "np.ndarray":
+    """Deterministic per-key image rotating through the quality
+    archetypes: solid, noise, horizontal gradient, checkerboard."""
+    import numpy as np
+
+    kind = k % 4
+    if kind == 0:
+        return np.full((24, 28, 3), (k * 9) % 256, np.uint8)
+    if kind == 1:
+        return np.random.RandomState(k).randint(0, 256, (24, 28, 3), np.uint8)
+    if kind == 2:
+        row = np.linspace(20 + k, 200 + (k % 50), 28)
+        return np.tile(row, (24, 1)).astype(np.uint8)[:, :, None].repeat(3, 2)
+    period = 1 + k % 3
+    yy, xx = np.mgrid[0:24, 0:28]
+    return ((((yy // period) + (xx // period)) % 2) * 255).astype(
+        np.uint8
+    )[:, :, None].repeat(3, 2)
+
+
+@functools.lru_cache(maxsize=1)
+def _quality_oracle_values() -> str:
+    from .raster.quality import quality_metrics
+
+    values = []
+    for k in range(25):
+        m = quality_metrics(_quality_test_image(k))
+        values.append(f"({k}, {m[0]}, {m[1]}, {m[2]}, {m[3]}, {m[4]})")
+    return ", ".join(values)
+
+
+def _q_image_quality() -> QueryDef:
+    """Image-quality heuristics (raster/quality.py — blur/entropy/
+    exposure/contrast/border metrics, the corpus-filter stage) under
+    the oracle: per nation key, a deterministic archetype image is PNG
+    round-tripped through the REAL image_quality operator on executors;
+    the oracle literals are computed driver-side from the same pure
+    metric function (the jpeg_roundtrip discipline — pins bit-exact
+    numpy determinism across driver and executors, PNG codec
+    losslessness included)."""
+    duck = f"""
+SELECT v.k AS k, v.sharpness_u AS sharpness_u, v.entropy_u AS entropy_u,
+       v.extreme_u AS extreme_u, v.contrast_u AS contrast_u,
+       v.border_uniform AS border_uniform, 1 AS decode_ok
+FROM (VALUES {_quality_oracle_values()})
+     AS v(k, sharpness_u, entropy_u, extreme_u, contrast_u, border_uniform)
+JOIN nation ON n_nationkey = v.k
+ORDER BY k
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        from .raster.codec import encode_png
+        from .raster.quality import image_quality
+
+        keys = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(F.col("n_nationkey").cast("long").alias("k"))
+        )
+
+        def blobs(batches):
+            for pdf in batches:
+                rows = [
+                    (str(int(k)), encode_png(_quality_test_image(int(k))), "png")
+                    for k in pdf["k"]
+                ]
+                yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+        images = keys.mapInPandas(
+            blobs, schema="image_id string, bytes binary, fmt string"
+        )
+        return (
+            image_quality(images)
+            .select(
+                F.col("image_id").cast("long").alias("k"),
+                "sharpness_u", "entropy_u", "extreme_u", "contrast_u",
+                "border_uniform", "decode_ok",
+            )
+            .orderBy("k")
+        )
+
+    return QueryDef(fn, duck)
+
+
 def _q_exif_gps_scrub() -> QueryDef:
     """EXIF GPS PII scrub (raster/exif.py) under the oracle: per nation
     key, build a REAL JPEG (the jpeg_roundtrip image/variant rotation)
@@ -3968,6 +4053,7 @@ def build_queries() -> dict[str, QueryDef]:
         "jpeg_multiscan_roundtrip": _q_jpeg_multiscan_roundtrip(),
         "flac_roundtrip": _q_flac_roundtrip(),
         "exif_gps_scrub": _q_exif_gps_scrub(),
+        "image_quality": _q_image_quality(),
         "dedup_exact": _q_dedup_exact(),
         "substring_dedup": _q_substring_dedup(),
         "substring_scrub": _q_substring_scrub(),
