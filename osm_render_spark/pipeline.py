@@ -157,6 +157,7 @@ def training_data_pipeline(
     embeddings: DataFrame | None = None,
     semdedup_threshold: float = 0.92,
     semdedup_clusters: int | None = None,
+    quality_thresholds: dict | None = None,
 ) -> dict[str, DataFrame]:
     """The composed multimodal TRAINING-DATA pipeline (the north rule's
     image+caption curation path), every heavy stage a checkpointed unit
@@ -165,6 +166,9 @@ def training_data_pipeline(
 
     1. decode_verify — decode/verify/feature Arrow kernel  [S8/R11]
     2. (inline)      — keep dims_ok AND phash-verified rows
+    2b. quality      — optional pixel-quality gate (raster/quality.py:
+                       blur/entropy/exposure/border thresholds), run
+                       before dedup so junk never reaches a shuffle
     3. dedup         — exact caption dedup ∩ phash image dedup
                        (operators/dedup.dedup_images, canonical keep)
     4. curate        — langid + token count + quality floor
@@ -202,6 +206,27 @@ def training_data_pipeline(
         F.col("dims_ok") & F.coalesce(F.col("phash_ok"), F.lit(True))
     ).select("image_id")
     corpus = images.join(ok_ids, "image_id")
+
+    if quality_thresholds is not None:
+        # optional pixel-quality gate (raster/quality.py) BEFORE dedup:
+        # blur/solid/over-exposed rows are the cheapest to reject, and
+        # rejecting them first shrinks every downstream shuffle. The
+        # stage key carries the thresholds (S10: keys cover every
+        # output-shaping knob).
+        from .raster.quality import image_quality, quality_keep
+
+        qtparams = {**params, "quality": sorted(quality_thresholds.items())}
+
+        def compute_quality():
+            return (
+                image_quality(corpus.select("image_id", "bytes", "fmt"))
+                .where(quality_keep(**quality_thresholds))
+                .select("image_id")
+            )
+
+        q_ids = store.run_stage(spark, "quality", qtparams, compute_quality)
+        corpus = corpus.join(q_ids, "image_id")
+        params = qtparams
 
     def compute_dedup():
         canon_text = (

@@ -99,17 +99,20 @@ def quality_keep(
     min_sharpness: float = 5.0,
     min_entropy: float = 1.0,
     max_extreme: float = 0.9,
+    reject_uniform_border: bool = True,
 ) -> Column:
     """JVM-side keep predicate over image_quality's columns (thresholds
     in natural units; compared against the micro-unit columns with
     integer literals so the filter stays in whole-stage codegen)."""
-    return (
+    keep = (
         (F.col("decode_ok") == 1)
         & (F.col("sharpness_u") >= int(min_sharpness * 1e6))
         & (F.col("entropy_u") >= int(min_entropy * 1e6))
         & (F.col("extreme_u") <= int(max_extreme * 1e6))
-        & (F.col("border_uniform") == 0)
     )
+    if reject_uniform_border:
+        keep = keep & (F.col("border_uniform") == 0)
+    return keep
 
 
 def filter_images_by_quality(

@@ -202,6 +202,58 @@ def test_training_pipeline_resume_zero_recompute(spark, store, monkeypatch):
     assert sorted(map(tuple, out3["packed"].collect())) == want_packed
 
 
+def test_training_pipeline_pixel_quality_stage(spark, store):
+    """Optional quality stage: planted solid / letterboxed junk images
+    are dropped before dedup; the good corpus is untouched; the stage
+    key carries the thresholds so a re-run with different thresholds
+    recomputes instead of serving the stale keeper set."""
+    import numpy as np
+
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+    from osm_render_spark.pipeline import training_data_pipeline
+    from osm_render_spark.raster.codec import encode_png, phash64
+
+    n = 60
+    corpus = pipeline_corpus_df(spark, n)
+    junk_rows = []
+    for j, img in enumerate(
+        [np.full((48, 48, 3), 128, np.uint8),       # solid: entropy 0
+         np.full((48, 48, 3), 250, np.uint8)]       # blown out: extreme
+    ):
+        junk_rows.append((
+            f"junk{j}", bytearray(encode_png(img)), 48, 48, "png",
+            f"unique junk caption number {j} with many tokens", phash64(img),
+        ))
+    full = corpus.unionByName(spark.createDataFrame(
+        junk_rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    ))
+    params = {"corpus": "planted+junk", "n": n}
+    th = {"min_sharpness": 5.0, "min_entropy": 1.0, "max_extreme": 0.9}
+    out = training_data_pipeline(
+        spark, full, store, params, quality_thresholds=th
+    )
+    curated = {r["image_id"] for r in out["curated"].collect()}
+    assert not {f"junk{j}" for j in range(2)} & curated
+    # the quality gate dropped ONLY the junk: same survivors as a run
+    # without the stage on the junk-free corpus
+    base = training_data_pipeline(spark, corpus, store,
+                                  {"corpus": "planted", "n": n})
+    assert curated == {r["image_id"] for r in base["curated"].collect()}
+    # loosened thresholds recompute (key carries them) and keep the junk
+    # — junk0 only: the two solids phash-collide (both hash to 0), so
+    # image dedup keeps the canonical min-id of that pair
+    out2 = training_data_pipeline(
+        spark, full, store, params,
+        quality_thresholds={"min_sharpness": 0.0, "min_entropy": 0.0,
+                            "max_extreme": 1.0,
+                            "reject_uniform_border": False},
+    )
+    curated2 = {r["image_id"] for r in out2["curated"].collect()}
+    assert "junk0" in curated2 and "junk1" not in curated2
+
+
 def test_training_pipeline_quality_knob_does_not_serve_stale_checkpoint(
     spark, store
 ):
