@@ -2737,6 +2737,89 @@ ORDER BY k
     return QueryDef(fn, duck)
 
 
+@functools.lru_cache(maxsize=1)
+def _augment_oracle_values() -> str:
+    import numpy as np
+
+    from .raster.augment import apply_augment
+
+    values = []
+    for k in range(25):
+        key = (k * 2654435761) % 1048576
+        out = apply_augment(_jpeg_test_image(k), key, 32, 32)
+        values.append(f"({k}, {int(out.astype(np.int64).sum() % 1000000007)})")
+    return ", ".join(values)
+
+
+def _q_augment_images() -> QueryDef:
+    """Deterministic augmentation (raster/augment.py) under the oracle:
+    per nation key, a deterministic 48×48 image is augmented on
+    executors through the REAL operator (decode → flip/rot/crop/jitter
+    → PNG re-encode → decode again for the checksum) with aug_key a
+    closed form of k.  The oracle recomputes aug_key INDEPENDENTLY in
+    SQL (the keys-as-columns contract: augmentation policy must be a
+    pure function of the key, never of partitioning or RNG state); the
+    pixel checksum literals come driver-side from the same pure kernel
+    (jpeg_roundtrip discipline — pins executor/driver bit-equality
+    through two PNG trips)."""
+    duck = f"""
+SELECT v.k AS k, CAST((v.k * 2654435761) % 1048576 AS BIGINT) AS aug_key,
+       32 AS w, 32 AS h, v.checksum AS checksum
+FROM (VALUES {_augment_oracle_values()}) AS v(k, checksum)
+JOIN nation ON n_nationkey = v.k
+ORDER BY k
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from .raster.augment import augment_images
+        from .raster.codec import decode_png, encode_png
+
+        keys = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(F.col("n_nationkey").cast("long").alias("k"))
+        )
+
+        def blobs(batches):
+            for pdf in batches:
+                rows = [
+                    (str(int(k)), encode_png(_jpeg_test_image(int(k))), "png")
+                    for k in pdf["k"]
+                ]
+                yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+        images = keys.mapInPandas(
+            blobs, schema="image_id string, bytes binary, fmt string"
+        )
+        aug = augment_images(
+            images, 32, 32,
+            aug_key=F.pmod(
+                F.col("image_id").cast("long") * F.lit(2654435761),
+                F.lit(1048576),
+            ),
+        )
+
+        def check(batches):
+            for pdf in batches:
+                rows = [
+                    (int(r.image_id), int(r.aug_key), int(r.w), int(r.h),
+                     int(decode_png(bytes(r.bytes)).astype(np.int64).sum()
+                         % 1000000007))
+                    for r in pdf.itertuples(index=False)
+                ]
+                yield pd.DataFrame(
+                    rows, columns=["k", "aug_key", "w", "h", "checksum"]
+                )
+
+        return aug.mapInPandas(
+            check, schema="k long, aug_key long, w int, h int, checksum long"
+        ).orderBy("k")
+
+    return QueryDef(fn, duck)
+
+
 def _q_exif_gps_scrub() -> QueryDef:
     """EXIF GPS PII scrub (raster/exif.py) under the oracle: per nation
     key, build a REAL JPEG (the jpeg_roundtrip image/variant rotation)
@@ -4054,6 +4137,7 @@ def build_queries() -> dict[str, QueryDef]:
         "flac_roundtrip": _q_flac_roundtrip(),
         "exif_gps_scrub": _q_exif_gps_scrub(),
         "image_quality": _q_image_quality(),
+        "augment_images": _q_augment_images(),
         "dedup_exact": _q_dedup_exact(),
         "substring_dedup": _q_substring_dedup(),
         "substring_scrub": _q_substring_scrub(),
