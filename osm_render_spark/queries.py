@@ -2737,6 +2737,31 @@ ORDER BY k
     return QueryDef(fn, duck)
 
 
+def _q_geohash_counts() -> QueryDef:
+    """Geohash spatial bucketing (functions/geohash.py) as ONE shared
+    SQL text for both engines: quantize each axis once in a CTE, build
+    the base-32 cell string from single-bit CASE tests (codegen — no
+    UDF), aggregate per cell.  The closed-form encoder is pinned
+    against the textbook bisection algorithm and the canonical public
+    vectors in tests/test_geohash.py."""
+    from .functions.geohash import geohash_chars_sql, lat_idx_sql, lon_idx_sql
+
+    p = 6
+    sql = f"""
+WITH v AS (
+  SELECT c_custkey AS pid, {LON_CUST} AS lon, {LAT_CUST} AS lat FROM customer
+),
+g AS (
+  SELECT pid, {lon_idx_sql('lon', p)} AS li, {lat_idx_sql('lat', p)} AS la
+  FROM v
+),
+h AS (SELECT pid, {geohash_chars_sql('li', 'la', p)} AS cell FROM g)
+SELECT cell, COUNT(*) AS n_points, MIN(pid) AS min_pid, MAX(pid) AS max_pid
+FROM h GROUP BY cell ORDER BY cell
+"""
+    return _sql_query(sql)
+
+
 @functools.lru_cache(maxsize=1)
 def _augment_oracle_values() -> str:
     import numpy as np
@@ -4138,6 +4163,7 @@ def build_queries() -> dict[str, QueryDef]:
         "exif_gps_scrub": _q_exif_gps_scrub(),
         "image_quality": _q_image_quality(),
         "augment_images": _q_augment_images(),
+        "geohash_counts": _q_geohash_counts(),
         "dedup_exact": _q_dedup_exact(),
         "substring_dedup": _q_substring_dedup(),
         "substring_scrub": _q_substring_scrub(),
