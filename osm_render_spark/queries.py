@@ -2737,6 +2737,95 @@ ORDER BY k
     return QueryDef(fn, duck)
 
 
+def _gif_test_frames(k: int) -> "list":
+    """Deterministic paletted frames: 1 + k%3 frames over a 32-color
+    per-key palette, interleaved patterns."""
+    import numpy as np
+
+    rng = np.random.RandomState(1000 + k)
+    pal = rng.randint(0, 256, (32, 3)).astype(np.uint8)
+    return [
+        pal[rng.randint(0, 32, (30, 40))] for _ in range(1 + k % 3)
+    ]
+
+
+@functools.lru_cache(maxsize=1)
+def _gif_oracle_values() -> str:
+    import numpy as np
+
+    from .raster.gif import decode_gif, encode_gif
+
+    values = []
+    for k in range(25):
+        frames = _gif_test_frames(k)
+        data = encode_gif(frames, delays=3 + k, interlace=k % 2 == 1)
+        dec = decode_gif(data)
+        cs = int(
+            sum(int(f.astype(np.int64).sum()) for f, _d in dec) % 1000000007
+        )
+        lossless = int(all(
+            (df[:, :, :3] == sf).all() for (df, _), sf in zip(dec, frames)
+        ))
+        values.append(f"({k}, {len(dec)}, {cs}, {lossless})")
+    return ", ".join(values)
+
+
+def _q_gif_roundtrip() -> QueryDef:
+    """From-scratch GIF codec (raster/gif.py — LZW, interlacing,
+    animation) under the oracle: per nation key, 1 + k%3 deterministic
+    paletted frames are encoded (odd keys interlaced) and decoded back
+    on executors; emits the frame count, the all-frame pixel checksum,
+    and the losslessness verdict vs the PRE-encode frames (ground truth
+    no decoder bug can fake).  Oracle literals come driver-side from
+    the same pure functions (jpeg_roundtrip discipline)."""
+    duck = f"""
+SELECT v.k AS k, v.n_frames AS n_frames, v.checksum AS checksum,
+       v.lossless AS lossless
+FROM (VALUES {_gif_oracle_values()}) AS v(k, n_frames, checksum, lossless)
+JOIN nation ON n_nationkey = v.k
+ORDER BY k
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from .raster.gif import decode_gif, encode_gif
+
+        keys = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(F.col("n_nationkey").cast("long").alias("k"))
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["k"]:
+                    k = int(k)
+                    frames = _gif_test_frames(k)
+                    dec = decode_gif(
+                        encode_gif(frames, delays=3 + k, interlace=k % 2 == 1)
+                    )
+                    cs = int(
+                        sum(int(f.astype(np.int64).sum()) for f, _d in dec)
+                        % 1000000007
+                    )
+                    lossless = int(all(
+                        (df[:, :, :3] == sf).all()
+                        for (df, _), sf in zip(dec, frames)
+                    ))
+                    rows.append((k, len(dec), cs, lossless))
+                yield pd.DataFrame(
+                    rows, columns=["k", "n_frames", "checksum", "lossless"]
+                )
+
+        return keys.mapInPandas(
+            kernel, schema="k long, n_frames int, checksum long, lossless int"
+        ).orderBy("k")
+
+    return QueryDef(fn, duck)
+
+
 def _q_geohash_counts() -> QueryDef:
     """Geohash spatial bucketing (functions/geohash.py) as ONE shared
     SQL text for both engines: quantize each axis once in a CTE, build
@@ -4164,6 +4253,7 @@ def build_queries() -> dict[str, QueryDef]:
         "image_quality": _q_image_quality(),
         "augment_images": _q_augment_images(),
         "geohash_counts": _q_geohash_counts(),
+        "gif_roundtrip": _q_gif_roundtrip(),
         "dedup_exact": _q_dedup_exact(),
         "substring_dedup": _q_substring_dedup(),
         "substring_scrub": _q_substring_scrub(),

@@ -146,6 +146,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         # hard-edge fixture content (sharp polygon chroma edges are the
         # adversarial case for subsampling)
         return encode_jpeg(img, quality=90, subsampling="444")
+    if fmt == "gif":
+        from .gif import encode_gif
+
+        return encode_gif(img)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -158,6 +162,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
             return decode_jpeg(bytes(data))
         return decode_fake_jpeg(data)  # legacy FJPG blobs
+    if fmt == "gif":
+        from .gif import decode_gif
+
+        frame = decode_gif(bytes(data))[0][0]  # first frame, composited
+        if (frame[:, :, 3] == 255).all():
+            return np.ascontiguousarray(frame[:, :, :3])
+        return frame
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
