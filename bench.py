@@ -442,6 +442,115 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         _shutil.rmtree(pipe_root, ignore_errors=True)
         pipe_corpus.unpersist()
 
+    # round-6b multimodal ops: EXIF scan/scrub, pixel-quality metrics,
+    # deterministic augmentation, GIF codec, geohash codegen — each an
+    # images/s (or rows/s) series through the real Arrow kernel
+    from osm_render_spark.fixtures.images import image_pixels
+    from osm_render_spark.raster.augment import augment_images
+    from osm_render_spark.raster.exif import image_metadata, scrub_image_gps
+    from osm_render_spark.raster.quality import image_quality
+
+    mm_corpus = (
+        pipeline_corpus_df(spark, 2000)
+        .select("image_id", "bytes", "fmt")
+        .cache()
+    )
+    n_mm = mm_corpus.count()  # generation untimed
+    image_quality(mm_corpus.limit(100)).count()  # warm
+    t0 = time.time()
+    image_quality(mm_corpus).count()
+    quality_sec = time.time() - t0
+    augment_images(mm_corpus.limit(100), 32, 32).count()  # warm
+    t0 = time.time()
+    augment_images(mm_corpus, 32, 32).count()
+    aug_sec = time.time() - t0
+    mm_corpus.unpersist()
+
+    def _gen_exif(batches):
+        import pandas as pd
+
+        from osm_render_spark.raster import exif as _X
+        from osm_render_spark.raster.jpeg import encode_jpeg as _ej
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                ex = _X.Exif("<")
+                ex.ifds["0th"] = {_X.TAG_ORIENTATION: (_X.SHORT, [1 + i % 8])}
+                ex.ifds["gps"] = _X.make_gps_ifd(
+                    ((i % 89, 1), (i % 60, 1), (i % 6000, 100)), "N",
+                    ((i % 179, 1), (i % 60, 1), (i % 6000, 100)), "E",
+                )
+                rows.append((
+                    str(i),
+                    _X.insert_exif(
+                        _ej(image_pixels(i, 48, 48), 85, "444"),
+                        _X.serialize_tiff(ex),
+                    ),
+                ))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    n_exif = 2000
+    exif_df = spark.range(n_exif).mapInPandas(
+        _gen_exif, schema="image_id string, bytes binary"
+    ).cache()
+    exif_df.count()  # generation untimed
+    image_metadata(exif_df.limit(100)).count()  # warm
+    t0 = time.time()
+    image_metadata(exif_df).count()
+    exif_meta_sec = time.time() - t0
+    scrub_image_gps(exif_df.limit(100)).count()  # warm
+    t0 = time.time()
+    scrub_image_gps(exif_df).count()
+    exif_scrub_sec = time.time() - t0
+    exif_df.unpersist()
+
+    def _gen_gif(batches):
+        import numpy as np
+        import pandas as pd
+
+        from osm_render_spark.raster.gif import encode_gif as _eg
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.RandomState(i)
+                pal = rng.randint(0, 256, (32, 3)).astype(np.uint8)
+                rows.append(
+                    (str(i), _eg(pal[rng.randint(0, 32, (64, 64))]), "gif")
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    n_gif = 1200
+    gif_gen = spark.range(n_gif).mapInPandas(
+        _gen_gif, schema="image_id string, bytes binary, fmt string"
+    )
+    t0 = time.time()
+    gif_df = gif_gen.cache()
+    gif_df.count()  # encode timed (generation IS the encoder)
+    gif_enc_sec = time.time() - t0
+    image_quality(gif_df.limit(100)).count()  # warm (decodes via codec)
+    t0 = time.time()
+    image_quality(gif_df).count()
+    gif_dec_sec = time.time() - t0
+    gif_df.unpersist()
+
+    # geohash: pure codegen Column arithmetic — rows/s at bench scale
+    from osm_render_spark.functions.geohash import add_geohash
+
+    gh_pts = spark.range(20_000_000).selectExpr(
+        "CAST(id % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat",
+        "CAST(id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon",
+    )
+    add_geohash(gh_pts.limit(1000), "lat", "lon", 8).count()  # warm
+    t0 = time.time()
+    n_gh = add_geohash(gh_pts, "lat", "lon", 8).where(
+        "geohash IS NOT NULL"
+    ).count()
+    gh_sec = time.time() - t0
+
     loadavg_after = os.getloadavg()
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
@@ -496,6 +605,13 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "pipeline_e2e_sec": round(pipe_sec, 3),
         "pipeline_docs_per_sec": round(n_pipe / pipe_sec, 1),
         "pipeline_docs_packed": n_packed,
+        "quality_images_per_sec": round(n_mm / quality_sec, 1),
+        "augment_images_per_sec": round(n_mm / aug_sec, 1),
+        "exif_scan_images_per_sec": round(n_exif / exif_meta_sec, 1),
+        "exif_scrub_images_per_sec": round(n_exif / exif_scrub_sec, 1),
+        "gif_encode_images_per_sec": round(n_gif / gif_enc_sec, 1),
+        "gif_decode_images_per_sec": round(n_gif / gif_dec_sec, 1),
+        "geohash_rows_per_sec": round(n_gh / gh_sec, 1),
     }
 
 

@@ -366,6 +366,32 @@ def jpeg_dimensions(jpeg: bytes) -> tuple[int, int, int]:
     raise ValueError("no SOF marker found")
 
 
+def apply_orientation(img, orientation: int):
+    """Apply a TIFF/Exif orientation tag (1-8) so the pixels are
+    upright: the 8 published transforms (identity, mirrors, rot90s,
+    transposes).  Views where possible; caller copies if needed."""
+    import numpy as np
+
+    if orientation in (0, 1):
+        return img
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    axes = (1, 0, 2) if img.ndim == 3 else (1, 0)
+    if orientation == 5:
+        return img.transpose(axes)
+    if orientation == 6:
+        return np.rot90(img, 3)
+    if orientation == 7:
+        return img.transpose(axes)[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(img, 1)
+    raise ValueError(f"orientation must be 1-8, got {orientation}")
+
+
 # --- DataFrame operators ------------------------------------------------
 
 

@@ -179,6 +179,34 @@ def test_jpeg_dimensions_probe():
         E.jpeg_dimensions(b"\x00\x01")
 
 
+def test_apply_orientation_all_eight():
+    from osm_render_spark.raster.exif import apply_orientation
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    # known mappings on a 2x3 grid, checked via the top-left pixel's
+    # destination and output dims
+    assert (apply_orientation(img, 1) == img).all()
+    assert (apply_orientation(img, 2) == img[:, ::-1]).all()
+    assert (apply_orientation(img, 3) == img[::-1, ::-1]).all()
+    assert (apply_orientation(img, 4) == img[::-1]).all()
+    for o in (5, 6, 7, 8):
+        out = apply_orientation(img, o)
+        assert out.shape == (3, 2, 3)
+    # rot90-CW check: camera "rotated left" tag 6 puts the top-left
+    # pixel at the top-right
+    assert (apply_orientation(img, 6)[0, -1] == img[0, 0]).all()
+    assert (apply_orientation(img, 8)[-1, 0] == img[0, 0]).all()
+    # every orientation composed with its inverse is the identity
+    inverse = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    for o, inv in inverse.items():
+        assert (apply_orientation(apply_orientation(img, o), inv) == img).all()
+    # grayscale path
+    g = img[:, :, 0]
+    assert apply_orientation(g, 6).shape == (3, 2)
+    with pytest.raises(ValueError):
+        apply_orientation(img, 9)
+
+
 def _image_df(spark, n=12):
     rows = []
     for k in range(n):
