@@ -1285,6 +1285,106 @@ FROM documents ORDER BY doc_id
     return _dual_sql_query(make)
 
 
+def _q_repetition_metrics() -> QueryDef:
+    """Gopher repetition metrics (operators/repetition.py) vs a
+    hand-written DuckDB mirror. Newlines are synthesized in-query
+    (replace ' value ' -> chr(10)) because the testdata corpus is
+    single-line; the substitution is identical in both engines so
+    every line/bigram/5-gram count is hash-compared exactly."""
+    duck = """
+WITH d AS (
+  SELECT doc_id, replace(text, ' value ', chr(10)) AS t FROM documents
+),
+base AS (
+  SELECT doc_id, t, string_split(t, ' ') AS words,
+         string_split(t, chr(10)) AS lines
+  FROM d
+),
+line_stats AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         CAST(SUM(cnt - 1) AS BIGINT) AS dup_line_count,
+         CAST(SUM((cnt - 1) * length(line)) AS BIGINT) AS dup_line_chars
+  FROM (
+    SELECT doc_id, line, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(lines) AS line FROM base)
+    GROUP BY doc_id, line
+  ) GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, words[i] || ' ' || words[i + 1] AS gram
+  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM base)
+),
+top_bigram AS (
+  SELECT doc_id, CAST(cnt AS BIGINT) AS top_bigram_count,
+         CAST(cnt * (length(gram) - 1) AS BIGINT) AS top_bigram_chars
+  FROM (
+    SELECT doc_id, gram, COUNT(*) AS cnt,
+           row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY COUNT(*) DESC, length(gram) DESC, gram
+           ) AS rn
+    FROM bi GROUP BY doc_id, gram
+  ) WHERE rn = 1
+),
+g5 AS (
+  SELECT doc_id, i AS pos, array_to_string(words[i:i+4], ' ') AS gram
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 3)) AS i FROM base)
+),
+dupg AS (
+  SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING COUNT(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS j
+    FROM g5 g JOIN dupg USING (doc_id, gram)
+  )
+),
+wl AS (
+  SELECT doc_id, j, length(words[j]) AS wlen
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS j FROM base)
+),
+dup5 AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup5_covered_words,
+         CAST(SUM(wlen) AS BIGINT) AS dup5_covered_chars
+  FROM cov JOIN wl USING (doc_id, j) GROUP BY doc_id
+),
+m AS (
+  SELECT b.doc_id,
+         CAST(len(b.words) AS BIGINT) AS n_words,
+         CAST(length(b.t) AS BIGINT) AS n_chars,
+         COALESCE(ls.n_lines, 0) AS n_lines,
+         COALESCE(ls.dup_line_count, 0) AS dup_line_count,
+         COALESCE(ls.dup_line_chars, 0) AS dup_line_chars,
+         COALESCE(tb.top_bigram_count, 0) AS top_bigram_count,
+         COALESCE(tb.top_bigram_chars, 0) AS top_bigram_chars,
+         COALESCE(d5.dup5_covered_words, 0) AS dup5_covered_words,
+         COALESCE(d5.dup5_covered_chars, 0) AS dup5_covered_chars
+  FROM base b
+  LEFT JOIN line_stats ls ON b.doc_id = ls.doc_id
+  LEFT JOIN top_bigram tb ON b.doc_id = tb.doc_id
+  LEFT JOIN dup5 d5 ON b.doc_id = d5.doc_id
+)
+SELECT *,
+       CAST(CASE WHEN dup_line_count * 10 <= n_lines * 3
+                  AND dup_line_chars * 5 <= n_chars
+                  AND (top_bigram_count < 2 OR top_bigram_chars * 5 <= n_chars)
+                  AND dup5_covered_chars * 20 <= n_chars * 3
+             THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
+FROM m ORDER BY doc_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.repetition import repetition_metrics
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.expr("replace(text, ' value ', chr(10))").alias("text")
+        )
+        return repetition_metrics(docs).orderBy("doc_id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_langid() -> QueryDef:
     def make(d) -> str:
         from .operators.text import langid_sql
@@ -4261,6 +4361,7 @@ def build_queries() -> dict[str, QueryDef]:
         "decontaminate_drop": _q_decontaminate_drop(),
         "token_count": _q_token_count(),
         "text_quality": _q_text_quality(),
+        "repetition_metrics": _q_repetition_metrics(),
         "langid": _q_langid(),
         "doc_fingerprint": _q_fingerprint(),
         "minhash_sig": _q_minhash(),
