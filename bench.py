@@ -308,6 +308,18 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     t0 = time.time()
     audio_features(auds).count()
     audio_sec = time.time() - t0
+
+    # DSP layer over the same corpus: windowed-sinc 16k->8k resample and
+    # STFT spectral + silence features (raster/dsp.py)
+    from osm_render_spark.raster.dsp import audio_dsp_features, resample_audio
+
+    resample_audio(auds.limit(50), 8000).count()  # warm
+    t0 = time.time()
+    resample_audio(auds, 8000).count()
+    resample_sec = time.time() - t0
+    t0 = time.time()
+    audio_dsp_features(auds).count()
+    dsp_sec = time.time() - t0
     auds.unpersist()
 
     # exact substring dedup throughput: duplicated_spans over the
@@ -605,6 +617,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "pipeline_e2e_sec": round(pipe_sec, 3),
         "pipeline_docs_per_sec": round(n_pipe / pipe_sec, 1),
         "pipeline_docs_packed": n_packed,
+        "resample_clips_per_sec": round(n_audio / resample_sec, 1),
+        "dsp_clips_per_sec": round(n_audio / dsp_sec, 1),
         "quality_images_per_sec": round(n_mm / quality_sec, 1),
         "augment_images_per_sec": round(n_mm / aug_sec, 1),
         "exif_scan_images_per_sec": round(n_exif / exif_meta_sec, 1),

@@ -2752,6 +2752,116 @@ ORDER BY k
     return QueryDef(fn, duck)
 
 
+def _audio_dsp_blob(k: int) -> bytes:
+    """Deterministic per-key audio blob rotating the container format:
+    WAV (k%3==0), FLAC (1), FAUD fixture (2) — all three decode to the
+    IDENTICAL float signal (every decoder divides int16 by 32767)."""
+    import struct
+    import zlib
+
+    from .raster.containers import encode_wav
+    from .raster.flac import encode_flac
+
+    pcm = _flac_test_pcm(k)
+    c = k % 3
+    if c == 0:
+        return encode_wav(pcm, 16000)
+    if c == 1:
+        return encode_flac(pcm, 16000, block=1024)
+    return b"FAUD" + struct.pack(">IIH", k, len(pcm), 16000) + zlib.compress(
+        pcm.tobytes()
+    )
+
+
+def _audio_dsp_row(k: int) -> tuple:
+    """The ONE definition of the audio_dsp result row — called on the
+    driver (oracle VALUES) and on executors (kernel), pinning bit-exact
+    decode→resample→spectral determinism across both."""
+    import numpy as np
+
+    from .raster.dsp import (
+        CHECKSUM_P,
+        decode_audio_blob,
+        silence_segments,
+        sinc_resample,
+        spectral_features,
+    )
+
+    x, sr_in = decode_audio_blob(_audio_dsp_blob(k))
+    sr_out = 8000 + 2000 * (k % 3)
+    y = sinc_resample(x, sr_in, sr_out, taps=16)
+    q = np.clip(np.floor(y * 32767.0 + 0.5), -32768, 32767).astype(np.int64)
+    f = spectral_features(y, sr_out, 256, 128)
+    segs = silence_segments(y, 400, 1e-3)
+    return (
+        k,
+        sr_in,
+        sr_out,
+        len(y),
+        int(np.abs(q).sum() % CHECKSUM_P),
+        f["dominant_bin"],
+        f["centroid_mhz"],
+        f["rolloff_bin"],
+        f["energy_q"],
+        len(segs),
+    )
+
+
+_AUDIO_DSP_COLS = (
+    "k, sr_in, sr_out, n_out, resample_checksum, dominant_bin, "
+    "centroid_mhz, rolloff_bin, energy_q, n_silence_segments"
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _audio_dsp_values() -> str:
+    return ", ".join(str(_audio_dsp_row(k)) for k in range(25))
+
+
+def _q_audio_dsp() -> QueryDef:
+    """Windowed-sinc resample + STFT spectral features + silence
+    segmentation (raster/dsp.py) under the oracle: per nation key,
+    synthesize PCM, wrap it in a rotating container (WAV/FLAC/FAUD),
+    decode and process on the EXECUTORS, and hash-compare against the
+    driver-computed expected row — the flac_roundtrip discipline for
+    the DSP layer."""
+    duck = f"""
+SELECT {_AUDIO_DSP_COLS}
+FROM (VALUES {_audio_dsp_values()})
+  AS v({_AUDIO_DSP_COLS})
+JOIN nation ON n_nationkey = v.k
+ORDER BY k
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        keys = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(F.col("n_nationkey").cast("long").alias("k"))
+        )
+
+        def kernel(batches):
+            from .queries import _audio_dsp_row as row_fn
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [row_fn(int(k)) for k in pdf["k"]],
+                    columns=[c.strip() for c in _AUDIO_DSP_COLS.split(",")],
+                )
+
+        return keys.mapInPandas(
+            kernel,
+            schema=(
+                "k long, sr_in int, sr_out int, n_out long, "
+                "resample_checksum long, dominant_bin int, centroid_mhz long, "
+                "rolloff_bin int, energy_q long, n_silence_segments int"
+            ),
+        ).orderBy("k")
+
+    return QueryDef(fn, duck)
+
+
 def _quality_test_image(k: int) -> "np.ndarray":
     """Deterministic per-key image rotating through the quality
     archetypes: solid, noise, horizontal gradient, checkerboard."""
@@ -4349,6 +4459,7 @@ def build_queries() -> dict[str, QueryDef]:
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip(),
         "jpeg_multiscan_roundtrip": _q_jpeg_multiscan_roundtrip(),
         "flac_roundtrip": _q_flac_roundtrip(),
+        "audio_dsp": _q_audio_dsp(),
         "exif_gps_scrub": _q_exif_gps_scrub(),
         "image_quality": _q_image_quality(),
         "augment_images": _q_augment_images(),

@@ -596,33 +596,13 @@ def audio_features(audios: DataFrame, frame: int = 400) -> DataFrame:
     to validate against — fabricating them is exactly the
     self-consistent-codec trap this repo's codec discipline exists to
     avoid (zstd had the system CLI as adversary; MP3 has nothing)."""
-    import struct
-    import zlib
-
     def kernel(batches):
-        from .containers import decode_wav
-        from .flac import decode_flac
+        from .dsp import decode_audio_blob
 
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
-                data = row.bytes
-                if data[:4] == b"RIFF":
-                    x, rate = decode_wav(data)
-                elif data[:4] == b"fLaC":
-                    pcm, rate, bps = decode_flac(bytes(data))
-                    scale = float((1 << (bps - 1)) - 1)
-                    x = pcm.astype(np.float64).mean(axis=1) / scale
-                elif data[:4] == b"FAUD":
-                    _aid, n, rate = struct.unpack(">IIH", data[4:14])
-                    pcm = np.frombuffer(zlib.decompress(data[14:]), dtype=np.int16)
-                    x = pcm.astype(np.float64) / 32767.0
-                else:
-                    raise NotImplementedError(
-                        "perceptual audio codecs (mp3/aac) require a codec "
-                        "library not in this container; WAV PCM (RIFF), "
-                        "FLAC, and fake_audio_bytes blobs decode"
-                    )
+                x, rate = decode_audio_blob(row.bytes)
                 n_frames = len(x) // frame
                 fx = x[: n_frames * frame].reshape(n_frames, frame)
                 rms = np.sqrt((fx**2).mean(axis=1))
