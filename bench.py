@@ -349,6 +349,27 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     t0 = time.time()
     n_decon_spans = contaminated_spans(decon_corpus, decon_bench).count()
     decon_sec = time.time() - t0
+
+    # BPE: distributed train (vocab-sized shuffle per merge round) and
+    # segment (broadcast merges, memoized Arrow kernel) over documents
+    from osm_render_spark.operators.bpe import apply_bpe, train_bpe
+
+    n_docs_tbl = docs_tbl.count()
+    t0 = time.time()
+    bpe_merges = train_bpe(docs_tbl, 8)
+    bpe_train_sec = time.time() - t0
+    apply_bpe(docs_tbl.limit(100), bpe_merges).count()  # warm
+    t0 = time.time()
+    apply_bpe(docs_tbl, bpe_merges).count()
+    bpe_apply_sec = time.time() - t0
+
+    # Gopher repetition metrics: pure declarative explode/groupBy plan
+    from osm_render_spark.operators.repetition import repetition_metrics
+
+    repetition_metrics(docs_tbl.limit(100)).count()  # warm
+    t0 = time.time()
+    repetition_metrics(docs_tbl).count()
+    repetition_sec = time.time() - t0
     docs_tbl.unpersist()
 
     # tile pyramid: base render at z6 + every ancestor level to z0 —
@@ -617,6 +638,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "pipeline_e2e_sec": round(pipe_sec, 3),
         "pipeline_docs_per_sec": round(n_pipe / pipe_sec, 1),
         "pipeline_docs_packed": n_packed,
+        "bpe_train_sec_8_merges": round(bpe_train_sec, 3),
+        "bpe_tokenize_docs_per_sec": round(n_docs_tbl / bpe_apply_sec, 1),
+        "repetition_docs_per_sec": round(n_docs_tbl / repetition_sec, 1),
         "resample_clips_per_sec": round(n_audio / resample_sec, 1),
         "dsp_clips_per_sec": round(n_audio / dsp_sec, 1),
         "quality_images_per_sec": round(n_mm / quality_sec, 1),

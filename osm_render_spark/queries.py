@@ -16,6 +16,8 @@ construction.
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -1385,6 +1387,126 @@ FROM m ORDER BY doc_id
     return QueryDef(fn, duck)
 
 
+def _q_bpe_pair_counts() -> QueryDef:
+    """First BPE merge round's pair aggregation over the documents
+    table (operators/bpe.py word_frequencies + pair explode) vs a
+    hand-written DuckDB mirror: adjacent character pairs (plus the
+    end-of-word marker) weighted by word frequency, top 20. This is the
+    shuffle that dominates distributed BPE training; the counts are
+    exact integers."""
+    duck = """
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT CASE WHEN i < length(w) THEN substr(w, i, 1)
+              ELSE substr(w, length(w), 1) END AS a,
+         CASE WHEN i < length(w) THEN substr(w, i + 1, 1)
+              ELSE '</w>' END AS b,
+         freq
+  FROM (SELECT w, freq, unnest(range(1, length(w) + 1)) AS i FROM words)
+)
+SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM pairs GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT 20
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.bpe import word_frequencies
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        words = word_frequencies(docs)
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)), i ->"
+                    " IF(i < length(w),"
+                    "   struct(substring(w, i, 1) AS a,"
+                    "          substring(w, i + 1, 1) AS b),"
+                    "   struct(substring(w, length(w), 1) AS a,"
+                    "          '</w>' AS b)))"
+                )
+            ).alias("p"),
+        )
+        return (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(20)
+        )
+
+    return QueryDef(fn, duck)
+
+
+_BPE_WORDLIST = (
+    "scan", "join", "sort", "filter", "window", "shuffle", "batch",
+    "spark", "table", "query",
+)
+_BPE_MERGES = 12
+
+
+def _bpe_synth_text(k: int) -> str:
+    """Deterministic per-key text from a fixed word list (no RNG)."""
+    return " ".join(
+        _BPE_WORDLIST[(k * j * j + j) % len(_BPE_WORDLIST)] for j in range(30)
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _bpe_oracle_values() -> str:
+    """Sequential-reference BPE over the 25-key synthetic corpus: the
+    INDEPENDENT implementation the distributed trainer must equal."""
+    from .operators.bpe import bpe_reference_segment, bpe_reference_train
+
+    wf: dict[str, int] = {}
+    for k in range(25):
+        for w in _bpe_synth_text(k).split(" "):
+            wf[w] = wf.get(w, 0) + 1
+    merges = bpe_reference_train(wf, _BPE_MERGES)
+    values = []
+    for k in range(25):
+        toks: list[str] = []
+        for w in _bpe_synth_text(k).split(" "):
+            toks.extend(bpe_reference_segment(w, merges))
+        cs = 0
+        for t in toks:
+            cs = (cs * 31 + sum(t.encode()) % 1000003) % 1000000007
+        values.append(f"({k}, {len(toks)}, {cs})")
+    return ", ".join(values)
+
+
+def _q_bpe_roundtrip() -> QueryDef:
+    """Full distributed BPE train + segment on a deterministic synthetic
+    corpus (keyed by nation) vs the sequential reference implementation
+    run driver-side — an algorithmic equivalence check, not just a
+    determinism pin: the distributed trainer's merge sequence and the
+    segmenter's token stream must equal classic sequential BPE."""
+    duck = f"""
+SELECT v.k AS doc_id, v.n_tokens AS n_tokens, v.token_checksum AS token_checksum
+FROM (VALUES {_bpe_oracle_values()}) AS v(k, n_tokens, token_checksum)
+JOIN nation ON n_nationkey = v.k
+ORDER BY doc_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.bpe import apply_bpe, train_bpe
+
+        keys = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            F.col("n_nationkey").cast("long").alias("doc_id")
+        )
+        synth = F.udf(_bpe_synth_text, "string")
+        corpus = keys.select(
+            "doc_id", synth(F.col("doc_id").cast("int")).alias("text")
+        ).localCheckpoint()  # tiny (25 rows); freeze so train and apply agree
+        merges = train_bpe(corpus, _BPE_MERGES)
+        return apply_bpe(corpus, merges).orderBy("doc_id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_langid() -> QueryDef:
     def make(d) -> str:
         from .operators.text import langid_sql
@@ -2389,7 +2511,6 @@ def _jpeg_variant(k: int) -> tuple[int, str, int]:
     return 85 + k % 11, ("444" if k % 2 else "420"), (3 if k % 3 == 0 else 0)
 
 
-import functools
 
 
 @functools.lru_cache(maxsize=1)
@@ -4473,6 +4594,8 @@ def build_queries() -> dict[str, QueryDef]:
         "token_count": _q_token_count(),
         "text_quality": _q_text_quality(),
         "repetition_metrics": _q_repetition_metrics(),
+        "bpe_pair_counts": _q_bpe_pair_counts(),
+        "bpe_roundtrip": _q_bpe_roundtrip(),
         "langid": _q_langid(),
         "doc_fingerprint": _q_fingerprint(),
         "minhash_sig": _q_minhash(),
