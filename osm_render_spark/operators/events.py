@@ -1,0 +1,139 @@
+"""Event-stream analytics: as-of join and gap sessionization.
+
+Two classic time-series operators Spark lacks as built-ins, re-expressed
+as single-shuffle window plans (the prompt-level "as-of join / range
+join" family; reference precedent: the engine's other ordered-walk
+operators, e.g. coast_merge's clockwise successor scan).
+
+**As-of join** (`asof_join`): each left row picks the most recent right
+row with the same key and right.ts <= left.ts (backward-inclusive, the
+pandas `merge_asof` / kdb `aj` semantics).  Spark shape: tag + UNION the
+two sides, then one `last(payload, ignorenulls=True)` running window per
+key — the sort-merge formulation.  Cost: ONE shuffle on the key column
+for both inputs together; no range explosion, no per-key collect.  A
+1000-executor run partitions by key hash exactly like any groupBy; skew
+= one user's events land in one task's sorted run, which is inherent to
+the per-key-ordered semantics (the window never materializes the run —
+it streams).
+
+Determinism: the window sorts (ts, _is_left, tie), so right rows that
+share (key, ts) collapse to the max-`tie` one inside the SAME sort (no
+separate dedup exchange — the plan test pins exactly one
+hashpartitioning(key) exchange), and at equal timestamps the right row
+sorts before the left row, making the join inclusive.
+
+**Sessionization** (`sessionize`): the published gap heuristic — a new
+session starts when a user's inter-event gap exceeds `gap`.  lag +
+cumulative-sum windows over one shuffle on user_id; session_seq is
+deterministic via the (ts, id) total order.  100 TB shape: identical to
+the as-of join — one keyed exchange, streaming windows, no buffering
+beyond the frame row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _us(c) -> Column:
+    """Epoch microseconds; the cast lifts parquet TIMESTAMP_NTZ to
+    TIMESTAMP (identical instant under the UTC session the driver
+    contract pins) and is a no-op for TIMESTAMP inputs."""
+    return F.unix_micros(F.col(c).cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    payload: tuple[str, ...] = ("event_id", "value"),
+    tie: str = "event_id",
+) -> DataFrame:
+    """Backward-inclusive as-of join: left rows gain `asof_<payload>`
+    columns from the latest right row with right.ts <= left.ts per key
+    (NULL when no right row precedes).  One shuffle on `key`.
+
+    Equal-timestamp right rows collapse to the max-`tie` one without a
+    separate dedup pass: the window sorts (ts, _is_left, tie), so among
+    right rows sharing a timestamp the max-tie row is the LAST non-null
+    the running `last()` sees — the dedup is free inside the same sort."""
+    r = right
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("_is_left"),
+        F.col(tie).alias("_tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+    )
+    tagged_r = r.select(
+        *[
+            F.col(c).alias(c)
+            if c in (ts, key)
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_is_left"),
+        F.col(tie).alias("_tie"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+
+    u = tagged_l.unionByName(tagged_r)
+    # right rows (_is_left=0) sort before left rows at equal ts ⇒ inclusive;
+    # _tie ascending makes the max-tie right row the running-last winner
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_is_left", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload:
+        u = u.withColumn(f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    return u.filter(F.col("_is_left") == 1).select(
+        *lcols, *[f"asof_{c}" for c in payload]
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    key: str = "user_id",
+    ts: str = "ts",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Assign gap-based session sequence numbers (1-based per user).
+    Adds `session_seq`; one shuffle on `key`, two streaming windows."""
+    w = Window.partitionBy(key).orderBy(ts, tie)
+    prev = F.lag(ts).over(w)
+    new_sess = (
+        prev.isNull()
+        | (_us(ts) - F.unix_micros(prev.cast("timestamp")) > gap_minutes * 60_000_000)
+    ).cast("int")
+    cum = Window.partitionBy(key).orderBy(ts, tie).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_seq", F.sum(new_sess).over(cum))
+
+
+def session_stats(
+    events: DataFrame, gap_minutes: int = 30, key: str = "user_id", ts: str = "ts"
+) -> DataFrame:
+    """Per-session aggregates over sessionize(): event count, duration
+    in microseconds, exact money math (value_cents — CLAUDE.md F6
+    discipline), purchase count.  groupBy reuses the sessionize shuffle
+    key prefix, so AQE plans a single exchange end-to-end."""
+    s = sessionize(events, gap_minutes, key=key, ts=ts)
+    return s.groupBy(key, "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max(_us(ts)) - F.min(_us(ts))).alias("duration_us"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0).cast("double") + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("value_cents"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("n_purchases"),
+    )

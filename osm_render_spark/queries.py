@@ -4407,6 +4407,103 @@ ORDER BY zoom, tile_key
     return QueryDef(fn, duck)
 
 
+def _q_asof_view_for_click() -> QueryDef:
+    """Backward-inclusive as-of join (operators/events.asof_join — the
+    union+running-last single-shuffle plan) vs DuckDB's NATIVE `ASOF
+    LEFT JOIN` operator — an independent algorithmic implementation,
+    not a mirrored query text.  Right side deduped to max-event_id per
+    (user, ts) in both engines so equal-timestamp matches are
+    deterministic.  Money/lag outputs as exact integers (CLAUDE.md)."""
+    duck = """
+WITH r AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view') t WHERE rn = 1
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT l.event_id AS click_id,
+       l.user_id AS user_id,
+       r.event_id AS view_id,
+       CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us,
+       CAST(FLOOR(r.value * CAST(100 AS DOUBLE) + 0.5) AS BIGINT) AS view_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY click_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.events import asof_join
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        views = ev.filter(F.col("event_type") == "view")
+        j = asof_join(clicks, views, payload=("event_id", "ts", "value"))
+        return j.select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("asof_event_id").alias("view_id"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("lag_us"),
+            F.floor(
+                F.col("asof_value") * F.lit(100.0).cast("double") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("view_cents"),
+        ).orderBy("click_id")
+
+    return QueryDef(fn, duck)
+
+
+def _q_session_stats() -> QueryDef:
+    """Gap sessionization (operators/events.sessionize — lag +
+    cumulative-sum windows, one shuffle) vs a hand-written DuckDB
+    window formulation.  30-minute gap; duration and money as exact
+    integers; DuckDB's HUGEINT window sums cast back to BIGINT."""
+    duck = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM lagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us,
+       CAST(SUM(CAST(FLOOR(value * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases
+FROM s GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.events import session_stats
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return session_stats(ev, gap_minutes=30).withColumn(
+            "session_seq", F.col("session_seq").cast("long")
+        ).orderBy("user_id", "session_seq")
+
+    return QueryDef(fn, duck)
+
+
 def _q_event_hourly_rollup() -> QueryDef:
     """Event-time tumbling-window rollup over the events table — the
     batch twin of streaming.ingest.streaming_tile_counts' windowed agg
@@ -4626,5 +4723,7 @@ def build_queries() -> dict[str, QueryDef]:
         "pbf_roundtrip": _q_pbf_roundtrip(),
         "quantize_int8": _q_quantize_int8(),
         "event_hourly_rollup": _q_event_hourly_rollup(),
+        "asof_view_for_click": _q_asof_view_for_click(),
+        "session_stats": _q_session_stats(),
     }
     return defs
