@@ -4407,6 +4407,44 @@ ORDER BY zoom, tile_key
     return QueryDef(fn, duck)
 
 
+def _q_distance_join() -> QueryDef:
+    """Cell-bucketed distance range join (operators/spatial_join —
+    9-cell neighborhood equi-join + exact refine) vs a brute-force
+    DuckDB theta join over the identical shared `dist_sq_sql` IEEE
+    expression.  Radius 2°, queries = every 41st event point."""
+    from .operators.spatial_join import dist_sq_sql
+
+    d = dist_sq_sql("qlon", "qlat", "lon", "lat")
+    duck = f"""
+WITH pts AS (SELECT event_id AS pid, {LON_EVT} AS lon, {LAT_EVT} AS lat FROM events),
+q AS (SELECT pid AS qid, lon AS qlon, lat AS qlat FROM pts WHERE pid % 41 = 0)
+SELECT qid, pid,
+       CAST(FLOOR(({d}) * CAST(10000000000 AS DOUBLE) + 0.5) AS BIGINT) AS dist_sq_e10
+FROM q, pts
+WHERE ({d}) < CAST(4 AS DOUBLE) AND qid <> pid
+ORDER BY qid, pid
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.spatial_join import distance_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = ev.selectExpr(
+            "event_id AS pid", f"{LON_EVT} AS lon", f"{LAT_EVT} AS lat"
+        )
+        qs = pts.filter("pid % 41 = 0").selectExpr("pid AS qid", "lon", "lat")
+        out = distance_join(qs, pts, 2.0, query_id="qid", point_id="pid")
+        return out.select(
+            "qid",
+            "pid",
+            F.expr(
+                "CAST(FLOOR(dist_sq * CAST(10000000000 AS DOUBLE) + 0.5) AS BIGINT)"
+            ).alias("dist_sq_e10"),
+        ).orderBy("qid", "pid")
+
+    return QueryDef(fn, duck)
+
+
 def _q_asof_view_for_click() -> QueryDef:
     """Backward-inclusive as-of join (operators/events.asof_join — the
     union+running-last single-shuffle plan) vs DuckDB's NATIVE `ASOF
@@ -4724,6 +4762,7 @@ def build_queries() -> dict[str, QueryDef]:
         "quantize_int8": _q_quantize_int8(),
         "event_hourly_rollup": _q_event_hourly_rollup(),
         "asof_view_for_click": _q_asof_view_for_click(),
+        "distance_join_2deg": _q_distance_join(),
         "session_stats": _q_session_stats(),
     }
     return defs
