@@ -4407,6 +4407,83 @@ ORDER BY zoom, tile_key
     return QueryDef(fn, duck)
 
 
+_SEARCH_TERMS = ("spark", "vector", "merge")
+
+_TF_DUCK = """
+toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) u WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term)
+"""
+
+
+def _q_inverted_postings() -> QueryDef:
+    """Inverted-index build (operators/search.term_freqs) — per-term df,
+    total tf and an exact postings digest for the 25 highest-df terms."""
+    duck = f"""
+WITH {_TF_DUCK}
+SELECT term, COUNT(DISTINCT doc_id) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       CAST(SUM(doc_id * tf) AS BIGINT) AS postings_digest
+FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 25
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.search import term_freqs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tf = term_freqs(docs)
+        return (
+            tf.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.sum("tf").cast("long").alias("total_tf"),
+                F.sum(F.col("doc_id") * F.col("tf"))
+                .cast("long")
+                .alias("postings_digest"),
+            )
+            .orderBy(F.desc("df"), "term")
+            .limit(25)
+        )
+
+    return QueryDef(fn, duck)
+
+
+def _q_search_topk() -> QueryDef:
+    """Quantized-impact keyword retrieval (operators/search.impact_search
+    — broadcast term-weight join, no corpus shuffle for the query) vs a
+    DuckDB formulation sharing only the integer weight expression text.
+    Integer scores make rank order engine-exact (module docstring)."""
+    from .operators.search import impact_weight_sql
+
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    w = impact_weight_sql("(SELECT n_docs FROM n)", "df")
+    duck = f"""
+WITH {_TF_DUCK},
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+qdf AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+  WHERE term IN ({terms}) GROUP BY term
+),
+w AS (SELECT term, {w} AS w FROM qdf),
+scored AS (
+  SELECT tf.doc_id AS doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS score
+  FROM tf JOIN w ON tf.term = w.term GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.search import impact_search
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return impact_search(docs, _SEARCH_TERMS, k=10)
+
+    return QueryDef(fn, duck)
+
+
 def _q_distance_join() -> QueryDef:
     """Cell-bucketed distance range join (operators/spatial_join —
     9-cell neighborhood equi-join + exact refine) vs a brute-force
@@ -4763,6 +4840,8 @@ def build_queries() -> dict[str, QueryDef]:
         "event_hourly_rollup": _q_event_hourly_rollup(),
         "asof_view_for_click": _q_asof_view_for_click(),
         "distance_join_2deg": _q_distance_join(),
+        "inverted_postings": _q_inverted_postings(),
+        "search_topk": _q_search_topk(),
         "session_stats": _q_session_stats(),
     }
     return defs
