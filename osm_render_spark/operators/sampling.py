@@ -86,3 +86,77 @@ def stratified_sample(
             F.col("_r").alias("rank_in_stratum"),
         )
     )
+
+
+def mixture_quotas(weights: dict[str, int], total: int) -> dict[str, int]:
+    """Exact largest-remainder (Hamilton) allocation of `total` slots
+    across sources proportional to integer `weights` — pure-integer
+    driver math (weights are dimension-sized by contract).  Quotas sum
+    to `total` exactly; ties on remainder break by source name."""
+    wsum = sum(weights.values())
+    base = {s: total * w // wsum for s, w in weights.items()}
+    extras = total - sum(base.values())
+    by_rem = sorted(
+        weights, key=lambda s: (-(total * weights[s] % wsum), s)
+    )
+    for s in by_rem[:extras]:
+        base[s] += 1
+    return base
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture/curriculum sampling: select exactly
+    quota(source) rows per source (largest-remainder proportional to
+    `weights`), picking each source's first-N by (LCG hash, id) — the
+    stable, RNG-free order every sampler in this engine uses.  Sources
+    with fewer rows than their quota contribute all they have (the
+    result then undershoots `total`; documented, no redistribution).
+
+    Scale shape: same as stratified_sample — a map-side Arrow prune
+    keeps each batch's top-max(quota) per source BEFORE the single
+    stratum-keyed window, so the shuffle is quota-sized regardless of
+    corpus size or source skew; quotas ride a broadcast join."""
+    import pandas as pd  # noqa: F401 — Arrow batches arrive as pandas
+
+    quotas = mixture_quotas(weights, total)
+    maxq = max(quotas.values())
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        sorted(quotas.items()), f"_s string, _quota int"
+    )
+
+    work = df.filter(F.col(source_col).isin(list(weights))).select(
+        F.col(source_col).alias("_s"),
+        F.col(id_col).alias("_id"),
+        _lcg(F.col(id_col)).alias("_h"),
+    )
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values(["_s", "_h", "_id"])
+                .groupby("_s", sort=False)
+                .head(maxq)
+            )
+
+    id_t = work.schema["_id"].dataType.simpleString()
+    pruned = work.mapInPandas(prune, schema=f"_s string, _id {id_t}, _h long")
+    w = Window.partitionBy("_s").orderBy("_h", "_id")
+    return (
+        pruned.withColumn("_r", F.row_number().over(w))
+        .join(F.broadcast(qdf), "_s")
+        .where(F.col("_r") <= F.col("_quota"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").alias(source_col),
+            F.col("_r").alias("rank_in_source"),
+        )
+    )

@@ -4407,6 +4407,61 @@ ORDER BY zoom, tile_key
     return QueryDef(fn, duck)
 
 
+_MIX_WEIGHTS = {"src1": 5, "src3": 3, "src7": 2, "src12": 1, "src19": 1}
+_MIX_TOTAL = 61  # forces one largest-remainder extra AND (at sf0.01)
+# an exhausted source: src1's quota 26 > its 25 available rows
+
+
+def _q_mixture_sample() -> QueryDef:
+    """Mixture/curriculum sampling (operators/sampling.mixture_sample)
+    vs an INDEPENDENT DuckDB implementation of the whole largest-
+    remainder pipeline (quota math re-derived in SQL, not inlined from
+    the python).  The total is chosen so one extra slot is assigned by
+    remainder rank and one source's quota exceeds its sf0.01
+    availability — both edge paths are on the hash-compared path."""
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+    srcs = ", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))
+    t = _MIX_TOTAL
+    duck = f"""
+WITH w AS (SELECT * FROM (VALUES {vals}) AS t(source, wt)),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum FROM w),
+q0 AS (
+  SELECT source, ({t} * wt) // wsum AS base, ({t} * wt) % wsum AS rem
+  FROM w, tot
+),
+q1 AS (
+  SELECT source, base, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank,
+         (SELECT {t} - SUM(base) FROM q0) AS extras
+  FROM q0
+),
+quota AS (
+  SELECT source, base + CASE WHEN rrank <= extras THEN 1 ELSE 0 END AS q
+  FROM q1
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+           (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648), doc_id
+         ) AS rn
+  FROM documents WHERE source IN ({srcs})
+)
+SELECT r.doc_id AS doc_id, r.source AS source, CAST(r.rn AS BIGINT) AS rank_in_source
+FROM ranked r JOIN quota ON r.source = quota.source
+WHERE r.rn <= quota.q
+ORDER BY source, rank_in_source
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.sampling import mixture_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return mixture_sample(docs, _MIX_WEIGHTS, _MIX_TOTAL).withColumn(
+            "rank_in_source", F.col("rank_in_source").cast("long")
+        ).orderBy("source", "rank_in_source")
+
+    return QueryDef(fn, duck)
+
+
 _SEARCH_TERMS = ("spark", "vector", "merge")
 
 _TF_DUCK = """
@@ -4841,6 +4896,7 @@ def build_queries() -> dict[str, QueryDef]:
         "asof_view_for_click": _q_asof_view_for_click(),
         "distance_join_2deg": _q_distance_join(),
         "inverted_postings": _q_inverted_postings(),
+        "mixture_sample": _q_mixture_sample(),
         "search_topk": _q_search_topk(),
         "session_stats": _q_session_stats(),
     }

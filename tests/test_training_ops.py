@@ -1309,3 +1309,38 @@ def test_pipeline_semdedup_stage(spark, tmp_path):
     kept2 = {r["image_id"] for r in out2["curated"].select("image_id").collect()}
     assert kept_ids <= kept2
     corpus.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# mixture / curriculum sampling
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_quotas_largest_remainder():
+    from osm_render_spark.operators.sampling import mixture_quotas
+
+    # 61 over weights 5/3/2/1/1 (wsum 12): bases 25/15/10/5/5 = 60,
+    # one extra goes to the largest remainder (src1, rem 5)
+    q = mixture_quotas({"a": 5, "b": 3, "c": 2, "d": 1, "e": 1}, 61)
+    assert q == {"a": 26, "b": 15, "c": 10, "d": 5, "e": 5}
+    assert sum(q.values()) == 61
+    # remainder tie broken by source name: 10 over 1/1/1 -> 4/3/3
+    q2 = mixture_quotas({"x": 1, "y": 1, "z": 1}, 10)
+    assert q2 == {"x": 4, "y": 3, "z": 3}
+
+
+def test_mixture_sample_exact_and_stable(spark):
+    from osm_render_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = mixture_sample(docs, {"src1": 2, "src3": 1}, 30).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(per["src1"]) == 20 and len(per["src3"]) == 10
+    # stable under repartitioning (keys-as-columns, no RNG)
+    out2 = mixture_sample(docs.repartition(7), {"src1": 2, "src3": 1}, 30).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # exhaustion: quota beyond availability takes everything, no error
+    out3 = mixture_sample(docs, {"src1": 1}, 1000).collect()
+    assert len(out3) == 25
