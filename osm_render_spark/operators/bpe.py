@@ -208,6 +208,7 @@ def apply_bpe(
                 rows, columns=[id_col, "n_tokens", "token_checksum"]
             )
 
+    id_t = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
-        kernel, schema=f"{id_col} long, n_tokens long, token_checksum long"
+        kernel, schema=f"{id_col} {id_t}, n_tokens long, token_checksum long"
     )

@@ -158,6 +158,7 @@ def training_data_pipeline(
     semdedup_threshold: float = 0.92,
     semdedup_clusters: int | None = None,
     quality_thresholds: dict | None = None,
+    bpe_merges_n: int | None = None,
 ) -> dict[str, DataFrame]:
     """The composed multimodal TRAINING-DATA pipeline (the north rule's
     image+caption curation path), every heavy stage a checkpointed unit
@@ -172,6 +173,10 @@ def training_data_pipeline(
     3. dedup         — exact caption dedup ∩ phash image dedup
                        (operators/dedup.dedup_images, canonical keep)
     4. curate        — langid + token count + quality floor
+    4b. tokenize     — optional BPE stage (operators/bpe.py): train a
+                       merge list on the curated captions and replace
+                       whitespace n_tokens with BPE token counts, so
+                       the pack budget is in real tokenizer units
     5. split         — deterministic train/val/test (codegen LCG)
     6. pack          — greedy sequence packing per (split, shard)
 
@@ -294,6 +299,34 @@ def training_data_pipeline(
     curated = store.run_stage(
         spark, "curate", qparams, compute_curate, partition_col="lang_id"
     )
+
+    if bpe_merges_n is not None:
+        # optional tokenizer stage: train a BPE vocabulary ON the curated
+        # captions (operators/bpe.py — one corpus pass, vocab-sized merge
+        # rounds) and replace the whitespace n_tokens with the BPE token
+        # count, so the packing budget downstream is in REAL tokenizer
+        # units. Stage key carries n_merges (S10: output-shaping knob).
+        from .operators.bpe import apply_bpe, train_bpe
+
+        bparams = {**qparams, "bpe_merges": bpe_merges_n}
+
+        def compute_tokenize():
+            merges = train_bpe(curated, bpe_merges_n, text_col="caption")
+            toks = apply_bpe(
+                curated, merges, text_col="caption", id_col="image_id"
+            )
+            return (
+                curated.drop("n_tokens")
+                .join(toks.select("image_id", "n_tokens"), "image_id")
+                .select(
+                    "image_id", "caption", "phash", "lang_id", "n_tokens"
+                )
+            )
+
+        curated = store.run_stage(
+            spark, "tokenize", bparams, compute_tokenize, partition_col=None
+        )
+        qparams = bparams
 
     def compute_split():
         # image_id is a string: derive the LCG's numeric id via xxhash64

@@ -276,3 +276,36 @@ def test_training_pipeline_quality_knob_does_not_serve_stale_checkpoint(
     assert n_hi < n_lo  # captions are 8 tokens: floor 9 drops them all
     assert n_hi == 0
     assert hi["packed"].count() == 0
+
+
+def test_training_pipeline_bpe_tokenize_stage(spark, store):
+    """Optional BPE stage: n_tokens becomes the BPE token count (>= the
+    whitespace count — characters merge at most back to words, and the
+    </w> marker keeps every word >= 1 token), packing still respects the
+    budget in the new units, and the stage key carries n_merges."""
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+    from osm_render_spark.operators.bpe import apply_bpe, train_bpe
+    from osm_render_spark.pipeline import training_data_pipeline
+
+    n = 60
+    corpus = pipeline_corpus_df(spark, n)
+    params = {"corpus": "planted", "n": n}
+    base = training_data_pipeline(spark, corpus, store, params=params)
+    out = training_data_pipeline(
+        spark, corpus, store, params=params, bpe_merges_n=6
+    )
+    ws = {r["image_id"]: r["n_tokens"] for r in base["curated"].collect()}
+    bpe = {r["image_id"]: r["n_tokens"] for r in out["curated"].collect()}
+    assert set(ws) == set(bpe)
+    assert all(bpe[k] >= ws[k] for k in ws)
+    # the counts equal a direct train+apply over the same curated text
+    cur = base["curated"].select("image_id", "caption")
+    merges = train_bpe(cur, 6, text_col="caption")
+    direct = {
+        r["image_id"]: r["n_tokens"]
+        for r in apply_bpe(cur, merges, text_col="caption", id_col="image_id").collect()
+    }
+    assert bpe == direct
+    # packing uses the BPE units
+    for r in out["packed"].collect():
+        assert r["seq_fill"] <= 64
