@@ -370,7 +370,42 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     t0 = time.time()
     repetition_metrics(docs_tbl).count()
     repetition_sec = time.time() - t0
+
+    # impact search: inverted-index build (one corpus-token shuffle) +
+    # broadcast-weighted top-k retrieval
+    from osm_render_spark.operators.search import impact_search
+
+    impact_search(docs_tbl.limit(100), ("spark", "vector"), k=10).count()  # warm
+    t0 = time.time()
+    impact_search(docs_tbl, ("spark", "vector", "merge"), k=10).count()
+    search_sec = time.time() - t0
     docs_tbl.unpersist()
+
+    # event-stream layer: as-of join + sessionization (single-exchange
+    # window plans) and the cell-bucketed distance range join
+    from osm_render_spark.operators.events import asof_join, session_stats
+    from osm_render_spark.operators.spatial_join import distance_join
+    from osm_render_spark.queries import LAT_EVT, LON_EVT
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    n_events = ev.count()
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    views = ev.where("event_type = 'view'")
+    asof_join(clicks.limit(50), views, payload=("event_id", "value")).count()  # warm
+    t0 = time.time()
+    asof_join(clicks, views, payload=("event_id", "value")).count()
+    asof_sec = time.time() - t0
+    t0 = time.time()
+    session_stats(ev).count()
+    session_sec = time.time() - t0
+    ev_pts = ev.selectExpr(
+        "event_id AS pid", f"{LON_EVT} AS lon", f"{LAT_EVT} AS lat"
+    )
+    ev_q = ev_pts.where("pid % 41 = 0").selectExpr("pid AS qid", "lon", "lat")
+    t0 = time.time()
+    n_range_pairs = distance_join(ev_q, ev_pts, 2.0).count()
+    range_join_sec = time.time() - t0
+    ev.unpersist()
 
     # tile pyramid: base render at z6 + every ancestor level to z0 —
     # end-to-end wall (what a user pays for a full tile tree). The 4/3
@@ -641,6 +676,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "bpe_train_sec_8_merges": round(bpe_train_sec, 3),
         "bpe_tokenize_docs_per_sec": round(n_docs_tbl / bpe_apply_sec, 1),
         "repetition_docs_per_sec": round(n_docs_tbl / repetition_sec, 1),
+        "search_docs_per_sec": round(n_docs_tbl / search_sec, 1),
+        "asof_events_per_sec": round(n_events / asof_sec, 1),
+        "sessionize_events_per_sec": round(n_events / session_sec, 1),
+        "range_join_sec": round(range_join_sec, 3),
+        "range_join_pairs": n_range_pairs,
         "resample_clips_per_sec": round(n_audio / resample_sec, 1),
         "dsp_clips_per_sec": round(n_audio / dsp_sec, 1),
         "quality_images_per_sec": round(n_mm / quality_sec, 1),
