@@ -137,3 +137,40 @@ def session_stats(
         .cast("long")
         .alias("n_purchases"),
     )
+
+
+def od_matrix(
+    events: DataFrame,
+    cell_col: str = "cell",
+    gap_minutes: int = 30,
+    key: str = "user_id",
+    ts: str = "ts",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Origin→destination flow matrix: count consecutive WITHIN-SESSION
+    cell transitions per user (the trajectory-flow rollup over any cell
+    key — tile_key, geohash, H3-style id).  A transition is (prev event
+    cell → this event cell) when the inter-event gap stays under the
+    session threshold; session membership is decided by the SAME lag
+    that fetches the origin cell, so no session_seq window (and no
+    second differently-keyed exchange) is needed: one shuffle on `key`
+    for the lag window, then the output-sized groupBy(from,to).
+
+    Output: (from_cell, to_cell, n_trips, n_users)."""
+    w = Window.partitionBy(key).orderBy(ts, tie)
+    prev_ts = F.lag(ts).over(w)
+    prev_cell = F.lag(cell_col).over(w)
+    in_session = prev_ts.isNotNull() & (
+        _us(ts) - F.unix_micros(prev_ts.cast("timestamp"))
+        <= gap_minutes * 60_000_000
+    )
+    return (
+        events.withColumn("from_cell", prev_cell)
+        .withColumn("_in", in_session)
+        .filter(F.col("_in"))
+        .groupBy("from_cell", F.col(cell_col).alias("to_cell"))
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.countDistinct(key).alias("n_users"),
+        )
+    )

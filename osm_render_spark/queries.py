@@ -4674,6 +4674,50 @@ ORDER BY user_id, session_seq
     return QueryDef(fn, duck)
 
 
+def _q_od_matrix() -> QueryDef:
+    """Origin→destination trajectory flows (operators/events.od_matrix)
+    over z5 tile cells with a 12 h session gap, vs an independent DuckDB
+    double-LAG window formulation.  Cells come from the shared
+    tile_key_sql text, so both engines bucket identically."""
+    cell = tile_key_sql("lon", "lat", 5)
+    duck = f"""
+WITH pts AS (
+  SELECT user_id, event_id, ts, {cell} AS cell
+  FROM (SELECT user_id, event_id, ts, {LON_EVT} AS lon, {LAT_EVT} AS lat
+        FROM events) t
+),
+lagged AS (
+  SELECT user_id, ts, cell,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts_,
+         LAG(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pcell
+  FROM pts
+)
+SELECT pcell AS from_cell, cell AS to_cell, COUNT(*) AS n_trips,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM lagged
+WHERE pts_ IS NOT NULL AND epoch_us(ts) - epoch_us(pts_) <= 43200000000
+GROUP BY pcell, cell ORDER BY from_cell, to_cell
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.events import od_matrix
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = ev.selectExpr(
+            "user_id",
+            "event_id",
+            "ts",
+            f"{LON_EVT} AS lon",
+            f"{LAT_EVT} AS lat",
+        ).withColumn("cell", F.expr(cell))
+        return od_matrix(pts, cell_col="cell", gap_minutes=720).orderBy(
+            "from_cell", "to_cell"
+        )
+
+    return QueryDef(fn, duck)
+
+
 def _q_event_hourly_rollup() -> QueryDef:
     """Event-time tumbling-window rollup over the events table — the
     batch twin of streaming.ingest.streaming_tile_counts' windowed agg
@@ -4899,5 +4943,6 @@ def build_queries() -> dict[str, QueryDef]:
         "mixture_sample": _q_mixture_sample(),
         "search_topk": _q_search_topk(),
         "session_stats": _q_session_stats(),
+        "od_matrix_z5": _q_od_matrix(),
     }
     return defs

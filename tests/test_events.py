@@ -145,3 +145,32 @@ def test_plan_single_exchange_no_join(spark):
     assert "Join" not in plan2
     parts2 = re.findall(r"hashpartitioning\((\w+)", plan2)
     assert parts2 == ["user_id"], parts2
+
+
+def test_od_matrix_hand_worked(spark):
+    # user 1: cells A->A->B within gap, then a gap-break, then B->C
+    rows = [
+        (1, _ts(0), 1, "view", 0.0, 10),
+        (2, _ts(5), 1, "view", 0.0, 10),    # A->A self transition
+        (3, _ts(10), 1, "view", 0.0, 20),   # A->B
+        (4, _ts(100), 1, "view", 0.0, 20),  # gap break: not counted
+        (5, _ts(110), 1, "view", 0.0, 30),  # B->C
+        (6, _ts(0), 2, "view", 0.0, 10),
+        (7, _ts(3), 2, "view", 0.0, 20),    # A->B (second user)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, cell long",
+    )
+    from osm_render_spark.operators.events import od_matrix
+
+    out = {
+        (r["from_cell"], r["to_cell"]): (r["n_trips"], r["n_users"])
+        for r in od_matrix(df, gap_minutes=30).collect()
+    }
+    assert out == {
+        (10, 10): (1, 1),
+        (10, 20): (2, 2),
+        (20, 30): (1, 1),
+    }
