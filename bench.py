@@ -619,6 +619,33 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     ).count()
     gh_sec = time.time() - t0
 
+    # polygon pixel stats + sub-pixel cull: pure codegen HOF pipeline,
+    # rings/s at bench scale (every order → a 5-vertex synthetic ring,
+    # the oracle fixture shape without the %50 thinning)
+    from osm_render_spark.operators.geometry import polygon_pixel_stats
+    from osm_render_spark.queries import (
+        _GEO_SCENE,
+        _polygon_fixture_sql,
+    )
+
+    verts, _, rev = _polygon_fixture_sql()
+    struct_items = ", ".join(
+        f"struct({lo} AS lon, {la} AS lat)" for lo, la in verts
+    )
+    rings = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey AS way_id",
+        f"CASE WHEN {rev} THEN reverse(array({struct_items}))"
+        f" ELSE array({struct_items}) END AS geometry",
+    )
+    polygon_pixel_stats(rings.limit(1000), **_GEO_SCENE).count()  # warm
+    t0 = time.time()
+    n_poly = (
+        polygon_pixel_stats(rings, **_GEO_SCENE)
+        .where("winding <> ''")
+        .count()
+    )
+    poly_sec = time.time() - t0
+
     loadavg_after = os.getloadavg()
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
@@ -690,6 +717,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "gif_encode_images_per_sec": round(n_gif / gif_enc_sec, 1),
         "gif_decode_images_per_sec": round(n_gif / gif_dec_sec, 1),
         "geohash_rows_per_sec": round(n_gh / gh_sec, 1),
+        "polygon_stats_rings_per_sec": round(n_poly / poly_sec, 1),
     }
 
 

@@ -4718,6 +4718,178 @@ GROUP BY pcell, cell ORDER BY from_cell, to_cell
     return QueryDef(fn, duck)
 
 
+def _polygon_fixture_sql() -> tuple[list[tuple[str, str]], str, str]:
+    """Shared polygon fixture for the geometry queries: per order (every
+    50th key), a 5-vertex ring — rectangle corners plus a bottom-edge
+    bump — whose width/height/bump derive from o_orderkey in closed
+    form, with three size classes (normal ~50-200 px, k%13 small ~3×2
+    px, k%11 sub-pixel-wide → pixel-degenerate). Returns the five
+    (lon_expr, lat_expr) vertex pairs in canonical order, the WHERE
+    predicate, and the reversal predicate (k%3 rings are fed to the
+    engine reversed; the oracle applies the exact integer sign flip
+    instead — shoelace and centroid numerators negate exactly under
+    ring reversal)."""
+    w = (
+        "(CASE WHEN o_orderkey % 11 = 0 THEN CAST(0.002 AS DOUBLE)"
+        " WHEN o_orderkey % 13 = 0 THEN CAST(0.03 AS DOUBLE)"
+        " ELSE CAST(0.5 AS DOUBLE) + CAST(o_orderkey % 7 AS DOUBLE) * CAST(0.25 AS DOUBLE) END)"
+    )
+    h = (
+        "(CASE WHEN o_orderkey % 11 = 0 THEN CAST(0.5 AS DOUBLE)"
+        " WHEN o_orderkey % 13 = 0 THEN CAST(0.02 AS DOUBLE)"
+        " ELSE CAST(0.4 AS DOUBLE) + CAST(o_orderkey % 5 AS DOUBLE) * CAST(0.2 AS DOUBLE) END)"
+    )
+    amp = "(CAST(o_orderkey % 4 AS DOUBLE) * CAST(0.003 AS DOUBLE))"
+    lon0, lat0 = LON_ORD, LAT_ORD
+    verts = [
+        (lon0, lat0),
+        (f"({lon0} + {w} * CAST(0.5 AS DOUBLE))", f"({lat0} - {amp})"),
+        (f"({lon0} + {w})", lat0),
+        (f"({lon0} + {w})", f"({lat0} + {h})"),
+        (lon0, f"({lat0} + {h})"),
+    ]
+    return verts, "o_orderkey % 50 = 0", "o_orderkey % 3 = 0"
+
+
+# Scene for the geometry queries: whole derived-coordinate range at
+# 100 px/degree (the .01° fixture granularity lands pixel-exact).
+_GEO_SCENE = dict(
+    lon_min=-180.0, lon_max=180.0, lat_min=-85.0, lat_max=85.0,
+    width=36000, height=17000,
+)
+
+
+def _polygon_oracle_cte() -> str:
+    """DuckDB CTEs computing the closed-form shoelace metrics for the
+    fixture — an INDEPENDENT formulation (inline per-vertex expressions
+    + explicit cross terms) of what the engine computes via the HOF
+    pipeline in operators/geometry.py. Every compared value is either
+    BIGINT arithmetic (exact in both engines) or a single IEEE division
+    of two exact BIGINTs (identical expression trees)."""
+    verts, where, rev = _polygon_fixture_sql()
+    s = _GEO_SCENE
+    cols = []
+    for i, (lon, lat) in enumerate(verts, start=1):
+        cols.append(
+            f"{affine_px_sql(lon, s['lon_min'], s['lon_max'], s['width'])} AS x{i}"
+        )
+        cols.append(
+            f"{affine_py_sql(lat, s['lat_min'], s['lat_max'], s['height'])} AS y{i}"
+        )
+    n = len(verts)
+    cross = [
+        f"(x{i} * y{i % n + 1} - x{i % n + 1} * y{i})" for i in range(1, n + 1)
+    ]
+    c_terms = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cross, start=1))
+    sx = ", ".join(f"(x{i} + x{i % n + 1}) AS sx{i}" for i in range(1, n + 1))
+    sy = ", ".join(f"(y{i} + y{i % n + 1}) AS sy{i}" for i in range(1, n + 1))
+    xs = ", ".join(f"x{i}" for i in range(1, n + 1))
+    ys = ", ".join(f"y{i}" for i in range(1, n + 1))
+    area = " + ".join(f"c{i}" for i in range(1, n + 1))
+    cxn = " + ".join(f"sx{i} * c{i}" for i in range(1, n + 1))
+    cyn = " + ".join(f"sy{i} * c{i}" for i in range(1, n + 1))
+    return f"""
+WITH v AS (
+  SELECT o_orderkey AS way_id,
+         CAST(CASE WHEN {rev} THEN -1 ELSE 1 END AS BIGINT) AS sgn,
+         {", ".join(cols)}
+  FROM orders WHERE {where}
+), c AS (
+  SELECT way_id, sgn, {c_terms}, {sx}, {sy},
+         LEAST({xs}) AS min_px, LEAST({ys}) AS min_py,
+         GREATEST({xs}) AS max_px, GREATEST({ys}) AS max_py
+  FROM v
+), s AS (
+  SELECT way_id, min_px, min_py, max_px, max_py,
+         sgn * ({area}) AS area2,
+         sgn * ({cxn}) AS cxn,
+         sgn * ({cyn}) AS cyn
+  FROM c
+)
+"""
+
+
+def _polygon_fixture_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verts, where, rev = _polygon_fixture_sql()
+    struct_items = ", ".join(
+        f"struct({lon} AS lon, {lat} AS lat)" for lon, lat in verts
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.expr(where))
+        .select(
+            F.col("o_orderkey").alias("way_id"),
+            F.expr(
+                f"CASE WHEN {rev} THEN reverse(array({struct_items}))"
+                f" ELSE array({struct_items}) END"
+            ).alias("geometry"),
+        )
+    )
+
+
+def _q_polygon_stats() -> QueryDef:
+    """Pixel-space shoelace metrics (operators/geometry.polygon_pixel_stats):
+    signed 2×area, winding, exact-integer-derived centroid, pixel bbox.
+    The engine runs the shuffle-free HOF pipeline over geometry arrays
+    (k%3 rings reversed to exercise winding); DuckDB recomputes every
+    metric from inline closed-form cross terms with an exact sign flip
+    for the reversed rings — two independent formulations of the same
+    BIGINT arithmetic."""
+    duck = _polygon_oracle_cte() + """
+SELECT way_id, 5 AS n_vertices, area2,
+       CASE WHEN area2 = 0 THEN 'degenerate'
+            WHEN area2 > 0 THEN 'cw' ELSE 'ccw' END AS winding,
+       CASE WHEN area2 = 0 THEN CAST(-1.0 AS DOUBLE)
+            ELSE CAST(cxn AS DOUBLE) / CAST(3 * area2 AS DOUBLE) END AS centroid_px,
+       CASE WHEN area2 = 0 THEN CAST(-1.0 AS DOUBLE)
+            ELSE CAST(cyn AS DOUBLE) / CAST(3 * area2 AS DOUBLE) END AS centroid_py,
+       min_px, min_py, max_px, max_py
+FROM s ORDER BY way_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.geometry import polygon_pixel_stats
+
+        ways = _polygon_fixture_ways(spark, sf_dir)
+        out = polygon_pixel_stats(ways, **_GEO_SCENE)
+        # NULL centroids (degenerate rings) → sentinel: the driver's
+        # hash treatment of NULL doubles is not contract-specified
+        sent = F.expr("CAST(-1.0 AS DOUBLE)")
+        return out.withColumn(
+            "centroid_px", F.coalesce("centroid_px", sent)
+        ).withColumn("centroid_py", F.coalesce("centroid_py", sent)).orderBy(
+            "way_id"
+        )
+
+    return QueryDef(fn, duck)
+
+
+def _q_subpixel_cull() -> QueryDef:
+    """Sub-pixel visibility cull (operators/geometry.drop_subpixel_ways):
+    rings whose projected |area| < min_px2 px² never reach the render
+    fan-out. min_px2 = 10 keeps the normal rings, drops the k%13 small
+    class (~3×2 px → |area2| ≈ 12 < 20) and the k%11 pixel-degenerate
+    class (area2 = 0); the oracle filters the same closed-form integer
+    area."""
+    duck = _polygon_oracle_cte() + """
+SELECT way_id FROM s
+WHERE ABS(area2) >= CAST(20.0 AS DOUBLE)
+ORDER BY way_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.geometry import drop_subpixel_ways
+
+        ways = _polygon_fixture_ways(spark, sf_dir)
+        return (
+            drop_subpixel_ways(ways, **_GEO_SCENE, min_px2=10.0)
+            .select("way_id")
+            .orderBy("way_id")
+        )
+
+    return QueryDef(fn, duck)
+
+
 def _q_event_hourly_rollup() -> QueryDef:
     """Event-time tumbling-window rollup over the events table — the
     batch twin of streaming.ingest.streaming_tile_counts' windowed agg
@@ -4944,5 +5116,7 @@ def build_queries() -> dict[str, QueryDef]:
         "search_topk": _q_search_topk(),
         "session_stats": _q_session_stats(),
         "od_matrix_z5": _q_od_matrix(),
+        "polygon_stats": _q_polygon_stats(),
+        "subpixel_cull": _q_subpixel_cull(),
     }
     return defs
