@@ -646,6 +646,68 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     )
     poly_sec = time.time() - t0
 
+    # greedy label decluttering: labels/s through the one-exchange
+    # cap-window + per-tile Arrow greedy kernel (chain fixture, 256 tiles)
+    from osm_render_spark.operators.labels import place_labels
+
+    lab = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey % 256 AS tile",
+        "o_orderkey AS label_id",
+        "o_orderkey AS priority",
+        "(o_orderkey % 1000) * 12 AS x",
+        "(o_orderkey % 37) * 8 AS y",
+        "CAST(16 AS BIGINT) AS w",
+        "CAST(10 AS BIGINT) AS h",
+    )
+    n_labels_in = lab.count()
+    place_labels(lab.limit(1000)).count()  # warm
+    t0 = time.time()
+    n_placed = place_labels(lab).count()
+    label_sec = time.time() - t0
+
+    # GeoTIFF segment-pointer ingest + distributed hillshade: MB/s of
+    # raw DEM through decode/regrid, then tiles/s through the
+    # perimeter-halo exchange + Horn/hillshade kernel (2048² mosaic,
+    # 1024 tiles of 64px, mixed strip/tile layouts)
+    import numpy as np
+
+    from osm_render_spark.raster.geotiff import GeoRef, encode_geotiff
+    from osm_render_spark.raster.terrain import terrain_tiles
+    from osm_render_spark.sources.geotiff_source import read_geotiff_tiles
+
+    gt_dir = "/tmp/osm_render_spark_fixtures/geotiff_bench"
+    os.makedirs(gt_dir, exist_ok=True)
+    yy, xx = np.mgrid[0:1024, 0:1024].astype(np.int64)
+    gt_layouts = [
+        dict(tile=(64, 64), compression="deflate", predictor=2),
+        dict(rows_per_strip=64, compression="lzw", predictor=2),
+        dict(tile=(128, 128), compression="packbits"),
+        dict(rows_per_strip=128, compression="deflate", predictor=2),
+    ]
+    gt_paths = []
+    for k, kw in enumerate(gt_layouts):
+        p = f"{gt_dir}/k{k}.tif"
+        if not os.path.exists(p):
+            dem = ((xx * 3 + yy * 7 + k * 1000 + (xx * yy) % 97) % 4096).astype(
+                np.int32
+            )
+            with open(p, "wb") as f:
+                f.write(
+                    encode_geotiff(dem, georef=GeoRef(0, 0, 0.01, 0.01), **kw)
+                )
+        gt_paths.append(p)
+    raw_mb = 4 * 1024 * 1024 * 4 / 1e6
+    read_geotiff_tiles(spark, gt_paths[:1], 64).count()  # warm
+    t0 = time.time()
+    gt_tiles = read_geotiff_tiles(spark, gt_paths, 64)
+    n_gt_tiles = gt_tiles.count()
+    gt_sec = time.time() - t0
+    t0 = time.time()
+    n_shade = terrain_tiles(
+        gt_tiles, 64, mode="hillshade", raster_col="raster"
+    ).count()
+    shade_sec = time.time() - t0
+
     loadavg_after = os.getloadavg()
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
@@ -718,6 +780,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "gif_decode_images_per_sec": round(n_gif / gif_dec_sec, 1),
         "geohash_rows_per_sec": round(n_gh / gh_sec, 1),
         "polygon_stats_rings_per_sec": round(n_poly / poly_sec, 1),
+        "label_place_labels_per_sec": round(n_labels_in / label_sec, 1),
+        "label_place_accepted": n_placed,
+        "geotiff_ingest_mb_per_sec": round(raw_mb / gt_sec, 1),
+        "geotiff_tiles_read": n_gt_tiles,
+        "hillshade_tiles_per_sec": round(n_shade / shade_sec, 1),
     }
 
 

@@ -4890,6 +4890,181 @@ ORDER BY way_id
     return QueryDef(fn, duck)
 
 
+def _q_label_placement() -> QueryDef:
+    """Greedy label decluttering (operators/labels.place_labels). The
+    fixture is a per-tile CHAIN: labels at x = rnk·step + (rnk%3)·4 with
+    w=16, same y, step = 10 + (tile%7)·3 — consecutive gaps cycle
+    {step+4, step+4, step−8} so some pairs collide and some don't, while
+    any two non-adjacent labels are ≥ 2·step−4 ≥ 16 apart (never
+    collide). In that regime greedy acceptance reduces EXACTLY to the
+    linear recurrence accepted(i) = NOT (gap_i < w AND accepted(i−1)),
+    which DuckDB evaluates as a recursive CTE — an independent
+    formulation of what the engine's Arrow kernel computes with general
+    rect-overlap greedy (tests/test_labels.py pins kernel == recurrence
+    in this regime and kernel == brute force in the general one).
+    Integer-only values; place_rank is the within-tile acceptance
+    order."""
+    x_of = (
+        "CAST(rnk AS BIGINT) * (CAST(10 AS BIGINT) + (tile % 7) * 3)"
+        " + CAST(rnk % 3 AS BIGINT) * 4"
+    )
+    duck = f"""
+WITH RECURSIVE base AS (
+  SELECT o_orderkey % 64 AS tile,
+         o_orderkey AS label_id,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey % 64 ORDER BY o_orderkey)
+           AS rnk
+  FROM orders WHERE o_orderkey % 10 = 0
+), pos AS (
+  SELECT tile, label_id, rnk, {x_of} AS x FROM base
+), rec AS (
+  SELECT tile, label_id, rnk, x, TRUE AS accepted FROM pos WHERE rnk = 1
+  UNION ALL
+  SELECT p.tile, p.label_id, p.rnk, p.x,
+         NOT (p.x - r.x < 16 AND r.accepted) AS accepted
+  FROM pos p JOIN rec r ON p.tile = r.tile AND p.rnk = r.rnk + 1
+)
+SELECT tile, label_id, x,
+       CAST(ROW_NUMBER() OVER (PARTITION BY tile ORDER BY rnk) - 1 AS INT)
+         AS place_rank
+FROM rec WHERE accepted
+ORDER BY tile, label_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from .operators.labels import place_labels
+
+        labels = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .where(F.expr("o_orderkey % 10 = 0"))
+            .selectExpr(
+                "o_orderkey % 64 AS tile", "o_orderkey AS label_id"
+            )
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("tile").orderBy("label_id")
+                ),
+            )
+            .selectExpr(
+                "tile",
+                "label_id",
+                "CAST(rnk AS BIGINT) AS priority",
+                f"{x_of} AS x",
+                "CAST(0 AS BIGINT) AS y",
+                "CAST(16 AS BIGINT) AS w",
+                "CAST(10 AS BIGINT) AS h",
+            )
+        )
+        out = place_labels(labels, max_per_tile=1_000_000)
+        return out.select("tile", "label_id", "x", "place_rank").orderBy(
+            "tile", "label_id"
+        )
+
+    return QueryDef(fn, duck)
+
+
+def _geotiff_dem(k: int) -> "np.ndarray":  # noqa: F821 (doc type)
+    """Closed-form 256×256 int32 DEM — the SINGLE source of truth shared
+    with the DuckDB oracle, which re-derives the same values from the
+    formula via range() (never from engine output)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:256, 0:256].astype(np.int64)
+    z = (x * x * 3 + x * y * 7 + y * y * 5 + x * 11 + y * 13 + k * 17) % 2039
+    return (z - 1019).astype(np.int32)
+
+
+def _q_geotiff_terrain_stats() -> QueryDef:
+    """GeoTIFF source → distributed terrain derivative, end to end: four
+    closed-form DEM rasters are written as real GeoTIFF files (layout
+    rotated per raster: aligned-tiled deflate+predictor2 — the
+    zero-regrid fast path —, LZW strips, packbits misaligned tiles,
+    uncompressed strips), segment-pointer-read and regridded by
+    sources/geotiff_source.read_geotiff_tiles, then raster/terrain
+    .terrain_tiles exchanges perimeter halos and emits integer-exact
+    Horn gradient sums per 64px tile.  DuckDB recomputes the SAME stats
+    independently from the closed-form DEM via range() with clamped
+    3×3 neighborhoods — one mismatch anywhere in TIFF encode, LZW/
+    packbits/deflate decode, predictor, regrid assembly, halo exchange,
+    or the Horn stencil breaks the hash."""
+
+    def zf(xe: str, ye: str) -> str:
+        return (
+            f"((({xe})*({xe})*3 + ({xe})*({ye})*7 + ({ye})*({ye})*5"
+            f" + ({xe})*11 + ({ye})*13 + k*17) % 2039 - 1019)"
+        )
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 255)"
+
+    nw, n_, ne = (zf(cl("x-1"), cl("y-1")), zf("x", cl("y-1")),
+                  zf(cl("x+1"), cl("y-1")))
+    w_, e_ = zf(cl("x-1"), "y"), zf(cl("x+1"), "y")
+    sw, s_, se = (zf(cl("x-1"), cl("y+1")), zf("x", cl("y+1")),
+                  zf(cl("x+1"), cl("y+1")))
+    gx = f"(({ne}) + 2*({e_}) + ({se})) - (({nw}) + 2*({w_}) + ({sw}))"
+    gy = f"(({sw}) + 2*({s_}) + ({se})) - (({nw}) + 2*({n_}) + ({ne}))"
+    duck = f"""
+WITH g AS (
+  SELECT kt.range AS k, xt.range AS x, yt.range AS y
+  FROM range(0, 4) kt, range(0, 256) xt, range(0, 256) yt
+)
+SELECT k, x // 64 AS tx, y // 64 AS ty,
+       CAST(SUM({zf('x', 'y')}) AS BIGINT) AS sum_z,
+       CAST(SUM(ABS({gx})) AS BIGINT) AS sum_abs_gx,
+       CAST(SUM(ABS({gy})) AS BIGINT) AS sum_abs_gy
+FROM g
+GROUP BY 1, 2, 3
+ORDER BY k, tx, ty
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from .raster.geotiff import GeoRef, encode_geotiff
+        from .raster.terrain import terrain_tiles
+        from .sources.geotiff_source import read_geotiff_tiles
+
+        layouts = [
+            dict(tile=(64, 64), compression="deflate", predictor=2),
+            dict(rows_per_strip=23, compression="lzw", predictor=2),
+            dict(tile=(48, 32), compression="packbits"),
+            dict(rows_per_strip=64, compression="none"),
+        ]
+        fix_dir = "/tmp/osm_render_spark_fixtures/geotiff_oracle"
+        os.makedirs(fix_dir, exist_ok=True)
+        paths = []
+        for k in range(4):
+            p = f"{fix_dir}/k{k}.tif"
+            blob = encode_geotiff(
+                _geotiff_dem(k),
+                georef=GeoRef(7.0, 46.0, 0.01, 0.01),
+                **layouts[k],
+            )
+            # deterministic bytes: rewrite only on change (idempotent)
+            if not os.path.exists(p) or open(p, "rb").read() != blob:
+                with open(p, "wb") as f:
+                    f.write(blob)
+            paths.append(p)
+        tiles = read_geotiff_tiles(spark, paths, 64)
+        stats = terrain_tiles(
+            tiles, 64, mode="gradient_stats", raster_col="raster"
+        )
+        return stats.selectExpr(
+            "CAST(substring(raster, 2, 1) AS BIGINT) AS k",
+            "tx",
+            "ty",
+            "sum_z",
+            "sum_abs_gx",
+            "sum_abs_gy",
+        ).orderBy("k", "tx", "ty")
+
+    return QueryDef(fn, duck)
+
+
 def _q_event_hourly_rollup() -> QueryDef:
     """Event-time tumbling-window rollup over the events table — the
     batch twin of streaming.ingest.streaming_tile_counts' windowed agg
@@ -5118,5 +5293,7 @@ def build_queries() -> dict[str, QueryDef]:
         "od_matrix_z5": _q_od_matrix(),
         "polygon_stats": _q_polygon_stats(),
         "subpixel_cull": _q_subpixel_cull(),
+        "label_placement": _q_label_placement(),
+        "geotiff_terrain_stats": _q_geotiff_terrain_stats(),
     }
     return defs
