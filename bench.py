@@ -708,6 +708,16 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     ).count()
     shade_sec = time.time() - t0
 
+    # stupid-backoff LM scoring: docs/s through train-count + 3 vocab
+    # joins + per-doc rollup (pure Catalyst)
+    from osm_render_spark.operators.lm import bigram_lm_scores
+
+    docs_lm = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bigram_lm_scores(docs_lm, train_filter="doc_id % 25 = 0").count()  # warm
+    t0 = time.time()
+    n_lm = bigram_lm_scores(docs_lm, train_filter="doc_id % 25 = 0").count()
+    lm_sec = time.time() - t0
+
     loadavg_after = os.getloadavg()
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
@@ -785,6 +795,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "geotiff_ingest_mb_per_sec": round(raw_mb / gt_sec, 1),
         "geotiff_tiles_read": n_gt_tiles,
         "hillshade_tiles_per_sec": round(n_shade / shade_sec, 1),
+        "lm_score_docs_per_sec": round(n_lm / lm_sec, 1),
     }
 
 

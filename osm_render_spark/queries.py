@@ -5065,6 +5065,60 @@ ORDER BY k, tx, ty
     return QueryDef(fn, duck)
 
 
+def _q_lm_score_backoff() -> QueryDef:
+    """Stupid-backoff bigram LM document scoring
+    (operators/lm.bigram_lm_scores): counts trained on the doc_id%25==0
+    corpus slice, every ≥2-token document scored as
+    Σ m·(⌊10⁶·c2/c1⌋ or ⌊4·10⁵·c1(w2)/T⌋) — integer-quantized stupid
+    backoff (Brants et al. 2007), engine-independent by construction.
+    The 1-in-25 train slice makes BOTH branches load-bearing at sf0.01
+    AND sf0.1 (9539 / 163 backoff occurrences); DuckDB recomputes the
+    whole thing from its own lateral-unnest formulation."""
+    duck = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bi AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM words CROSS JOIN UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+per_doc AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi GROUP BY 1, 2, 3
+),
+train_tok AS (
+  SELECT unnest(ws) AS w FROM words WHERE doc_id % 25 = 0
+),
+uni AS (SELECT w, COUNT(*) AS c1 FROM train_tok GROUP BY 1),
+bic AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bi WHERE doc_id % 25 = 0 GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(*) AS t FROM train_tok)
+SELECT p.doc_id AS doc_id,
+  CAST(SUM(m) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CASE WHEN c2 IS NULL THEN m ELSE 0 END) AS BIGINT) AS n_backoff,
+  CAST(SUM(m * (CASE WHEN c2 IS NOT NULL THEN (1000000 * c2) // u1.c1
+                ELSE (400000 * COALESCE(cu.c1, 0)) // t END)) AS BIGINT)
+    AS score_ppm
+FROM per_doc p
+LEFT JOIN bic USING (w1, w2)
+LEFT JOIN uni u1 ON u1.w = p.w1
+LEFT JOIN uni cu ON cu.w = p.w2
+CROSS JOIN tot
+GROUP BY 1 ORDER BY 1
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.lm import bigram_lm_scores
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return bigram_lm_scores(docs, train_filter="doc_id % 25 = 0").orderBy(
+            "doc_id"
+        )
+
+    return QueryDef(fn, duck)
+
+
 def _q_event_hourly_rollup() -> QueryDef:
     """Event-time tumbling-window rollup over the events table — the
     batch twin of streaming.ingest.streaming_tile_counts' windowed agg
@@ -5295,5 +5349,6 @@ def build_queries() -> dict[str, QueryDef]:
         "subpixel_cull": _q_subpixel_cull(),
         "label_placement": _q_label_placement(),
         "geotiff_terrain_stats": _q_geotiff_terrain_stats(),
+        "lm_score_backoff": _q_lm_score_backoff(),
     }
     return defs
