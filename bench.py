@@ -718,6 +718,33 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     n_lm = bigram_lm_scores(docs_lm, train_filter="doc_id % 25 = 0").count()
     lm_sec = time.time() - t0
 
+    # map matching: points/s through the celled cover + exact refine
+    # (denser variant of the oracle fixture: every event, 1-in-10 order)
+    from osm_render_spark.operators.map_match import snap_points_to_segments
+
+    mm_segs = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderkey % 10 = 0")
+        .selectExpr(
+            "o_orderkey % 211 AS way_id",
+            "o_orderkey DIV 211 AS seg_idx",
+            "(o_orderkey * 127) % 4000 AS ax",
+            "(o_orderkey * 331) % 4000 AS ay",
+            "(o_orderkey * 127) % 4000 + o_orderkey % 63 - 31 AS bx",
+            "(o_orderkey * 331) % 4000 + o_orderkey % 41 - 20 AS by",
+        )
+    )
+    mm_pts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id AS point_id",
+        "(event_id * 7919) % 4000 AS x",
+        "(event_id * 104729) % 4000 AS y",
+    )
+    n_mm_pts = mm_pts.count()
+    snap_points_to_segments(mm_pts.limit(2000), mm_segs).count()  # warm
+    t0 = time.time()
+    n_mm = snap_points_to_segments(mm_pts, mm_segs, cell=256, max_dist=64).count()
+    mm_sec = time.time() - t0
+
     loadavg_after = os.getloadavg()
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
@@ -796,6 +823,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "geotiff_tiles_read": n_gt_tiles,
         "hillshade_tiles_per_sec": round(n_shade / shade_sec, 1),
         "lm_score_docs_per_sec": round(n_lm / lm_sec, 1),
+        "map_match_points_per_sec": round(n_mm_pts / mm_sec, 1),
+        "map_match_snapped": n_mm,
     }
 
 

@@ -5119,6 +5119,85 @@ GROUP BY 1 ORDER BY 1
     return QueryDef(fn, duck)
 
 
+def _q_snap_to_way() -> QueryDef:
+    """Map matching (operators/map_match.snap_points_to_segments):
+    deterministic synthetic geometry — short segments from the orders
+    table (1-in-50), points from events (1-in-10) — snapped with
+    cell=256 / max_dist=64.  The engine runs the celled cover + exact
+    integer refine; DuckDB runs the BRUTE-FORCE all-pairs form of the
+    same floor(1000·d²) arithmetic with no cell logic at all, so a
+    cover that loses any candidate, a DIV-vs-floor slip, or a clamp
+    error all break the hash.  Tie-break (d2_milli, way_id, seg_idx)
+    is total."""
+    segs_duck = """
+  SELECT o_orderkey % 211 AS way_id, o_orderkey // 211 AS seg_idx,
+         (o_orderkey * 127) % 4000 AS ax, (o_orderkey * 331) % 4000 AS ay,
+         (o_orderkey * 127) % 4000 + o_orderkey % 63 - 31 AS bx,
+         (o_orderkey * 331) % 4000 + o_orderkey % 41 - 20 AS by
+  FROM orders WHERE o_orderkey % 50 = 0
+"""
+    pts_duck = """
+  SELECT event_id AS point_id, (event_id * 7919) % 4000 AS x,
+         (event_id * 104729) % 4000 AS y
+  FROM events WHERE event_id % 10 = 0
+"""
+    duck = f"""
+WITH segs AS ({segs_duck}),
+pts AS ({pts_duck}),
+geo AS (
+  SELECT point_id, way_id, seg_idx, x, y, bx, by,
+         x - ax AS apx, y - ay AS apy,
+         (x-ax)*(bx-ax) + (y-ay)*(by-ay) AS dot,
+         (bx-ax)*(bx-ax) + (by-ay)*(by-ay) AS len2
+  FROM pts CROSS JOIN segs
+),
+cand AS (
+  SELECT point_id, way_id, seg_idx,
+    CASE WHEN len2 = 0 OR dot <= 0 THEN 1000 * (apx*apx + apy*apy)
+         WHEN dot >= len2 THEN 1000 * ((x-bx)*(x-bx) + (y-by)*(y-by))
+         ELSE ((apx*apx + apy*apy) * len2 - dot*dot) // len2 * 1000
+              + ((apx*apx + apy*apy) * len2 - dot*dot) % len2 * 1000 // len2
+    END AS d2_milli
+  FROM geo
+)
+SELECT point_id, way_id, seg_idx, CAST(d2_milli AS BIGINT) AS d2_milli
+FROM cand
+WHERE d2_milli <= 1000 * 64 * 64
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY point_id ORDER BY d2_milli, way_id, seg_idx) = 1
+ORDER BY point_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.map_match import snap_points_to_segments
+
+        segs = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .where("o_orderkey % 50 = 0")
+            .selectExpr(
+                "o_orderkey % 211 AS way_id",
+                "o_orderkey DIV 211 AS seg_idx",
+                "(o_orderkey * 127) % 4000 AS ax",
+                "(o_orderkey * 331) % 4000 AS ay",
+                "(o_orderkey * 127) % 4000 + o_orderkey % 63 - 31 AS bx",
+                "(o_orderkey * 331) % 4000 + o_orderkey % 41 - 20 AS by",
+            )
+        )
+        pts = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .where("event_id % 10 = 0")
+            .selectExpr(
+                "event_id AS point_id",
+                "(event_id * 7919) % 4000 AS x",
+                "(event_id * 104729) % 4000 AS y",
+            )
+        )
+        out = snap_points_to_segments(pts, segs, cell=256, max_dist=64)
+        return out.orderBy("point_id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_event_hourly_rollup() -> QueryDef:
     """Event-time tumbling-window rollup over the events table — the
     batch twin of streaming.ingest.streaming_tile_counts' windowed agg
@@ -5350,5 +5429,6 @@ def build_queries() -> dict[str, QueryDef]:
         "label_placement": _q_label_placement(),
         "geotiff_terrain_stats": _q_geotiff_terrain_stats(),
         "lm_score_backoff": _q_lm_score_backoff(),
+        "snap_to_way": _q_snap_to_way(),
     }
     return defs
