@@ -5198,6 +5198,50 @@ ORDER BY point_id
     return QueryDef(fn, duck)
 
 
+def _q_contrastive_batches() -> QueryDef:
+    """False-negative-safe contrastive batch assembly
+    (operators/contrastive.contrastive_batches): orders keyed into
+    synthetic dedup clusters (o_orderkey % 977 — 15/153-member clusters
+    at sf0.01/sf0.1), batch_size 32, 16 hash buckets.  The engine
+    enumerates each rank level distributedly (bucket windows + broadcast
+    base offsets); DuckDB reproduces the SAME assignment with a single
+    per-level window ORDER BY (bucket, id) — the two agree iff the
+    offset arithmetic is an exact dense rank."""
+    duck = """
+WITH leveled AS (
+  SELECT o_orderkey AS id, o_orderkey % 977 AS cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderkey % 977 ORDER BY o_orderkey) AS level,
+         ((o_orderkey % 100000007) * 2654435761) % 16 AS bucket
+  FROM orders
+),
+enum AS (
+  SELECT id, cluster, level,
+         ROW_NUMBER() OVER (PARTITION BY level ORDER BY bucket, id) AS enum,
+         COUNT(*) OVER (PARTITION BY level) AS total
+  FROM leveled
+)
+SELECT id, cluster, CAST(level AS INT) AS level,
+       CAST((enum - 1) // 32 AS BIGINT) AS batch_in_level,
+       CAST(enum AS BIGINT) AS enum
+FROM enum
+WHERE ((enum - 1) // 32 + 1) * 32 <= total
+ORDER BY id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.contrastive import contrastive_batches
+
+        items = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+            "o_orderkey AS id", "o_orderkey % 977 AS cluster"
+        )
+        return contrastive_batches(
+            items, batch_size=32, n_buckets=16
+        ).orderBy("id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_event_hourly_rollup() -> QueryDef:
     """Event-time tumbling-window rollup over the events table — the
     batch twin of streaming.ingest.streaming_tile_counts' windowed agg
@@ -5430,5 +5474,6 @@ def build_queries() -> dict[str, QueryDef]:
         "geotiff_terrain_stats": _q_geotiff_terrain_stats(),
         "lm_score_backoff": _q_lm_score_backoff(),
         "snap_to_way": _q_snap_to_way(),
+        "contrastive_batches": _q_contrastive_batches(),
     }
     return defs
