@@ -708,6 +708,15 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     ).count()
     shade_sec = time.time() - t0
 
+    # marching-squares contours over the same mosaic (3 thresholds)
+    from osm_render_spark.raster.terrain import contour_tiles
+
+    t0 = time.time()
+    n_contour_segs = contour_tiles(
+        gt_tiles, 64, [500, 1500, 2500], raster_col="raster"
+    ).count()
+    contour_sec = time.time() - t0
+
     # stupid-backoff LM scoring: docs/s through train-count + 3 vocab
     # joins + per-doc rollup (pure Catalyst)
     from osm_render_spark.operators.lm import bigram_lm_scores
@@ -822,6 +831,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "geotiff_ingest_mb_per_sec": round(raw_mb / gt_sec, 1),
         "geotiff_tiles_read": n_gt_tiles,
         "hillshade_tiles_per_sec": round(n_shade / shade_sec, 1),
+        "contour_segments_per_sec": round(n_contour_segs / contour_sec, 1),
         "lm_score_docs_per_sec": round(n_lm / lm_sec, 1),
         "map_match_points_per_sec": round(n_mm_pts / mm_sec, 1),
         "map_match_snapped": n_mm,

@@ -4977,6 +4977,40 @@ def _geotiff_dem(k: int) -> "np.ndarray":  # noqa: F821 (doc type)
     return (z - 1019).astype(np.int32)
 
 
+def _geotiff_oracle_files() -> list[str]:
+    """Write (idempotently) the four closed-form DEM GeoTIFF fixtures —
+    layout rotated per raster so one oracle pass exercises the aligned-
+    tiled fast path, LZW strips, packbits misaligned tiles, and
+    uncompressed strips.  Shared by geotiff_terrain_stats and
+    contour_stats."""
+    import os
+
+    from .raster.geotiff import GeoRef, encode_geotiff
+
+    layouts = [
+        dict(tile=(64, 64), compression="deflate", predictor=2),
+        dict(rows_per_strip=23, compression="lzw", predictor=2),
+        dict(tile=(48, 32), compression="packbits"),
+        dict(rows_per_strip=64, compression="none"),
+    ]
+    fix_dir = "/tmp/osm_render_spark_fixtures/geotiff_oracle"
+    os.makedirs(fix_dir, exist_ok=True)
+    paths = []
+    for k in range(4):
+        p = f"{fix_dir}/k{k}.tif"
+        blob = encode_geotiff(
+            _geotiff_dem(k),
+            georef=GeoRef(7.0, 46.0, 0.01, 0.01),
+            **layouts[k],
+        )
+        # deterministic bytes: rewrite only on change (idempotent)
+        if not os.path.exists(p) or open(p, "rb").read() != blob:
+            with open(p, "wb") as f:
+                f.write(blob)
+        paths.append(p)
+    return paths
+
+
 def _q_geotiff_terrain_stats() -> QueryDef:
     """GeoTIFF source → distributed terrain derivative, end to end: four
     closed-form DEM rasters are written as real GeoTIFF files (layout
@@ -5022,34 +5056,10 @@ ORDER BY k, tx, ty
 """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import os
-
-        from .raster.geotiff import GeoRef, encode_geotiff
         from .raster.terrain import terrain_tiles
         from .sources.geotiff_source import read_geotiff_tiles
 
-        layouts = [
-            dict(tile=(64, 64), compression="deflate", predictor=2),
-            dict(rows_per_strip=23, compression="lzw", predictor=2),
-            dict(tile=(48, 32), compression="packbits"),
-            dict(rows_per_strip=64, compression="none"),
-        ]
-        fix_dir = "/tmp/osm_render_spark_fixtures/geotiff_oracle"
-        os.makedirs(fix_dir, exist_ok=True)
-        paths = []
-        for k in range(4):
-            p = f"{fix_dir}/k{k}.tif"
-            blob = encode_geotiff(
-                _geotiff_dem(k),
-                georef=GeoRef(7.0, 46.0, 0.01, 0.01),
-                **layouts[k],
-            )
-            # deterministic bytes: rewrite only on change (idempotent)
-            if not os.path.exists(p) or open(p, "rb").read() != blob:
-                with open(p, "wb") as f:
-                    f.write(blob)
-            paths.append(p)
-        tiles = read_geotiff_tiles(spark, paths, 64)
+        tiles = read_geotiff_tiles(spark, _geotiff_oracle_files(), 64)
         stats = terrain_tiles(
             tiles, 64, mode="gradient_stats", raster_col="raster"
         )
@@ -5061,6 +5071,70 @@ ORDER BY k, tx, ty
             "sum_abs_gx",
             "sum_abs_gy",
         ).orderBy("k", "tx", "ty")
+
+    return QueryDef(fn, duck)
+
+
+def _q_contour_stats() -> QueryDef:
+    """Marching-squares contour topology (raster/terrain.contour_tiles
+    mode='stats') over the SAME four GeoTIFF fixtures as
+    geotiff_terrain_stats, thresholds (−500, 0, 500): per 64px tile, the
+    count of contour-cut cells and emitted segments (saddles = 2).
+    DuckDB recomputes every cell's marching-squares case from the
+    closed-form DEM corners directly — cell ownership (top-left pixel),
+    the halo-exchanged corner fetch, and the saddle convention all have
+    to agree for the hash to match."""
+
+    def zf(xe: str, ye: str) -> str:
+        return (
+            f"((({xe})*({xe})*3 + ({xe})*({ye})*7 + ({ye})*({ye})*5"
+            f" + ({xe})*11 + ({ye})*13 + k*17) % 2039 - 1019)"
+        )
+
+    duck = f"""
+WITH g AS (
+  SELECT kt.range AS k, xt.range AS x, yt.range AS y
+  FROM range(0, 4) kt, range(0, 255) xt, range(0, 255) yt
+),
+thrs AS (SELECT * FROM (VALUES (-500), (0), (500)) t(thr)),
+cells AS (
+  SELECT k, x, y, thr,
+         {zf('x', 'y')} AS z00, {zf('x+1', 'y')} AS z10,
+         {zf('x', 'y+1')} AS z01, {zf('x+1', 'y+1')} AS z11
+  FROM g CROSS JOIN thrs
+),
+cased AS (
+  SELECT k, x, y, thr,
+         (CASE WHEN z00 > thr THEN 8 ELSE 0 END
+          + CASE WHEN z10 > thr THEN 4 ELSE 0 END
+          + CASE WHEN z11 > thr THEN 2 ELSE 0 END
+          + CASE WHEN z01 > thr THEN 1 ELSE 0 END) AS ms
+  FROM cells
+)
+SELECT k, x // 64 AS tx, y // 64 AS ty, CAST(thr AS BIGINT) AS thr,
+       CAST(SUM(CASE WHEN ms IN (0, 15) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_cut,
+       CAST(SUM(CASE WHEN ms IN (0, 15) THEN 0
+                     WHEN ms IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT)
+         AS n_segments
+FROM cased
+GROUP BY 1, 2, 3, 4
+ORDER BY k, tx, ty, thr
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .raster.terrain import contour_tiles
+        from .sources.geotiff_source import read_geotiff_tiles
+
+        paths = _geotiff_oracle_files()
+        tiles = read_geotiff_tiles(spark, paths, 64)
+        stats = contour_tiles(
+            tiles, 64, [-500, 0, 500], mode="stats", raster_col="raster"
+        )
+        return stats.selectExpr(
+            "CAST(substring(raster, 2, 1) AS BIGINT) AS k",
+            "tx", "ty", "thr", "n_cut", "n_segments",
+        ).orderBy("k", "tx", "ty", "thr")
 
     return QueryDef(fn, duck)
 
@@ -5475,5 +5549,6 @@ def build_queries() -> dict[str, QueryDef]:
         "lm_score_backoff": _q_lm_score_backoff(),
         "snap_to_way": _q_snap_to_way(),
         "contrastive_batches": _q_contrastive_batches(),
+        "contour_stats": _q_contour_stats(),
     }
     return defs

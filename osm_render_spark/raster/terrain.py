@@ -138,6 +138,19 @@ def _halo_parts(pdf_iter: Iterator[pd.DataFrame], tile_px: int, keyed: bool):
         )
 
 
+def _assemble_flags(
+    group: pd.DataFrame, tile_px: int
+) -> tuple[np.ndarray, bool, bool] | None:
+    """_assemble plus (has_east, has_south) neighbor-presence flags —
+    contour cells on the last row/column exist only when the neighbor
+    does (the cell grid is one smaller than the pixel grid)."""
+    parts = {(int(r.dx), int(r.dy)) for r in group.itertuples()}
+    p = _assemble(group, tile_px)
+    if p is None:
+        return None
+    return p, (1, 0) in parts, (0, 1) in parts
+
+
 def _assemble(group: pd.DataFrame, tile_px: int) -> np.ndarray | None:
     """Padded (tile_px+2)² array from a tile's core + neighbor strips;
     absent neighbors replicate the nearest filled edge (global clamp).
@@ -268,6 +281,223 @@ def terrain_tiles(
     return out.where(F.col("sum_z").isNotNull()).select(
         *key_sel, "sum_z", "sum_abs_gx", "sum_abs_gy"
     )
+
+
+# marching-squares segment table: corner bits TL=8 TR=4 BR=2 BL=1
+# ("inside" = z > thr), edges T/R/B/L; saddles use the fixed convention
+# that each inside corner gets its own separating segment (no center
+# probe) — documented, and the count oracle pins the topology
+_MS_SEGS: dict[int, list[tuple[str, str]]] = {
+    1: [("L", "B")], 2: [("B", "R")], 3: [("L", "R")], 4: [("T", "R")],
+    5: [("T", "R"), ("L", "B")], 6: [("T", "B")], 7: [("L", "T")],
+    8: [("L", "T")], 9: [("T", "B")], 10: [("L", "T"), ("B", "R")],
+    11: [("T", "R")], 12: [("L", "R")], 13: [("B", "R")], 14: [("L", "B")],
+}
+_MS_NSEG = np.array([0, 1, 1, 1, 1, 2, 1, 1, 1, 1, 2, 1, 1, 1, 1, 0])
+
+
+def _edge_ppm(z0: np.ndarray, z1: np.ndarray, thr: int) -> np.ndarray:
+    """floor(10⁶·(thr−z0)/(z1−z0)) — exact crossing fraction in ppm;
+    only read where a crossing exists (z0, z1 straddle thr)."""
+    num = (thr - z0).astype(np.int64) * 1_000_000
+    den = (z1 - z0).astype(np.int64)
+    safe = np.where(den == 0, 1, den)
+    return np.floor_divide(num, safe)
+
+
+def _contour_cells(p: np.ndarray, thr: int):
+    """(case, tl, tr, br, bl) int64 corner grids for the core cells of a
+    padded tile (cell (i,j) spans pixels (i..i+1, j..j+1))."""
+    tl = p[1:-1, 1:-1]
+    tr = p[1:-1, 2:]
+    br = p[2:, 2:]
+    bl = p[2:, 1:-1]
+    case = (
+        (tl > thr).astype(np.int64) * 8
+        + (tr > thr) * 4
+        + (br > thr) * 2
+        + (bl > thr) * 1
+    )
+    return case, tl, tr, br, bl
+
+
+def _cell_mask(tile_px: int, has_e: bool, has_s: bool) -> np.ndarray:
+    """Cells this tile OWNS: the global cell grid is one smaller than
+    the pixel grid, so the last column/row of cells exists only when the
+    east/south neighbor does."""
+    m = np.ones((tile_px, tile_px), dtype=bool)
+    if not has_e:
+        m[:, -1] = False
+    if not has_s:
+        m[-1, :] = False
+    return m
+
+
+def _segments_for_tile(
+    p: np.ndarray, mask: np.ndarray, thr: int, tx: int, ty: int, tile_px: int
+) -> list[tuple[int, int, int, int]]:
+    """(x1_ppm, y1_ppm, x2_ppm, y2_ppm) global-pixel segments, exact
+    ppm-quantized linear interpolation on each crossed edge."""
+    case, tl, tr, br, bl = _contour_cells(p, thr)
+    t_ppm = _edge_ppm(tl, tr, thr)
+    b_ppm = _edge_ppm(bl, br, thr)
+    l_ppm = _edge_ppm(tl, bl, thr)
+    r_ppm = _edge_ppm(tr, br, thr)
+    gy, gx = np.mgrid[0 : mask.shape[0], 0 : mask.shape[1]]
+    gx = (gx + tx * tile_px).astype(np.int64) * 1_000_000
+    gy = (gy + ty * tile_px).astype(np.int64) * 1_000_000
+    M = 1_000_000
+    pt = {
+        "T": (gx + t_ppm, gy),
+        "B": (gx + b_ppm, gy + M),
+        "L": (gx, gy + l_ppm),
+        "R": (gx + M, gy + r_ppm),
+    }
+    out: list[tuple[int, int, int, int]] = []
+    for c, pairs in _MS_SEGS.items():
+        sel = (case == c) & mask
+        if not sel.any():
+            continue
+        for ea, eb in pairs:
+            x1, y1 = pt[ea][0][sel], pt[ea][1][sel]
+            x2, y2 = pt[eb][0][sel], pt[eb][1][sel]
+            out += [
+                (int(a), int(b), int(cc), int(d))
+                for a, b, cc, d in zip(x1, y1, x2, y2)
+            ]
+    return out
+
+
+def contour_tiles(
+    tiles: DataFrame,
+    tile_px: int,
+    thresholds: list[int],
+    *,
+    mode: str = "segments",
+    raster_col: str | None = None,
+) -> DataFrame:
+    """Marching-squares contour extraction over a DEM tile grid — the
+    vector complement of hillshade (isolines for the MVT/slippy sinks).
+    Same perimeter halo exchange as terrain_tiles; each tile owns the
+    cells whose top-left pixel it holds, so every global cell is emitted
+    exactly once and tile seams are exact.
+
+    mode='stats' → (tx, ty, thr, n_cut, n_segments) — integer topology
+      counts, the oracle surface.
+    mode='segments' → (tx, ty, thr, x1_ppm, y1_ppm, x2_ppm, y2_ppm) —
+      exact ppm-quantized crossing endpoints in global pixel space."""
+    if mode not in ("segments", "stats"):
+        raise ValueError(f"unknown mode {mode!r}")
+    import pyspark.sql.functions as F
+
+    keyed = raster_col is not None
+    src = (
+        tiles.withColumnRenamed(raster_col, "raster")
+        if keyed and raster_col != "raster"
+        else tiles
+    )
+    parts = src.mapInPandas(
+        lambda it: _halo_parts(it, tile_px, keyed),
+        schema="raster string, tx long, ty long, dx int, dy int, part binary",
+    ).withColumn("gkey", F.concat_ws(":", "raster", "tx", "ty"))
+    key_sel = (["raster"] if keyed else []) + ["tx", "ty"]
+    thrs = list(thresholds)
+
+    if mode == "stats":
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for _k, g in _iter_groups(pdf):
+                    got = _assemble_flags(g, tile_px)
+                    if got is None:
+                        continue
+                    p, has_e, has_s = got
+                    r0 = g.iloc[0]
+                    m = _cell_mask(tile_px, has_e, has_s)
+                    for thr in thrs:
+                        case, *_ = _contour_cells(p, thr)
+                        cut = ((case > 0) & (case < 15) & m).sum()
+                        nseg = int(_MS_NSEG[case][m].sum())
+                        rows.append(
+                            (r0["raster"], int(r0["tx"]), int(r0["ty"]),
+                             thr, int(cut), nseg)
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["raster", "tx", "ty", "thr", "n_cut",
+                             "n_segments"],
+                )
+
+        schema = (
+            "raster string, tx long, ty long, thr long, n_cut long, "
+            "n_segments long"
+        )
+        out_cols = key_sel + ["thr", "n_cut", "n_segments"]
+    else:
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for _k, g in _iter_groups(pdf):
+                    got = _assemble_flags(g, tile_px)
+                    if got is None:
+                        continue
+                    p, has_e, has_s = got
+                    r0 = g.iloc[0]
+                    m = _cell_mask(tile_px, has_e, has_s)
+                    for thr in thrs:
+                        for seg in _segments_for_tile(
+                            p, m, thr, int(r0["tx"]), int(r0["ty"]), tile_px
+                        ):
+                            rows.append(
+                                (r0["raster"], int(r0["tx"]), int(r0["ty"]),
+                                 thr, *seg)
+                            )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["raster", "tx", "ty", "thr", "x1_ppm",
+                             "y1_ppm", "x2_ppm", "y2_ppm"],
+                )
+
+        schema = (
+            "raster string, tx long, ty long, thr long, x1_ppm long, "
+            "y1_ppm long, x2_ppm long, y2_ppm long"
+        )
+        out_cols = key_sel + ["thr", "x1_ppm", "y1_ppm", "x2_ppm", "y2_ppm"]
+
+    n_part = max(tiles.sparkSession.sparkContext.defaultParallelism, 8)
+    arranged = parts.repartition(n_part, "gkey").sortWithinPartitions("gkey")
+    return arranged.mapInPandas(
+        _group_buffered(kernel, "gkey"), schema=schema
+    ).select(*out_cols)
+
+
+def _iter_groups(pdf: pd.DataFrame):
+    return pdf.groupby("gkey", sort=True)
+
+
+def _group_buffered(kernel, key_col: str):
+    """Boundary-buffering wrapper: kernels above consume whole groups
+    per batch; this re-yields batches so the group spanning a batch
+    boundary is processed exactly once (the buffered_group_map shape,
+    but for kernels emitting MANY rows per group)."""
+
+    def wrapped(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            last = pdf[key_col].iloc[-1]
+            head = pdf[pdf[key_col] != last]
+            pending = pdf[pdf[key_col] == last]
+            if len(head):
+                yield from kernel([head])
+        if pending is not None and len(pending):
+            yield from kernel([pending])
+
+    return wrapped
 
 
 def dem_to_tiles(dem: np.ndarray, tile_px: int) -> list[tuple[int, int, bytes]]:

@@ -232,3 +232,92 @@ def test_source_to_terrain_end_to_end(spark, tmp_path):
                 sl = np.s_[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T]
                 assert r.sum_abs_gx == int(np.abs(gx[sl]).sum())
                 assert r.sum_abs_gy == int(np.abs(gy[sl]).sum())
+
+
+# ------------------------------------------------------------ contours
+
+from osm_render_spark.raster.terrain import (  # noqa: E402
+    _MS_NSEG,
+    _cell_mask,
+    _contour_cells,
+    _segments_for_tile,
+    contour_tiles,
+)
+
+
+def test_marching_squares_hand_worked():
+    """2×2 pixels = one cell. TL=5 inside, others 0 (thr=1) → case 8,
+    one segment L→T with exact ppm interpolation: L at frac (1−5)/(0−5)
+    = 4/5 of the way down? No — L edge runs TL→BL: (thr−z0)/(z1−z0) =
+    (1−5)/(0−5) = 0.8 → y = 800000; T edge TL→TR: same → x = 800000."""
+    p = pad_clamp(np.array([[5, 0], [0, 0]], dtype=np.int32))
+    mask = np.array([[True, False], [False, False]])
+    segs = _segments_for_tile(p, mask, 1, 0, 0, 2)
+    assert segs == [(0, 800000, 800000, 0)]  # (L) → (T)
+
+
+def test_marching_squares_saddle_two_segments():
+    """TL and BR inside (case 10) → exactly two segments."""
+    p = pad_clamp(np.array([[9, 0], [0, 9]], dtype=np.int32))
+    mask = np.array([[True, False], [False, False]])
+    segs = _segments_for_tile(p, mask, 4, 0, 0, 2)
+    assert len(segs) == 2
+    case, *_ = _contour_cells(p, 4)
+    assert case[0, 0] == 10 and _MS_NSEG[case[0, 0]] == 2
+
+
+def test_contour_distributed_equals_global(spark):
+    dem = RNG.integers(-50, 50, (128, 192)).astype(np.int32)
+    df = _tiles_df(spark, dem)
+    p = pad_clamp(dem)
+    mask = np.ones((128, 192), bool)
+    mask[-1, :] = False
+    mask[:, -1] = False
+    for thr in (-20, 0, 20):
+        ref = sorted(_segments_for_tile(p, mask, thr, 0, 0, T))
+        got = sorted(
+            (r.x1_ppm, r.y1_ppm, r.x2_ppm, r.y2_ppm)
+            for r in contour_tiles(df, T, [thr]).collect()
+        )
+        assert got == ref, thr
+
+
+def test_contour_stats_cell_ownership_total(spark):
+    """Every global cell is owned exactly once: Σ n_cut + flat cells ==
+    (H−1)·(W−1)."""
+    dem = RNG.integers(-5, 5, (128, 192)).astype(np.int32)
+    stats = contour_tiles(_tiles_df(spark, dem), T, [0], mode="stats").collect()
+    p = pad_clamp(dem)
+    case, *_ = _contour_cells(p, 0)
+    mask = np.ones((128, 192), bool)
+    mask[-1, :] = False
+    mask[:, -1] = False
+    assert sum(r.n_cut for r in stats) == int(
+        ((case > 0) & (case < 15) & mask).sum()
+    )
+    assert sum(r.n_segments for r in stats) == int(_MS_NSEG[case][mask].sum())
+
+
+def test_contour_endpoints_interpolate_to_threshold(spark):
+    """Each segment endpoint lies on a cell edge where the linear
+    interpolation of the two corner values at the quantized fraction
+    brackets the threshold within one ppm step."""
+    dem = RNG.integers(-100, 100, (64, 64)).astype(np.int32)
+    rows = contour_tiles(_tiles_df(spark, dem), T, [7]).collect()
+    assert rows
+    for r in rows[:300]:
+        for (xp, yp) in ((r.x1_ppm, r.y1_ppm), (r.x2_ppm, r.y2_ppm)):
+            # exactly one coordinate is fractional (on-edge)
+            fx, fy = xp % 1_000_000, yp % 1_000_000
+            assert (fx == 0) != (fy == 0) or (fx == 0 and fy == 0)
+            if fx:
+                x0, y0 = xp // 1_000_000, yp // 1_000_000
+                z0, z1 = int(dem[y0, x0]), int(dem[y0, x0 + 1])
+            elif fy:
+                x0, y0 = xp // 1_000_000, yp // 1_000_000
+                z0, z1 = int(dem[y0, x0]), int(dem[y0 + 1, x0])
+            else:
+                continue
+            f = (fx or fy) / 1e6
+            v = z0 + f * (z1 - z0)
+            assert abs(v - 7) <= abs(z1 - z0) / 1e6 + 1e-9
