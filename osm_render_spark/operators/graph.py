@@ -192,3 +192,56 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
         "this exceeds the O(log n) bound; the edge table is likely "
         "growing from upstream nondeterminism"
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    a: str = "a",
+    b: str = "b",
+    seed_col: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distance over the way graph — the routing /
+    reachability primitive (isochrone rings, network distance from
+    seed POIs; the graph twin of the spatial kNN in operators/knn.py).
+
+    edges(a, b) + seeds(node) → (node, hop) with hop = MINIMUM number
+    of edges from any seed, for every node within max_hops.
+
+    Distributed shape (the connected_components discipline): one
+    shuffle join + anti-join per ROUND, never per node; the frontier —
+    not the visited set — drives each round's join, so work per round
+    is proportional to the expanding ring; lineage truncated per round
+    with localCheckpoint; early exit when the frontier empties.  Rounds
+    = max_hops, the caller's radius dial (an isochrone wants a small
+    fixed radius, not the graph diameter)."""
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    if not directed:
+        sym = sym.union(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+    sym = sym.distinct().localCheckpoint()
+
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

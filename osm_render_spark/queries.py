@@ -5075,6 +5075,49 @@ ORDER BY k, tx, ty
     return QueryDef(fn, duck)
 
 
+def _q_bfs_isochrone() -> QueryDef:
+    """Multi-source BFS hop distance (operators/graph.bfs_hops) — the
+    isochrone/reachability primitive: a deterministic synthetic way
+    graph (node = o_orderkey % 2039, successor = (o_orderkey·31+7) %
+    2039, undirected), five seed nodes, radius 4.  The engine runs one
+    frontier join per round; DuckDB runs a RECURSIVE CTE with UNION
+    dedup and takes MIN(hop) per node — an entirely different
+    evaluation strategy for the same fixpoint."""
+    duck = """
+WITH RECURSIVE e AS (
+  SELECT o_orderkey % 2039 AS src, (o_orderkey * 31 + 7) % 2039 AS dst
+  FROM orders
+),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+walk AS (
+  SELECT node, 0 AS hop FROM (VALUES (0), (500), (1000), (1500), (2000))
+    s(node)
+  UNION
+  SELECT s.dst AS node, w.hop + 1 AS hop
+  FROM walk w JOIN sym s ON s.src = w.node
+  WHERE w.hop < 4
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hop) AS BIGINT) AS hop
+FROM walk GROUP BY 1 ORDER BY 1
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.graph import bfs_hops
+
+        edges = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+            "o_orderkey % 2039 AS a", "(o_orderkey * 31 + 7) % 2039 AS b"
+        )
+        seeds = spark.createDataFrame(
+            [(0,), (500,), (1000,), (1500,), (2000,)], "node long"
+        )
+        out = bfs_hops(edges, seeds, max_hops=4)
+        return out.selectExpr(
+            "CAST(node AS BIGINT) AS node", "CAST(hop AS BIGINT) AS hop"
+        ).orderBy("node")
+
+    return QueryDef(fn, duck)
+
+
 def _q_contour_stats() -> QueryDef:
     """Marching-squares contour topology (raster/terrain.contour_tiles
     mode='stats') over the SAME four GeoTIFF fixtures as
@@ -5550,5 +5593,6 @@ def build_queries() -> dict[str, QueryDef]:
         "snap_to_way": _q_snap_to_way(),
         "contrastive_batches": _q_contrastive_batches(),
         "contour_stats": _q_contour_stats(),
+        "bfs_isochrone": _q_bfs_isochrone(),
     }
     return defs

@@ -202,3 +202,64 @@ def test_dedup_images_matches_query_composition(spark):
     want = {r["node"]: r["component"] for r in cc.collect()}
     got = {r["image_id"]: r["cluster_id"] for r in ops.collect()}
     assert got == want
+
+
+# ------------------------------------------------------------ bfs_hops
+
+def test_bfs_hand_worked_path(spark):
+    """Path 0-1-2-3-4-5, seed 0, radius 3 → hops 0..3, nodes 4,5 out."""
+    from osm_render_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_multi_seed_min_and_undirected(spark):
+    """Seeds at both ends of a path: hop = min distance to EITHER."""
+    from osm_render_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(0,), (6,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=10).collect()}
+    assert got == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}
+
+
+def test_bfs_directed_flag(spark):
+    from osm_render_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (3, 0)], "a long, b long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.hop
+        for r in bfs_hops(edges, seeds, max_hops=5, directed=True).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}  # 3 unreachable along direction
+
+
+def test_bfs_early_exit_on_exhausted_frontier(spark):
+    """Component exhausted long before max_hops — loop must stop (the
+    result is simply complete; max_hops is an upper bound)."""
+    from osm_render_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(0, 1), (2, 3)], "a long, b long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=40).collect()}
+    assert got == {0: 0, 1: 1}
+
+
+def test_bfs_cycle_terminates_with_min_hop(spark):
+    from osm_render_spark.operators.graph import bfs_hops
+
+    n = 8  # ring of 8
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 7: 1, 2: 2, 6: 2, 3: 3, 5: 3, 4: 4}
