@@ -5075,6 +5075,68 @@ ORDER BY k, tx, ty
     return QueryDef(fn, duck)
 
 
+def _q_zonal_stats_rect() -> QueryDef:
+    """Zonal statistics (raster/zonal.zonal_stats) end to end: 25
+    nation-keyed integer rectangles over the four closed-form GeoTIFF
+    DEMs (raster k = poly_id % 4), even-odd coverage at pixel centers.
+    Integer rect edges vs +0.5 centers make membership unambiguous, so
+    DuckDB can recompute n_px and Σz EXACTLY from the DEM formula with
+    plain BETWEEN bounds — pinning the GeoTIFF decode, the tile
+    cover/join, the ray-cast parity, and the partial-sum rollup at
+    once."""
+
+    def zf(xe: str, ye: str) -> str:
+        return (
+            f"((({xe})*({xe})*3 + ({xe})*({ye})*7 + ({ye})*({ye})*5"
+            f" + ({xe})*11 + ({ye})*13 + k*17) % 2039 - 1019)"
+        )
+
+    duck = f"""
+WITH g AS (
+  SELECT kt.range AS k, xt.range AS x, yt.range AS y
+  FROM range(0, 4) kt, range(0, 256) xt, range(0, 256) yt
+),
+rects AS (
+  SELECT n_nationkey AS poly_id, n_nationkey % 4 AS k,
+         (n_nationkey * 97) % 180 AS x0, (n_nationkey * 53) % 180 AS y0,
+         (n_nationkey * 97) % 180 + 5 + (n_nationkey * 7) % 40 AS x1,
+         (n_nationkey * 53) % 180 + 5 + (n_nationkey * 11) % 40 AS y1
+  FROM nation
+)
+SELECT poly_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM({zf('x', 'y')}) AS BIGINT) AS sum_z
+FROM rects JOIN g USING (k)
+WHERE x BETWEEN x0 AND x1 - 1 AND y BETWEEN y0 AND y1 - 1
+GROUP BY 1 ORDER BY poly_id
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .raster.zonal import zonal_stats
+        from .sources.geotiff_source import read_geotiff_tiles
+
+        tiles = read_geotiff_tiles(spark, _geotiff_oracle_files(), 64)
+        polys = spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+            "n_nationkey AS poly_id",
+            "concat('k', CAST(n_nationkey % 4 AS STRING), '.tif') AS raster",
+            "(n_nationkey * 97) % 180 AS x0",
+            "(n_nationkey * 53) % 180 AS y0",
+            "(n_nationkey * 97) % 180 + 5 + (n_nationkey * 7) % 40 AS x1",
+            "(n_nationkey * 53) % 180 + 5 + (n_nationkey * 11) % 40 AS y1",
+        ).selectExpr(
+            "poly_id",
+            "raster",
+            "array(CAST(x0 AS BIGINT), CAST(x1 AS BIGINT),"
+            " CAST(x1 AS BIGINT), CAST(x0 AS BIGINT)) AS xs",
+            "array(CAST(y0 AS BIGINT), CAST(y0 AS BIGINT),"
+            " CAST(y1 AS BIGINT), CAST(y1 AS BIGINT)) AS ys",
+        )
+        out = zonal_stats(polys, tiles, 64, raster_col="raster")
+        return out.orderBy("poly_id")
+
+    return QueryDef(fn, duck)
+
+
 def _q_bfs_isochrone() -> QueryDef:
     """Multi-source BFS hop distance (operators/graph.bfs_hops) — the
     isochrone/reachability primitive: a deterministic synthetic way
@@ -5594,5 +5656,6 @@ def build_queries() -> dict[str, QueryDef]:
         "contrastive_batches": _q_contrastive_batches(),
         "contour_stats": _q_contour_stats(),
         "bfs_isochrone": _q_bfs_isochrone(),
+        "zonal_stats_rect": _q_zonal_stats_rect(),
     }
     return defs
