@@ -754,6 +754,27 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     n_mm = snap_points_to_segments(mm_pts, mm_segs, cell=256, max_dist=64).count()
     mm_sec = time.time() - t0
 
+    # Viterbi trajectory matching: trajectories/s through cover + top-k
+    # + per-trajectory DP (the oracle fixture at full event density)
+    from osm_render_spark.operators.map_match import match_trajectories
+
+    vt_pts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id DIV 4 AS traj_id",
+        "event_id % 4 AS seq",
+        "(event_id DIV 4 * 7919) % 3800"
+        " + (event_id % 4 * 37 + event_id DIV 4 % 61) % 160 AS x",
+        "(event_id DIV 4 * 104729) % 3800"
+        " + (event_id % 4 * 53 + event_id DIV 4 % 43) % 160 AS y",
+    )
+    n_traj = vt_pts.count() // 4
+    t0 = time.time()
+    n_vt = (
+        match_trajectories(vt_pts, mm_segs, cell=256, max_dist=64, top_k=3)
+        .where("seq = 0")
+        .count()
+    )
+    vt_sec = time.time() - t0
+
     loadavg_after = os.getloadavg()
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
@@ -835,6 +856,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "lm_score_docs_per_sec": round(n_lm / lm_sec, 1),
         "map_match_points_per_sec": round(n_mm_pts / mm_sec, 1),
         "map_match_snapped": n_mm,
+        "viterbi_traj_per_sec": round(n_traj / vt_sec, 1),
+        "viterbi_matched": n_vt,
     }
 
 

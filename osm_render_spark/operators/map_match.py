@@ -50,17 +50,16 @@ def _d2_milli_expr() -> str:
     """
 
 
-def snap_points_to_segments(
+def _snap_candidates(
     points: DataFrame,
     segments: DataFrame,
-    *,
-    cell: int = 256,
-    max_dist: int = 128,
+    cell: int,
+    max_dist: int,
+    extra_cols: list[str],
 ) -> DataFrame:
-    """points (point_id, x, y) × segments (way_id, seg_idx, ax, ay, bx,
-    by) → (point_id, way_id, seg_idx, d2_milli) for each point whose
-    nearest segment lies within max_dist.  Integer pixel coordinates,
-    |coord| < 2^15 (keeps d²·len2 < 2^62)."""
+    """All (point, segment) candidates within max_dist with their exact
+    d2_milli — the shared cover+refine behind snap_points_to_segments
+    (top-1) and match_trajectories (Viterbi over top-K)."""
     seg_cells = segments.selectExpr(
         "way_id",
         "seg_idx",
@@ -83,6 +82,7 @@ def snap_points_to_segments(
     )
 
     pts = points.selectExpr(
+        *extra_cols,
         "point_id",
         "x",
         "y",
@@ -90,9 +90,10 @@ def snap_points_to_segments(
         f"(y + {_OFF}) DIV {cell} AS cy",
     )
 
-    cand = (
+    return (
         pts.join(seg_cells, ["cx", "cy"])
         .selectExpr(
+            *extra_cols,
             "point_id",
             "way_id",
             "seg_idx",
@@ -103,12 +104,14 @@ def snap_points_to_segments(
             "by - ay AS aby",
         )
         .selectExpr(
+            *extra_cols,
             "point_id", "way_id", "seg_idx", "x", "y", "bx", "by",
             "apx", "apy",
             "apx*abx + apy*aby AS dot",
             "abx*abx + aby*aby AS len2",
         )
         .selectExpr(
+            *extra_cols,
             "point_id",
             "way_id",
             "seg_idx",
@@ -116,9 +119,126 @@ def snap_points_to_segments(
         )
         .where(f"d2_milli <= {1000 * max_dist * max_dist}")
     )
+
+
+def snap_points_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    *,
+    cell: int = 256,
+    max_dist: int = 128,
+) -> DataFrame:
+    """points (point_id, x, y) × segments (way_id, seg_idx, ax, ay, bx,
+    by) → (point_id, way_id, seg_idx, d2_milli) for each point whose
+    nearest segment lies within max_dist.  Integer pixel coordinates,
+    |coord| < 2^15 (keeps d²·len2 < 2^62)."""
+    cand = _snap_candidates(points, segments, cell, max_dist, [])
     w = Window.partitionBy("point_id").orderBy("d2_milli", "way_id", "seg_idx")
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
         .select("point_id", "way_id", "seg_idx", "d2_milli")
+    )
+
+
+def match_trajectories(
+    points: DataFrame,
+    segments: DataFrame,
+    *,
+    cell: int = 256,
+    max_dist: int = 128,
+    top_k: int = 4,
+    switch_penalty: int = 10_000_000,
+) -> DataFrame:
+    """HMM-style (Viterbi) trajectory map matching: points
+    (traj_id, seq, x, y) → (traj_id, seq, way_id, seg_idx, d2_milli,
+    total_cost) — the jointly-optimal segment assignment per
+    trajectory, where path cost = Σ emission d2_milli + switch_penalty
+    per way change between consecutive points.
+
+    The simplification vs a full road-network HMM is documented: the
+    transition model is a flat way-switch penalty, not route distance
+    (the engine has no turn-restriction graph); what this keeps is the
+    defining property snap-per-point lacks — a noisy ping near a wrong
+    way is overridden by its neighbors.
+
+    Determinism: all costs are integers, candidates are the top_k by
+    (d2_milli, way_id, seg_idx), and among equal-cost paths the
+    lexicographically-first (way_id, seg_idx) SEQUENCE wins — the DP
+    carries (cost, prefix) pairs, which is sound because prefixes of
+    equal length compare positionally (the oracle enumerates all paths
+    and sorts; the kernel must agree exactly).
+
+    Trajectories where ANY point has no candidate within max_dist are
+    dropped whole (partial matches are ambiguous; callers pre-split).
+
+    Plan: cover join → top-k window → ONE applyInPandas per trajectory
+    (group size = seq_len·top_k rows — bounded, never corpus-sized)."""
+    import pandas as pd
+
+    cand = _snap_candidates(
+        points.selectExpr(
+            "traj_id", "seq", "concat(traj_id, ':', seq) AS point_id",
+            "x", "y",
+        ),
+        segments,
+        cell,
+        max_dist,
+        ["traj_id", "seq"],
+    )
+    w = Window.partitionBy("point_id").orderBy("d2_milli", "way_id", "seg_idx")
+    topk = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(f"rn <= {top_k}")
+        .select("traj_id", "seq", "way_id", "seg_idx", "d2_milli")
+    )
+
+    n_points = points.groupBy("traj_id").agg(
+        F.count("*").alias("n_seq")
+    )
+    full = topk.join(n_points, "traj_id")
+
+    def viterbi(key, g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["traj_id", "seq", "way_id", "seg_idx", "d2_milli",
+                "total_cost"]
+        n_seq = int(g["n_seq"].iloc[0])
+        by_seq: dict[int, list] = {}
+        for r in g.itertuples(index=False):
+            by_seq.setdefault(int(r.seq), []).append(
+                (int(r.way_id), int(r.seg_idx), int(r.d2_milli))
+            )
+        seqs = sorted(by_seq)
+        if len(seqs) != n_seq:  # some point had zero candidates
+            return pd.DataFrame(columns=cols)
+        # DP state per candidate: (cost, prefix_tuple_of_(way,seg), way)
+        states = [
+            (d2, ((wid, sidx),), wid)
+            for wid, sidx, d2 in sorted(by_seq[seqs[0]])
+        ]
+        for s in seqs[1:]:
+            nxt = []
+            for wid, sidx, d2 in sorted(by_seq[s]):
+                best = None
+                for cost, prefix, pw in states:
+                    c = cost + d2 + (switch_penalty if pw != wid else 0)
+                    k2 = (c, prefix + ((wid, sidx),))
+                    if best is None or k2 < best:
+                        best = k2
+                nxt.append((best[0], best[1], wid))
+            states = nxt
+        cost, path, _ = min(states, key=lambda t: (t[0], t[1]))
+        rows = [
+            (key[0], s, wid, sidx,
+             dict(((w_, s_), d_) for w_, s_, d_ in by_seq[s])[(wid, sidx)],
+             cost)
+            for s, (wid, sidx) in zip(seqs, path)
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    return full.groupBy("traj_id").applyInPandas(
+        viterbi,
+        schema=(
+            "traj_id long, seq long, way_id long, seg_idx long, "
+            "d2_milli long, total_cost long"
+        ),
     )

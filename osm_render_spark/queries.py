@@ -5075,6 +5075,118 @@ ORDER BY k, tx, ty
     return QueryDef(fn, duck)
 
 
+def _q_viterbi_match() -> QueryDef:
+    """HMM-style trajectory map matching
+    (operators/map_match.match_trajectories): 4-ping trajectories from
+    events (1-in-5 kept), the orders-derived segment world, top-3
+    candidates, way-switch penalty 10⁷.  The engine runs the Viterbi DP
+    per trajectory; DuckDB ENUMERATES every candidate path with a
+    4-way self-join and picks the (cost, path-lex) minimum — a
+    completely different algorithm for the same optimum, so a DP
+    backpointer or tie-break slip breaks the hash."""
+    segs_src = """
+  SELECT o_orderkey % 211 AS way_id, o_orderkey {div} 211 AS seg_idx,
+         (o_orderkey * 127) % 4000 AS ax, (o_orderkey * 331) % 4000 AS ay,
+         (o_orderkey * 127) % 4000 + o_orderkey % 63 - 31 AS bx,
+         (o_orderkey * 331) % 4000 + o_orderkey % 41 - 20 AS by
+  FROM orders WHERE o_orderkey % 50 = 0
+"""
+    pts_src = """
+  SELECT event_id {div} 4 AS traj, event_id % 4 AS seq,
+         (event_id {div} 4 * 7919) % 3800
+           + (event_id % 4 * 37 + event_id {div} 4 % 61) % 160 AS x,
+         (event_id {div} 4 * 104729) % 3800
+           + (event_id % 4 * 53 + event_id {div} 4 % 43) % 160 AS y
+  FROM events WHERE event_id % 20 < 4
+"""
+    duck = f"""
+WITH segs AS ({segs_src.format(div='//')}),
+pts AS ({pts_src.format(div='//')}),
+geo AS (
+  SELECT traj, seq, way_id, seg_idx, x, y, bx, by,
+         x - ax AS apx, y - ay AS apy,
+         (x-ax)*(bx-ax) + (y-ay)*(by-ay) AS dot,
+         (bx-ax)*(bx-ax) + (by-ay)*(by-ay) AS len2
+  FROM pts CROSS JOIN segs
+),
+cand AS (
+  SELECT traj, seq, way_id, seg_idx,
+    CASE WHEN len2 = 0 OR dot <= 0 THEN 1000 * (apx*apx + apy*apy)
+         WHEN dot >= len2 THEN 1000 * ((x-bx)*(x-bx) + (y-by)*(y-by))
+         ELSE ((apx*apx + apy*apy) * len2 - dot*dot) // len2 * 1000
+              + ((apx*apx + apy*apy) * len2 - dot*dot) % len2 * 1000 // len2
+    END AS d2
+  FROM geo
+),
+topk AS (
+  SELECT traj, seq, way_id, seg_idx, d2 FROM cand
+  WHERE d2 <= 1000 * 64 * 64
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY traj, seq ORDER BY d2, way_id, seg_idx) <= 3
+),
+paths AS (
+  SELECT c0.traj,
+         c0.way_id w0, c0.seg_idx s0, c0.d2 d0,
+         c1.way_id w1, c1.seg_idx s1, c1.d2 d1,
+         c2.way_id w2, c2.seg_idx s2, c2.d2 d2_,
+         c3.way_id w3, c3.seg_idx s3, c3.d2 d3,
+         c0.d2 + c1.d2 + c2.d2 + c3.d2
+           + CASE WHEN c0.way_id <> c1.way_id THEN 10000000 ELSE 0 END
+           + CASE WHEN c1.way_id <> c2.way_id THEN 10000000 ELSE 0 END
+           + CASE WHEN c2.way_id <> c3.way_id THEN 10000000 ELSE 0 END
+           AS cost
+  FROM topk c0
+  JOIN topk c1 ON c1.traj = c0.traj AND c0.seq = 0 AND c1.seq = 1
+  JOIN topk c2 ON c2.traj = c0.traj AND c2.seq = 2
+  JOIN topk c3 ON c3.traj = c0.traj AND c3.seq = 3
+),
+best AS (
+  SELECT * FROM paths
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY traj
+    ORDER BY cost, w0, s0, w1, s1, w2, s2, w3, s3) = 1
+)
+SELECT traj AS traj_id, seq, way_id, seg_idx, d2_milli, total_cost FROM (
+  SELECT traj, 0 AS seq, w0 AS way_id, s0 AS seg_idx, d0 AS d2_milli,
+         cost AS total_cost FROM best
+  UNION ALL SELECT traj, 1, w1, s1, d1, cost FROM best
+  UNION ALL SELECT traj, 2, w2, s2, d2_, cost FROM best
+  UNION ALL SELECT traj, 3, w3, s3, d3, cost FROM best
+)
+ORDER BY traj_id, seq
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.map_match import match_trajectories
+
+        segs = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            "o_orderkey % 50 = 0"
+        ).selectExpr(
+            "o_orderkey % 211 AS way_id",
+            "o_orderkey DIV 211 AS seg_idx",
+            "(o_orderkey * 127) % 4000 AS ax",
+            "(o_orderkey * 331) % 4000 AS ay",
+            "(o_orderkey * 127) % 4000 + o_orderkey % 63 - 31 AS bx",
+            "(o_orderkey * 331) % 4000 + o_orderkey % 41 - 20 AS by",
+        )
+        pts = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+            "event_id % 20 < 4"
+        ).selectExpr(
+            "event_id DIV 4 AS traj_id",
+            "event_id % 4 AS seq",
+            "(event_id DIV 4 * 7919) % 3800"
+            " + (event_id % 4 * 37 + event_id DIV 4 % 61) % 160 AS x",
+            "(event_id DIV 4 * 104729) % 3800"
+            " + (event_id % 4 * 53 + event_id DIV 4 % 43) % 160 AS y",
+        )
+        out = match_trajectories(
+            pts, segs, cell=256, max_dist=64, top_k=3,
+            switch_penalty=10_000_000,
+        )
+        return out.orderBy("traj_id", "seq")
+
+    return QueryDef(fn, duck)
+
+
 def _q_zonal_stats_rect() -> QueryDef:
     """Zonal statistics (raster/zonal.zonal_stats) end to end: 25
     nation-keyed integer rectangles over the four closed-form GeoTIFF
@@ -5657,5 +5769,6 @@ def build_queries() -> dict[str, QueryDef]:
         "contour_stats": _q_contour_stats(),
         "bfs_isochrone": _q_bfs_isochrone(),
         "zonal_stats_rect": _q_zonal_stats_rect(),
+        "viterbi_match": _q_viterbi_match(),
     }
     return defs

@@ -140,3 +140,110 @@ def test_plan_no_python_bounded_exchanges(spark):
     assert "MapInPandas" not in plan
     # cell join + point window (+ possible AQE artifacts): ≤ 3 exchanges
     assert plan.count("Exchange") <= 3
+
+
+# ---------------------------------------------------- match_trajectories
+
+def _run_traj(spark, pts, segs, **kw):
+    from osm_render_spark.operators.map_match import match_trajectories
+
+    P = spark.createDataFrame(pts, "traj_id long, seq long, x long, y long")
+    S = spark.createDataFrame(
+        segs, "way_id long, seg_idx long, ax long, ay long, bx long, by long"
+    )
+    out = {}
+    rows = match_trajectories(P, S, **kw).collect()
+    for r in rows:
+        out.setdefault(r.traj_id, {})[r.seq] = (
+            r.way_id, r.seg_idx, r.d2_milli, r.total_cost
+        )
+    return out
+
+
+def test_viterbi_smooths_noisy_ping(spark):
+    """Two parallel horizontal ways; pings hug way 1 except one noisy
+    ping slightly nearer way 2.  Independent snap would switch ways
+    twice (2 penalties); Viterbi keeps way 1 (cheaper than 2×10⁷)."""
+    segs = [
+        (1, 0, 0, 0, 400, 0),
+        (2, 0, 0, 30, 400, 30),
+    ]
+    pts = [(0, 0, 10, 2), (0, 1, 100, 17), (0, 2, 200, 3), (0, 3, 300, 1)]
+    got = _run_traj(
+        spark, pts, segs, cell=256, max_dist=100, top_k=3,
+        switch_penalty=10_000_000,
+    )
+    assert [got[0][s][0] for s in range(4)] == [1, 1, 1, 1]
+    # seq 1 is 17px from way 1 but only 13px from way 2 — snap would pick 2
+    assert got[0][1][2] == 1000 * 17 * 17
+
+
+def test_viterbi_switches_when_evidence_is_strong(spark):
+    """A genuine way change (all later pings far from way 1) must pay
+    the single switch."""
+    segs = [(1, 0, 0, 0, 200, 0), (2, 0, 0, 500, 200, 500)]
+    pts = [(0, 0, 10, 1), (0, 1, 50, 2), (0, 2, 60, 499), (0, 3, 120, 501)]
+    got = _run_traj(
+        spark, pts, segs, cell=256, max_dist=100, top_k=3,
+        switch_penalty=10_000_000,
+    )
+    assert [got[0][s][0] for s in range(4)] == [1, 1, 2, 2]
+    assert got[0][0][3] == (1 + 4 + 1 + 1) * 1000 + 10_000_000
+
+
+def test_viterbi_drops_trajectory_with_unmatchable_ping(spark):
+    segs = [(1, 0, 0, 0, 100, 0)]
+    pts = [(0, 0, 10, 5), (0, 1, 5000, 5000)]  # ping 1 out of range
+    got = _run_traj(spark, pts, segs, cell=256, max_dist=50)
+    assert got == {}
+
+
+def test_viterbi_equals_path_enumeration(spark):
+    """DP == exhaustive enumeration under (cost, path-lex) on random
+    worlds — the oracle's argument, in-process."""
+    import itertools
+    from collections import defaultdict
+
+    segs = []
+    for j in range(60):
+        ax, ay = RNG.integers(0, 700, 2)
+        segs.append(
+            (int(j % 17), int(j), int(ax), int(ay),
+             int(ax + RNG.integers(-50, 51)), int(ay + RNG.integers(-50, 51)))
+        )
+    pts = []
+    for t in range(25):
+        x, y = (int(v) for v in RNG.integers(0, 700, 2))
+        for s in range(5):
+            x += int(RNG.integers(-25, 26))
+            y += int(RNG.integers(-25, 26))
+            pts.append((t, s, x, y))
+    got = _run_traj(
+        spark, pts, segs, cell=128, max_dist=90, top_k=3,
+        switch_penalty=10_000_000,
+    )
+    cands = defaultdict(list)
+    for t, s, x, y in pts:
+        cl = sorted(
+            (_brute_d2_milli(x, y, *sg[2:]), sg[0], sg[1])
+            for sg in segs
+            if _brute_d2_milli(x, y, *sg[2:]) <= 1000 * 90 * 90
+        )
+        cands[(t, s)] = [(w, si, d) for d, w, si in cl[:3]]
+    n_checked = 0
+    for t in range(25):
+        per = [cands[(t, s)] for s in range(5)]
+        if any(not c for c in per):
+            assert t not in got
+            continue
+        best = None
+        for combo in itertools.product(*per):
+            cost = sum(c[2] for c in combo) + sum(
+                10_000_000 for a, b in zip(combo, combo[1:]) if a[0] != b[0]
+            )
+            key = (cost, tuple((c[0], c[1]) for c in combo))
+            best = key if best is None or key < best else best
+        path = tuple((got[t][s][0], got[t][s][1]) for s in range(5))
+        assert (got[t][0][3], path) == best, t
+        n_checked += 1
+    assert n_checked >= 10
