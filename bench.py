@@ -120,6 +120,61 @@ def pbf_scale_job(cpus: int, n_nodes: int) -> dict:
     }
 
 
+def terrain_scale_job(cpus: int, n_side: int = 64, tile_px: int = 256) -> dict:
+    """Terrain scaling workload (the third north-rule datapoint, next to
+    compute and PBF ingest): hillshade n_side² synthetic DEM tiles of
+    tile_px² through the perimeter-halo exchange. The DEM grid is
+    synthesized in a narrow Arrow pass and eagerly checkpointed, so the
+    timed section isolates the halo shuffle + per-tile numpy kernel —
+    the operator's data-proportional cost."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_render_spark.raster.terrain import terrain_tiles
+    from osm_render_spark.session import get_spark
+
+    spark = get_spark(
+        "terrain_scale", cpus=cpus, shuffle_partitions=max(cpus, 8)
+    )
+    grid = spark.range(0, n_side * n_side, 1, cpus * 4).selectExpr(
+        f"id % {n_side} AS tx", f"id DIV {n_side} AS ty"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty in zip(pdf["tx"], pdf["ty"]):
+                yy, xx = np.mgrid[0:tile_px, 0:tile_px].astype(np.int64)
+                xx += int(tx) * tile_px
+                yy += int(ty) * tile_px
+                dem = (
+                    (xx * 3 + yy * 7) % 512
+                    + ((xx * xx + yy * yy) // 257) % 997
+                ).astype(np.int32)
+                rows.append((int(tx), int(ty), dem.tobytes()))
+            yield pd.DataFrame(rows, columns=["tx", "ty", "dem"])
+
+    tiles = grid.mapInPandas(
+        synth, schema="tx long, ty long, dem binary"
+    ).localCheckpoint(eager=True)
+    n = tiles.count()
+    terrain_tiles(tiles, tile_px).count()  # warm
+    wall = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        terrain_tiles(tiles, tile_px).count()
+        wall = min(wall, time.time() - t0)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_tiles": n,
+        "tile_px": tile_px,
+        "wall_sec": round(wall, 3),
+        "tiles_per_sec": round(n / wall, 1),
+        "mpx_per_sec": round(n * tile_px * tile_px / wall / 1e6, 1),
+    }
+
+
 def run_suite(sf_dir: str, cpus: int) -> dict:
     from osm_render_spark.queries import build_queries
     from osm_render_spark.session import get_spark
@@ -1353,6 +1408,11 @@ def main() -> int:
         print(json.dumps(pbf_scale_job(cpus, n_nodes)))
         return 0
 
+    if "--terrain-scale-job" in sys.argv:
+        n_side = int(os.environ.get("SPARK_GRAFT_TERRAIN_SIDE", "64"))
+        print(json.dumps(terrain_scale_job(cpus, n_side)))
+        return 0
+
     if "--skew" in sys.argv:
         print(json.dumps(skew_job(cpus)))
         return 0
@@ -1410,6 +1470,23 @@ def main() -> int:
                 return 1
             pbf[n] = json.loads(lines[-1])
         pbf_eff = pbf[hi]["nodes_per_sec"] / (4.0 * pbf[lo]["nodes_per_sec"])
+        # third pair: the terrain halo-exchange raster path (Arrow
+        # kernels + perimeter shuffle — neither codegen nor file ingest)
+        terr = {}
+        for n in (lo, hi):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+            out = subprocess.run(
+                [sys.executable, __file__, "--terrain-scale-job"],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+                return 1
+            terr[n] = json.loads(lines[-1])
+        terr_eff = terr[hi]["tiles_per_sec"] / (4.0 * terr[lo]["tiles_per_sec"])
         print(
             json.dumps(
                 {
@@ -1421,6 +1498,11 @@ def main() -> int:
                         f"local{lo}": pbf[lo],
                         f"local{hi}": pbf[hi],
                         "scaling_efficiency": round(pbf_eff, 3),
+                    },
+                    "terrain": {
+                        f"local{lo}": terr[lo],
+                        f"local{hi}": terr[hi],
+                        "scaling_efficiency": round(terr_eff, 3),
                     },
                 }
             )

@@ -78,13 +78,17 @@ def hillshade(
     gx, gy = horn_gradients(padded)
     dzdx = gx.astype(np.float64) * (z_factor / (8.0 * cellsize))
     dzdy = gy.astype(np.float64) * (z_factor / (8.0 * cellsize))
-    slope = np.arctan(np.hypot(dzdx, dzdy))
-    aspect = np.arctan2(dzdy, -dzdx)
     zen = math.radians(90.0 - altitude_deg)
     az = math.radians(360.0 - azimuth_deg + 90.0)
-    hs = np.cos(zen) * np.cos(slope) + np.sin(zen) * np.sin(slope) * np.cos(
-        az - aspect
-    )
+    # algebraic form of cos(zen)·cos(slope) + sin(zen)·sin(slope)·
+    # cos(az − aspect) with slope = atan(m), aspect = atan2(dzdy, −dzdx):
+    # cos(slope) = 1/√(1+m²), sin(slope)·cos(aspect) = −dzdx/√(1+m²),
+    # sin(slope)·sin(aspect) = dzdy/√(1+m²) — one sqrt per pixel, no
+    # per-pixel trig (~6× faster; same formula, not an approximation)
+    hs = (
+        math.cos(zen)
+        + math.sin(zen) * (math.cos(az) * -dzdx + math.sin(az) * dzdy)
+    ) / np.sqrt(1.0 + dzdx * dzdx + dzdy * dzdy)
     # engine-wide floor(x+0.5) rounding (F6)
     return np.clip(np.floor(255.0 * hs + 0.5), 0, 255).astype(np.uint8)
 
