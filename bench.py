@@ -158,12 +158,22 @@ def terrain_scale_job(cpus: int, n_side: int = 64, tile_px: int = 256) -> dict:
         synth, schema="tx long, ty long, dem binary"
     ).localCheckpoint(eager=True)
     n = tiles.count()
-    terrain_tiles(tiles, tile_px).count()  # warm
+    # primary series: gradient_stats — the perimeter-only-shuffle path
+    # (pixel bytes never cross the exchange); hillshade — which must
+    # ship each tile's bytes once for its image output — is recorded as
+    # the secondary, bandwidth-bound series
+    terrain_tiles(tiles, tile_px, mode="gradient_stats").count()  # warm
     wall = 1e9
     for _ in range(2):
         t0 = time.time()
-        terrain_tiles(tiles, tile_px).count()
+        terrain_tiles(tiles, tile_px, mode="gradient_stats").count()
         wall = min(wall, time.time() - t0)
+    terrain_tiles(tiles, tile_px).count()  # warm
+    hs_wall = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        terrain_tiles(tiles, tile_px).count()
+        hs_wall = min(hs_wall, time.time() - t0)
     spark.stop()
     return {
         "cpus": cpus,
@@ -172,6 +182,8 @@ def terrain_scale_job(cpus: int, n_side: int = 64, tile_px: int = 256) -> dict:
         "wall_sec": round(wall, 3),
         "tiles_per_sec": round(n / wall, 1),
         "mpx_per_sec": round(n * tile_px * tile_px / wall / 1e6, 1),
+        "hillshade_wall_sec": round(hs_wall, 3),
+        "hillshade_tiles_per_sec": round(n / hs_wall, 1),
     }
 
 
@@ -1409,7 +1421,10 @@ def main() -> int:
         return 0
 
     if "--terrain-scale-job" in sys.argv:
-        n_side = int(os.environ.get("SPARK_GRAFT_TERRAIN_SIDE", "64"))
+        # sized so the data-proportional work dominates the ~1.7 s fixed
+        # per-job overhead (the same reason the compute job uses 3.2B
+        # points): 25 600 tiles ≈ 80 core-seconds of kernel
+        n_side = int(os.environ.get("SPARK_GRAFT_TERRAIN_SIDE", "160"))
         print(json.dumps(terrain_scale_job(cpus, n_side)))
         return 0
 

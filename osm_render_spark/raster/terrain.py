@@ -118,16 +118,18 @@ def slope_aspect_octant(padded: np.ndarray, cellsize: int = 1):
 
 # ------------------------------------------------- distributed operator
 
-def _halo_parts(pdf_iter: Iterator[pd.DataFrame], tile_px: int, keyed: bool):
-    """Stage 1: core to self + perimeter strips to the 8 neighbors.
-    dx,dy are the part's position in the RECEIVER's frame."""
+def _halo_strips(pdf_iter: Iterator[pd.DataFrame], tile_px: int, keyed: bool):
+    """Perimeter strips addressed to the 8 neighbors.  dx,dy are the
+    part's position in the RECEIVER's frame.  The core row does NOT
+    pass through here — it is emitted Catalyst-side (a plain select)
+    and unioned in, so the tile's pixel bytes cross the Python/Arrow
+    boundary zero extra times; only perimeter bytes do."""
     for pdf in pdf_iter:
         rows = []
         keys = pdf["raster"] if keyed else [""] * len(pdf)
         for k, tx, ty, blob in zip(keys, pdf["tx"], pdf["ty"], pdf["dem"]):
             a = np.frombuffer(blob, dtype=_I32).reshape(tile_px, tile_px)
             tx, ty = int(tx), int(ty)
-            rows.append((k, tx, ty, 0, 0, blob))
             # edges: receiver at (tx+ox, ty+oy) sees this strip at (-ox,-oy)
             rows.append((k, tx + 1, ty, -1, 0, a[:, -1].tobytes()))
             rows.append((k, tx - 1, ty, 1, 0, a[:, 0].tobytes()))
@@ -140,6 +142,25 @@ def _halo_parts(pdf_iter: Iterator[pd.DataFrame], tile_px: int, keyed: bool):
         yield pd.DataFrame(
             rows, columns=["raster", "tx", "ty", "dx", "dy", "part"]
         )
+
+
+def _halo_parts_df(src: DataFrame, tile_px: int, keyed: bool) -> DataFrame:
+    """Core rows (pure Catalyst select) unioned with the Python-emitted
+    perimeter strips — the shared stage-1 of terrain_tiles and
+    contour_tiles."""
+    core = src.selectExpr(
+        ("raster" if keyed else "'' AS raster"),
+        "tx",
+        "ty",
+        "CAST(0 AS INT) AS dx",
+        "CAST(0 AS INT) AS dy",
+        "dem AS part",
+    )
+    strips = src.mapInPandas(
+        lambda it: _halo_strips(it, tile_px, keyed),
+        schema="raster string, tx long, ty long, dx int, dy int, part binary",
+    )
+    return core.unionByName(strips)
 
 
 def _assemble_flags(
@@ -234,10 +255,9 @@ def terrain_tiles(
 
     from .ops import buffered_group_map
 
-    parts = src.mapInPandas(
-        lambda it: _halo_parts(it, tile_px, keyed),
-        schema="raster string, tx long, ty long, dx int, dy int, part binary",
-    ).withColumn("gkey", F.concat_ws(":", "raster", "tx", "ty"))
+    parts = _halo_parts_df(src, tile_px, keyed).withColumn(
+        "gkey", F.concat_ws(":", "raster", "tx", "ty")
+    )
     key_sel = (["raster"] if keyed else []) + ["tx", "ty"]
 
     # buffered_group_map (many tiles per Arrow batch) instead of one
@@ -263,6 +283,58 @@ def terrain_tiles(
         out = buffered_group_map(parts, "gkey", render_group, cols, schema)
         return out.where(F.col("shade").isNotNull()).select(*key_sel, "shade")
 
+    # stats mode: PIXEL BYTES NEVER SHUFFLE.  Stage A reduces each
+    # tile's interior (rows/cols 1..t−2, whose Horn stencils stay
+    # inside the tile) narrowly and emits only a 2-px own frame plus
+    # the 1-px neighbor strips; stage B reconstructs the border band
+    # and adds the outermost ring's sums.  Exchange volume is
+    # ~3·perimeter per tile (≈ 3% of tile² at 256px) — the shape that
+    # scales when the mosaic is 10⁹ tiles and shuffle is the
+    # bottleneck.  Output is identical to whole-mosaic Horn (pinned by
+    # test_tiled_equals_whole_array_gradient_stats).
+    if tile_px < 4:
+        raise ValueError("gradient_stats requires tile_px >= 4")
+
+    def stage_a(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            keys = pdf["raster"] if keyed else [""] * len(pdf)
+            for k, tx, ty, blob in zip(keys, pdf["tx"], pdf["ty"], pdf["dem"]):
+                a = np.frombuffer(blob, dtype=_I32).reshape(tile_px, tile_px)
+                tx, ty = int(tx), int(ty)
+                gx, gy = horn_gradients(a)  # interior pixels 1..t−2
+                psum = np.array(
+                    [a.astype(np.int64).sum(), np.abs(gx).sum(),
+                     np.abs(gy).sum()],
+                    dtype=np.int64,
+                )
+                rows.append((k, tx, ty, 2, 2, psum.tobytes()))
+                frame = np.concatenate(
+                    [a[:2, :].ravel(), a[-2:, :].ravel(),
+                     a[:, :2].ravel(), a[:, -2:].ravel()]
+                ).astype(_I32)
+                rows.append((k, tx, ty, 0, 0, frame.tobytes()))
+                rows.append((k, tx + 1, ty, -1, 0, a[:, -1].tobytes()))
+                rows.append((k, tx - 1, ty, 1, 0, a[:, 0].tobytes()))
+                rows.append((k, tx, ty + 1, 0, -1, a[-1, :].tobytes()))
+                rows.append((k, tx, ty - 1, 0, 1, a[0, :].tobytes()))
+                rows.append((k, tx + 1, ty + 1, -1, -1, a[-1:, -1].tobytes()))
+                rows.append((k, tx - 1, ty + 1, 1, -1, a[-1:, 0].tobytes()))
+                rows.append((k, tx + 1, ty - 1, -1, 1, a[:1, -1].tobytes()))
+                rows.append((k, tx - 1, ty - 1, 1, 1, a[:1, 0].tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["raster", "tx", "ty", "dx", "dy", "part"]
+            )
+
+    parts_s = src.mapInPandas(
+        stage_a,
+        schema="raster string, tx long, ty long, dx int, dy int, part binary",
+    ).withColumn("gkey", F.concat_ws(":", "raster", "tx", "ty"))
+
+    t = tile_px
+    ring = np.zeros((t, t), dtype=bool)
+    ring[0, :] = ring[-1, :] = ring[:, 0] = ring[:, -1] = True
+
     cols = ["raster", "tx", "ty", "sum_z", "sum_abs_gx", "sum_abs_gy"]
     schema = (
         "raster string, tx long, ty long, "
@@ -270,18 +342,57 @@ def terrain_tiles(
     )
 
     def render_group(g: pd.DataFrame):
-        p = _assemble(g, tile_px)
         r = g.iloc[0]
-        if p is None:
+        parts_map = {(int(p.dx), int(p.dy)): p.part for p in g.itertuples()}
+        if (2, 2) not in parts_map:  # halo-only address off the grid
             return (r["raster"], int(r["tx"]), int(r["ty"]), None, None, None)
-        gx, gy = horn_gradients(p)
-        core = p[1:-1, 1:-1]
-        return (
-            r["raster"], int(r["tx"]), int(r["ty"]),
-            int(core.sum()), int(np.abs(gx).sum()), int(np.abs(gy).sum()),
+        psum = np.frombuffer(parts_map[2, 2], dtype=np.int64)
+        frame = np.frombuffer(parts_map[0, 0], dtype=_I32)
+        p = np.zeros((t + 2, t + 2), dtype=np.int64)
+        p[1:3, 1:-1] = frame[0 : 2 * t].reshape(2, t)
+        p[t - 1 : t + 1, 1:-1] = frame[2 * t : 4 * t].reshape(2, t)
+        p[1:-1, 1:3] = frame[4 * t : 6 * t].reshape(t, 2)
+        p[1:-1, t - 1 : t + 1] = frame[6 * t : 8 * t].reshape(t, 2)
+        has = {k: k in parts_map for k in ((-1, 0), (1, 0), (0, -1), (0, 1))}
+        p[1:-1, 0] = (
+            np.frombuffer(parts_map[-1, 0], dtype=_I32)
+            if has[-1, 0] else p[1:-1, 1]
+        )
+        p[1:-1, -1] = (
+            np.frombuffer(parts_map[1, 0], dtype=_I32)
+            if has[1, 0] else p[1:-1, -2]
+        )
+        p[0, 1:-1] = (
+            np.frombuffer(parts_map[0, -1], dtype=_I32)
+            if has[0, -1] else p[1, 1:-1]
+        )
+        p[-1, 1:-1] = (
+            np.frombuffer(parts_map[0, 1], dtype=_I32)
+            if has[0, 1] else p[-2, 1:-1]
         )
 
-    out = buffered_group_map(parts, "gkey", render_group, cols, schema)
+        def corner(dx: int, dy: int, row: int, col: int) -> int:
+            if (dx, dy) in parts_map:
+                return int(np.frombuffer(parts_map[dx, dy], dtype=_I32)[0])
+            if has[0, dy]:
+                return int(p[row, 1 if col == 0 else -2])
+            if has[dx, 0]:
+                return int(p[1 if row == 0 else -2, col])
+            return int(p[1 if row == 0 else -2, 1 if col == 0 else -2])
+
+        p[0, 0] = corner(-1, -1, 0, 0)
+        p[0, -1] = corner(1, -1, 0, -1)
+        p[-1, 0] = corner(-1, 1, -1, 0)
+        p[-1, -1] = corner(1, 1, -1, -1)
+        gx, gy = horn_gradients(p)
+        return (
+            r["raster"], int(r["tx"]), int(r["ty"]),
+            int(psum[0]),
+            int(psum[1] + np.abs(gx)[ring].sum()),
+            int(psum[2] + np.abs(gy)[ring].sum()),
+        )
+
+    out = buffered_group_map(parts_s, "gkey", render_group, cols, schema)
     return out.where(F.col("sum_z").isNotNull()).select(
         *key_sel, "sum_z", "sum_abs_gx", "sum_abs_gy"
     )
@@ -400,10 +511,9 @@ def contour_tiles(
         if keyed and raster_col != "raster"
         else tiles
     )
-    parts = src.mapInPandas(
-        lambda it: _halo_parts(it, tile_px, keyed),
-        schema="raster string, tx long, ty long, dx int, dy int, part binary",
-    ).withColumn("gkey", F.concat_ws(":", "raster", "tx", "ty"))
+    parts = _halo_parts_df(src, tile_px, keyed).withColumn(
+        "gkey", F.concat_ws(":", "raster", "tx", "ty")
+    )
     key_sel = (["raster"] if keyed else []) + ["tx", "ty"]
     thrs = list(thresholds)
 
