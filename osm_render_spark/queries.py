@@ -5249,6 +5249,117 @@ GROUP BY 1 ORDER BY poly_id
     return QueryDef(fn, duck)
 
 
+def _q_contour_segments_sum() -> QueryDef:
+    """Contour SEGMENT GEOMETRY under the oracle (contour_stats pins
+    topology counts; this pins the coordinates): per tile and
+    threshold, the exact BIGINT sums of the ppm-quantized endpoint
+    coordinates of every marching-squares segment.  The DuckDB side is
+    GENERATED from the engine's own _MS_SEGS case table (single source
+    of truth for the saddle convention) but recomputes corners, cases,
+    crossing fractions (sign-normalized floor division), and endpoint
+    placement from the closed-form DEM — so a misplaced endpoint, a
+    wrong edge, or a flipped segment direction anywhere breaks the
+    hash."""
+    from .raster.terrain import _MS_SEGS
+
+    M = 1_000_000
+
+    def zf(xe: str, ye: str) -> str:
+        return (
+            f"((({xe})*({xe})*3 + ({xe})*({ye})*7 + ({ye})*({ye})*5"
+            f" + ({xe})*11 + ({ye})*13 + k*17) % 2039 - 1019)"
+        )
+
+    def fp(a: str, b: str) -> str:
+        # floor(M·(thr−a)/(b−a)), sign-normalized so both operands are
+        # non-negative at any true crossing
+        num, den = f"(thr - {a})", f"({b} - {a})"
+        return (
+            f"((CASE WHEN {den} < 0 THEN -{num} ELSE {num} END) * {M})"
+            f" // NULLIF(CASE WHEN {den} < 0 THEN -{den} ELSE {den} END, 0)"
+        )
+
+    ex = {
+        "T": f"(x * {M} + {fp('z00', 'z10')})",
+        "B": f"(x * {M} + {fp('z01', 'z11')})",
+        "L": f"(x * {M})",
+        "R": f"((x + 1) * {M})",
+    }
+    ey = {
+        "T": f"(y * {M})",
+        "B": f"((y + 1) * {M})",
+        "L": f"(y * {M} + {fp('z00', 'z01')})",
+        "R": f"(y * {M} + {fp('z10', 'z11')})",
+    }
+
+    def case_sum(coord: dict, end: int) -> str:
+        branches = " ".join(
+            f"WHEN {c} THEN " + " + ".join(coord[p[end]] for p in pairs)
+            for c, pairs in sorted(_MS_SEGS.items())
+        )
+        return f"CASE ms {branches} ELSE 0 END"
+
+    duck = f"""
+WITH g AS (
+  SELECT kt.range AS k, xt.range AS x, yt.range AS y
+  FROM range(0, 4) kt, range(0, 255) xt, range(0, 255) yt
+),
+thrs AS (SELECT * FROM (VALUES (-500), (0), (500)) t(thr)),
+cells AS (
+  SELECT k, x, y, thr,
+         {zf('x', 'y')} AS z00, {zf('x+1', 'y')} AS z10,
+         {zf('x', 'y+1')} AS z01, {zf('x+1', 'y+1')} AS z11
+  FROM g CROSS JOIN thrs
+),
+cased AS (
+  SELECT *,
+         (CASE WHEN z00 > thr THEN 8 ELSE 0 END
+          + CASE WHEN z10 > thr THEN 4 ELSE 0 END
+          + CASE WHEN z11 > thr THEN 2 ELSE 0 END
+          + CASE WHEN z01 > thr THEN 1 ELSE 0 END) AS ms
+  FROM cells
+)
+SELECT k, x // 64 AS tx, y // 64 AS ty, CAST(thr AS BIGINT) AS thr,
+       CAST(SUM(CASE WHEN ms IN (0, 15) THEN 0
+                     WHEN ms IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT)
+         AS n_segments,
+       CAST(SUM({case_sum(ex, 0)}) AS BIGINT) AS sum_x1,
+       CAST(SUM({case_sum(ey, 0)}) AS BIGINT) AS sum_y1,
+       CAST(SUM({case_sum(ex, 1)}) AS BIGINT) AS sum_x2,
+       CAST(SUM({case_sum(ey, 1)}) AS BIGINT) AS sum_y2
+FROM cased
+GROUP BY 1, 2, 3, 4
+HAVING SUM(CASE WHEN ms IN (0, 15) THEN 0 ELSE 1 END) > 0
+ORDER BY k, tx, ty, thr
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .raster.terrain import contour_tiles
+        from .sources.geotiff_source import read_geotiff_tiles
+
+        tiles = read_geotiff_tiles(spark, _geotiff_oracle_files(), 64)
+        segs = contour_tiles(
+            tiles, 64, [-500, 0, 500], mode="segments", raster_col="raster"
+        )
+        return (
+            segs.selectExpr(
+                "CAST(substring(raster, 2, 1) AS BIGINT) AS k",
+                "tx", "ty", "thr", "x1_ppm", "y1_ppm", "x2_ppm", "y2_ppm",
+            )
+            .groupBy("k", "tx", "ty", "thr")
+            .agg(
+                F.expr("COUNT(*) AS n_segments"),
+                F.expr("SUM(x1_ppm) AS sum_x1"),
+                F.expr("SUM(y1_ppm) AS sum_y1"),
+                F.expr("SUM(x2_ppm) AS sum_x2"),
+                F.expr("SUM(y2_ppm) AS sum_y2"),
+            )
+            .orderBy("k", "tx", "ty", "thr")
+        )
+
+    return QueryDef(fn, duck)
+
+
 def _q_bfs_isochrone() -> QueryDef:
     """Multi-source BFS hop distance (operators/graph.bfs_hops) — the
     isochrone/reachability primitive: a deterministic synthetic way
@@ -5288,6 +5399,78 @@ FROM walk GROUP BY 1 ORDER BY 1
         return out.selectExpr(
             "CAST(node AS BIGINT) AS node", "CAST(hop AS BIGINT) AS hop"
         ).orderBy("node")
+
+    return QueryDef(fn, duck)
+
+
+@functools.lru_cache(maxsize=1)
+def _hillshade_oracle_values() -> str:
+    """Driver-side hillshade checksums as a VALUES list (the
+    jpeg_roundtrip discipline: the literal is computed at query-build
+    time from the same pure function, so any executor-side numerical
+    drift or Arrow transport corruption mismatches)."""
+    import numpy as np
+
+    from .raster.terrain import hillshade, pad_clamp
+
+    values = []
+    for k in range(4):
+        hs = hillshade(pad_clamp(_geotiff_dem(k)), cellsize=30.0)
+        values.append(
+            f"({k}, {int(hs.astype(np.int64).sum())}, "
+            f"{int((hs.astype(np.int64) * 31 + 7).sum() % 1000000007)})"
+        )
+    return ", ".join(values)
+
+
+def _q_hillshade_checksum() -> QueryDef:
+    """Hillshade (the float path) under the oracle: the engine
+    hillshades the four closed-form DEMs DISTRIBUTED (GeoTIFF source →
+    perimeter halo exchange → per-tile uint8 kernel) and checksums the
+    mosaic; DuckDB carries the driver-side literals from the SAME pure
+    function over the whole un-tiled array.  Equality pins (a) the
+    tiled result == whole-mosaic bit-exactly across the exchange, and
+    (b) driver == executor IEEE behavior for the trig-free closed
+    form."""
+    duck = f"""
+SELECT v.k AS k, v.shade_sum AS shade_sum, v.shade_mix AS shade_mix
+FROM (VALUES {_hillshade_oracle_values()}) AS v(k, shade_sum, shade_mix)
+JOIN nation ON n_nationkey = v.k
+ORDER BY k
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from .raster.terrain import terrain_tiles
+        from .sources.geotiff_source import read_geotiff_tiles
+
+        tiles = read_geotiff_tiles(spark, _geotiff_oracle_files(), 64)
+        shaded = terrain_tiles(
+            tiles, 64, mode="hillshade", cellsize=30.0, raster_col="raster"
+        )
+
+        def sums(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    a = np.frombuffer(r.shade, np.uint8).astype(np.int64)
+                    rows.append(
+                        (int(r.raster[1]), int(a.sum()),
+                         int((a * 31 + 7).sum()))
+                    )
+                yield pd.DataFrame(rows, columns=["k", "s", "m"])
+
+        part = shaded.mapInPandas(sums, schema="k long, s long, m long")
+        return (
+            part.groupBy("k")
+            .agg(
+                F.expr("SUM(s) AS shade_sum"),
+                F.expr("SUM(m) % 1000000007 AS shade_mix"),
+            )
+            .orderBy("k")
+        )
 
     return QueryDef(fn, duck)
 
@@ -5770,5 +5953,7 @@ def build_queries() -> dict[str, QueryDef]:
         "bfs_isochrone": _q_bfs_isochrone(),
         "zonal_stats_rect": _q_zonal_stats_rect(),
         "viterbi_match": _q_viterbi_match(),
+        "hillshade_checksum": _q_hillshade_checksum(),
+        "contour_segments_sum": _q_contour_segments_sum(),
     }
     return defs
