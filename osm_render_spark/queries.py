@@ -5360,6 +5360,76 @@ ORDER BY k, tx, ty, thr
     return QueryDef(fn, duck)
 
 
+def _q_dem_overview_stats() -> QueryDef:
+    """Reduced-resolution DEM overview (raster/terrain.dem_overview,
+    factor 2) over the GeoTIFF fixtures: per output tile, the BIGINT
+    sum + min/max of the F6-pooled pixels.  DuckDB recomputes the 2×2
+    block means from the closed-form DEM; floor(sum/f²+1/2) is
+    evaluated through a +1024·f² offset so DuckDB's truncating `//`
+    agrees with the kernel's true floor on negative sums (the fixture
+    DEM is signed on purpose)."""
+
+    def zf(xe: str, ye: str) -> str:
+        return (
+            f"((({xe})*({xe})*3 + ({xe})*({ye})*7 + ({ye})*({ye})*5"
+            f" + ({xe})*11 + ({ye})*13 + k*17) % 2039 - 1019)"
+        )
+
+    # floor((2s+4)/8) with truncating //: shift by 1024·4 per pixel
+    pooled = "((2 * (s + 4096) + 4) // 8 - 1024)"
+    duck = f"""
+WITH g AS (
+  SELECT kt.range AS k, xt.range AS x, yt.range AS y
+  FROM range(0, 4) kt, range(0, 256) xt, range(0, 256) yt
+),
+blocks AS (
+  SELECT k, x // 2 AS bx, y // 2 AS by, SUM({zf('x', 'y')}) AS s
+  FROM g GROUP BY 1, 2, 3
+),
+pv AS (SELECT k, bx, by, {pooled} AS v FROM blocks)
+SELECT k, bx // 64 AS tx, by // 64 AS ty,
+       CAST(SUM(v) AS BIGINT) AS sum_pooled,
+       CAST(MIN(v) AS BIGINT) AS min_pooled,
+       CAST(MAX(v) AS BIGINT) AS max_pooled
+FROM pv GROUP BY 1, 2, 3 ORDER BY k, tx, ty
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from .raster.terrain import dem_overview
+        from .sources.geotiff_source import read_geotiff_tiles
+
+        tiles = read_geotiff_tiles(spark, _geotiff_oracle_files(), 64)
+        over = dem_overview(tiles, 64, 2, raster_col="raster")
+
+        def digest(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    a = np.frombuffer(r.dem, np.int32).astype(np.int64)
+                    rows.append(
+                        (int(r.raster[1]), int(r.tx), int(r.ty),
+                         int(a.sum()), int(a.min()), int(a.max()))
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["k", "tx", "ty", "sum_pooled", "min_pooled",
+                             "max_pooled"],
+                )
+
+        return over.mapInPandas(
+            digest,
+            schema=(
+                "k long, tx long, ty long, sum_pooled long, "
+                "min_pooled long, max_pooled long"
+            ),
+        ).orderBy("k", "tx", "ty")
+
+    return QueryDef(fn, duck)
+
+
 def _q_bfs_isochrone() -> QueryDef:
     """Multi-source BFS hop distance (operators/graph.bfs_hops) — the
     isochrone/reachability primitive: a deterministic synthetic way
@@ -5955,5 +6025,6 @@ def build_queries() -> dict[str, QueryDef]:
         "viterbi_match": _q_viterbi_match(),
         "hillshade_checksum": _q_hillshade_checksum(),
         "contour_segments_sum": _q_contour_segments_sum(),
+        "dem_overview_stats": _q_dem_overview_stats(),
     }
     return defs

@@ -692,3 +692,76 @@ def dem_to_tiles(dem: np.ndarray, tile_px: int) -> list[tuple[int, int, bytes]]:
         for y0 in range(0, h, tile_px)
         for x0 in range(0, w, tile_px)
     ]
+
+
+def dem_overview(
+    tiles: DataFrame,
+    tile_px: int,
+    factor: int,
+    *,
+    raster_col: str | None = None,
+) -> DataFrame:
+    """Reduced-resolution DEM overview — the GeoTIFF-overview / raster
+    pyramid semantics for elevation grids: each output pixel is the
+    F6-rounded mean of its factor×factor source block,
+    floor(sum/f² + 1/2) computed EXACTLY in integers as
+    (2·sum + f²) DIV (2·f²) (negative-safe: python floor division in
+    the kernel, closed-form in the oracle).
+
+    Output tile (tx, ty) pools input tiles (f·tx .. f·tx+f−1) ×
+    (f·ty .. f·ty+f−1): ONE exchange (groupBy output tile), kernel
+    assembles the f² block grid and mean-pools in numpy.  tile_px must
+    be divisible by factor so output tiles keep the same tile_px.
+    When the input grid extent is not a multiple of factor, the ragged
+    output tiles are zero-filled outside the covered region (callers
+    carrying nodata should mask on the input grid extent)."""
+    if tile_px % factor:
+        raise ValueError("tile_px must be divisible by factor")
+    import pyspark.sql.functions as F
+
+    from .ops import buffered_group_map
+
+    keyed = raster_col is not None
+    src = (
+        tiles.withColumnRenamed(raster_col, "raster")
+        if keyed and raster_col != "raster"
+        else tiles
+    )
+    if not keyed:
+        src = src.withColumn("raster", F.lit(""))
+    f = factor
+    parts = src.selectExpr(
+        "raster",
+        f"tx DIV {f} AS otx",
+        f"ty DIV {f} AS oty",
+        f"tx % {f} AS sx",
+        f"ty % {f} AS sy",
+        "dem",
+    ).withColumn("gkey", F.concat_ws(":", "raster", "otx", "oty"))
+
+    sub = tile_px // f
+
+    def render_group(g: pd.DataFrame):
+        r0 = g.iloc[0]
+        out = np.zeros((tile_px, tile_px), dtype=np.int64)
+        for r in g.itertuples(index=False):
+            a = np.frombuffer(r.dem, dtype=_I32).reshape(tile_px, tile_px)
+            s = a.astype(np.int64).reshape(tile_px // f, f, tile_px // f, f)
+            sums = s.sum(axis=(1, 3))
+            # floor(sum/f² + 1/2) — exact, negative-safe
+            pooled = (2 * sums + f * f) // (2 * f * f)
+            y0, x0 = int(r.sy) * sub, int(r.sx) * sub
+            out[y0 : y0 + sub, x0 : x0 + sub] = pooled
+        return (
+            r0["raster"], int(r0["otx"]), int(r0["oty"]),
+            out.astype(_I32).tobytes(),
+        )
+
+    res = buffered_group_map(
+        parts,
+        "gkey",
+        render_group,
+        ["raster", "tx", "ty", "dem"],
+        "raster string, tx long, ty long, dem binary",
+    )
+    return res if keyed else res.select("tx", "ty", "dem")

@@ -364,3 +364,32 @@ def test_contour_mvt_roundtrip(spark):
             for r in rows
         )
         assert got == want, key
+
+
+def test_dem_overview_matches_numpy_pooling(spark):
+    """factor-2 and factor-4 overviews == whole-array F6 mean pooling,
+    including negative halves (floor(x+0.5), not banker's)."""
+    from osm_render_spark.raster.terrain import dem_overview
+
+    dem = RNG.integers(-1000, 1000, (256, 256)).astype(np.int32)
+    for f in (2, 4):
+        s = dem.astype(np.int64).reshape(256 // f, f, 256 // f, f).sum(
+            axis=(1, 3)
+        )
+        ref = (2 * s + f * f) // (2 * f * f)
+        out = {
+            (r.tx, r.ty): np.frombuffer(r.dem, np.int32).reshape(T, T)
+            for r in dem_overview(_tiles_df(spark, dem), T, f).collect()
+        }
+        assert len(out) == (4 // f) ** 2
+        for (tx, ty), tile in out.items():
+            sl = np.s_[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T]
+            assert (tile == ref[sl]).all(), (f, tx, ty)
+
+
+def test_dem_overview_negative_halfway():
+    """The exact F6 form on a hand case: block sums −2 and 2 at f=2:
+    mean −0.5 → floor(−0.5+0.5) = 0; mean 0.5 → floor(1.0) = 1."""
+    s = np.array([[-2, 2]], dtype=np.int64)
+    pooled = (2 * s + 4) // 8
+    assert pooled.tolist() == [[0, 1]]
