@@ -3182,6 +3182,42 @@ FROM h GROUP BY cell ORDER BY cell
     return _sql_query(sql)
 
 
+def _q_quadkey_counts() -> QueryDef:
+    """Quadkey tile addressing (functions/quadkey.py) as ONE shared SQL
+    text: Web-Mercator tile coords at z=7 (the engine's existing tile
+    expressions), the base-4 string assembled from FLOOR-division bit
+    picks, aggregated per key — plus the PYRAMID property asserted
+    in-query on every row: the z=6 quadkey computed from coordinates
+    must equal the z=7 key's 6-char prefix (truncation IS the parent
+    tile).  The encoder is pinned against the canonical Bing example
+    and a python twin in tests/test_quadkey.py."""
+    from .functions.projection import tile_x_sql, tile_y_sql
+    from .functions.quadkey import quadkey_from_xy_sql
+
+    sql = f"""
+WITH v AS (
+  SELECT c_custkey AS pid, {LON_CUST} AS lon, {LAT_CUST} AS lat FROM customer
+),
+t AS (
+  SELECT pid,
+         {tile_x_sql('lon', 7)} AS tx7, {tile_y_sql('lat', 7)} AS ty7,
+         {tile_x_sql('lon', 6)} AS tx6, {tile_y_sql('lat', 6)} AS ty6
+  FROM v
+),
+q AS (
+  SELECT pid,
+         {quadkey_from_xy_sql('tx7', 'ty7', 7)} AS qk,
+         {quadkey_from_xy_sql('tx6', 'ty6', 6)} AS qk_parent
+  FROM t
+)
+SELECT qk, COUNT(*) AS n_points, MIN(pid) AS min_pid,
+       CAST(SUM(CASE WHEN qk_parent = substr(qk, 1, 6) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_prefix_ok
+FROM q GROUP BY qk ORDER BY qk
+"""
+    return _sql_query(sql)
+
+
 @functools.lru_cache(maxsize=1)
 def _augment_oracle_values() -> str:
     import numpy as np
@@ -6026,5 +6062,6 @@ def build_queries() -> dict[str, QueryDef]:
         "hillshade_checksum": _q_hillshade_checksum(),
         "contour_segments_sum": _q_contour_segments_sum(),
         "dem_overview_stats": _q_dem_overview_stats(),
+        "quadkey_counts": _q_quadkey_counts(),
     }
     return defs
