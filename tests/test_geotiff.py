@@ -168,3 +168,37 @@ def test_guards():
 def test_georef_bbox():
     g = GeoRef(10.0, 50.0, 0.5, 0.25)
     assert g.bbox(4, 8) == (10.0, 48.0, 12.0, 50.0)
+
+
+# ------------------------------------------------------- hypothesis fuzz
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=3000))
+    def test_lzw_fuzz_roundtrip(data):
+        assert lzw_decode_tiff(lzw_encode_tiff(data), len(data)) == data
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=3000))
+    def test_packbits_fuzz_roundtrip(data):
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 60), st.integers(1, 60),
+        st.sampled_from(["none", "deflate", "lzw", "packbits"]),
+        st.integers(1, 2),
+    )
+    def test_tiff_fuzz_roundtrip(h, w, comp, pred):
+        img = ((np.arange(h * w, dtype=np.int64) * 2654435761) % 65521
+               ).astype(np.int32).reshape(h, w) - 32760
+        dec, _ = decode_geotiff(
+            encode_geotiff(img, compression=comp, predictor=pred,
+                           rows_per_strip=7)
+        )
+        assert (dec == img).all()
+except ImportError:  # pragma: no cover — hypothesis is in the container
+    pass
