@@ -1,0 +1,114 @@
+"""Per-operator isolation benches for the r7 optimization round
+(guide §1.4: time the computation with count()/noop, label jobs).
+
+`bench.py` is FROZEN for measurement; this file reproduces individual
+sections of its suite so a change's effect can be measured in seconds
+without a 8-minute full run. Usage:
+
+    python bench_extra.py snap viterbi
+    python bench_extra.py all
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _spark():
+    from osm_render_spark.session import get_spark
+
+    return get_spark("bench_extra", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
+
+
+def _mm_fixtures(spark):
+    """Byte-identical to bench.py's map-match fixtures."""
+    mm_segs = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .where("o_orderkey % 10 = 0")
+        .selectExpr(
+            "o_orderkey % 211 AS way_id",
+            "o_orderkey DIV 211 AS seg_idx",
+            "(o_orderkey * 127) % 4000 AS ax",
+            "(o_orderkey * 331) % 4000 AS ay",
+            "(o_orderkey * 127) % 4000 + o_orderkey % 63 - 31 AS bx",
+            "(o_orderkey * 331) % 4000 + o_orderkey % 41 - 20 AS by",
+        )
+    )
+    mm_pts = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "event_id AS point_id",
+        "(event_id * 7919) % 4000 AS x",
+        "(event_id * 104729) % 4000 AS y",
+    )
+    vt_pts = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "event_id DIV 4 AS traj_id",
+        "event_id % 4 AS seq",
+        "(event_id DIV 4 * 7919) % 3800"
+        " + (event_id % 4 * 37 + event_id DIV 4 % 61) % 160 AS x",
+        "(event_id DIV 4 * 104729) % 3800"
+        " + (event_id % 4 * 53 + event_id DIV 4 % 43) % 160 AS y",
+    )
+    return mm_segs, mm_pts, vt_pts
+
+
+def bench_snap(spark) -> dict:
+    from osm_render_spark.operators.map_match import snap_points_to_segments
+
+    mm_segs, mm_pts, _ = _mm_fixtures(spark)
+    spark.sparkContext.setJobDescription("bench_extra: snap warm")
+    snap_points_to_segments(mm_pts.limit(2000), mm_segs).count()
+    spark.sparkContext.setJobDescription("bench_extra: snap")
+    n_pts = mm_pts.count()
+    t0 = time.time()
+    n = snap_points_to_segments(mm_pts, mm_segs, cell=256, max_dist=64).count()
+    sec = time.time() - t0
+    return {"snap_sec": round(sec, 3), "snapped": n,
+            "points_per_sec": round(n_pts / sec, 1)}
+
+
+def bench_viterbi(spark) -> dict:
+    from osm_render_spark.operators.map_match import match_trajectories
+
+    mm_segs, _, vt_pts = _mm_fixtures(spark)
+    n_traj = vt_pts.count() // 4
+    spark.sparkContext.setJobDescription("bench_extra: viterbi")
+    t0 = time.time()
+    n = (
+        match_trajectories(vt_pts, mm_segs, cell=256, max_dist=64, top_k=3)
+        .where("seq = 0")
+        .count()
+    )
+    sec = time.time() - t0
+    return {"viterbi_sec": round(sec, 3), "matched": n,
+            "traj_per_sec": round(n_traj / sec, 1)}
+
+
+SECTIONS = {
+    "snap": bench_snap,
+    "viterbi": bench_viterbi,
+}
+
+
+def main() -> int:
+    names = sys.argv[1:] or ["all"]
+    if names == ["all"]:
+        names = list(SECTIONS)
+    spark = _spark()
+    out = {"cpus": CPUS, "sf_dir": SF_DIR}
+    for nm in names:
+        out.update(SECTIONS[nm](spark))
+        print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -84,6 +84,45 @@ def buffered_group_map(df, key_col: str, render_group, cols, schema):
     return arranged.mapInPandas(kernel, schema=schema)
 
 
+def buffered_group_flatmap(df, key_col: str, group_rows, cols, schema):
+    """Multi-row sibling of :func:`buffered_group_map`: same
+    repartition-on-key + sort-within-partitions + boundary-buffered
+    batch iteration, but ``group_rows(pdf) -> list[tuple]`` may emit
+    ZERO OR MORE output rows per key group (``cols`` order). Used by
+    operators whose per-group kernel expands (e.g. Viterbi trajectory
+    matching emits one row per sequence point) — one applyInPandas
+    group per key costs ~4 ms of per-group overhead, which dominates
+    when groups are tiny and plentiful (guide §4.5 amortization)."""
+    import pandas as pd  # noqa: F811 — kernel-local import for executors
+
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    arranged = df.repartition(n_part, key_col).sortWithinPartitions(key_col)
+
+    def kernel(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            last_key = pdf[key_col].iloc[-1]
+            head = pdf[pdf[key_col] != last_key]
+            pending = pdf[pdf[key_col] == last_key]
+            if len(head):
+                out: list = []
+                for _k, g in head.groupby(key_col, sort=True):
+                    out.extend(group_rows(g))
+                yield pd.DataFrame(out, columns=cols)
+        if pending is not None and len(pending):
+            out = []
+            for _k, g in pending.groupby(key_col, sort=True):
+                out.extend(group_rows(g))
+            yield pd.DataFrame(out, columns=cols)
+
+    return arranged.mapInPandas(kernel, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # map rendering (OsmRenderMap analog, OsmRender.m:430-537)
 # ---------------------------------------------------------------------------
