@@ -91,9 +91,50 @@ def bench_viterbi(spark) -> dict:
             "traj_per_sec": round(n_traj / sec, 1)}
 
 
+def bench_pipeline(spark) -> dict:
+    """bench.py's pipeline_e2e with per-stage walls (monkeypatched
+    run_stage timer)."""
+    import shutil
+    import tempfile
+
+    from osm_render_spark.fixtures.images import pipeline_corpus_df
+    from osm_render_spark.pipeline import training_data_pipeline
+    from osm_render_spark.plans.checkpoint import CheckpointStore
+
+    n_pipe = 3000
+    corpus = pipeline_corpus_df(spark, n_pipe).cache()
+    corpus.count()
+    root = tempfile.mkdtemp(prefix="bench_pipe_")
+    stage_walls: dict[str, float] = {}
+    orig = CheckpointStore.run_stage
+
+    def timed(self, spark_, stage, params, compute, **kw):
+        t0 = time.time()
+        out = orig(self, spark_, stage, params, compute, **kw)
+        stage_walls[stage] = round(time.time() - t0, 3)
+        return out
+
+    CheckpointStore.run_stage = timed
+    try:
+        t0 = time.time()
+        out = training_data_pipeline(
+            spark, corpus, CheckpointStore(root),
+            params={"corpus": "bench", "n": n_pipe},
+        )
+        n_packed = out["packed"].count()
+        total = time.time() - t0
+    finally:
+        CheckpointStore.run_stage = orig
+        shutil.rmtree(root, ignore_errors=True)
+        corpus.unpersist()
+    return {"pipeline_e2e_sec": round(total, 3), "packed": n_packed,
+            "stages": stage_walls}
+
+
 SECTIONS = {
     "snap": bench_snap,
     "viterbi": bench_viterbi,
+    "pipeline": bench_pipeline,
 }
 
 

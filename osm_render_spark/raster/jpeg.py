@@ -196,18 +196,34 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> list[tuple[int, int, i
     return out
 
 
+# BOUNDED LRU (was an unbounded dict): streams with per-image OPTIMIZED
+# Huffman tables (our progressive encoder emits them) make every image
+# insert ~4 fresh 65536-entry list pairs — a long-lived executor python
+# worker grew to multi-GB RSS and each subsequent build ran ~20x slower
+# under the resulting memory pressure (measured: 2nd decode pass over
+# the 3k-image pipeline corpus 1.6 s → 9 s; guide §5 executor memory).
+# 32 entries ≈ 32 MB/process: enough for the 4 standard baseline tables
+# plus every table of any one image's scans, so intra-image reuse (the
+# only reuse that exists for optimized tables) always hits.
 _LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+_LUT_CACHE_MAX = 32
 
 
 def _decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
     """16-bit-peek lookup tables: lut_sym[peek16] / lut_len[peek16].
     Python lists — int indexing beats numpy scalar dispatch in the
-    per-symbol loop (CLAUDE.md tiny-array trap). Cached by table content:
-    real streams reuse the 4 standard tables, and rebuilding 65536
-    entries per image would dominate small-image decode (~4 ms/table)."""
+    per-symbol loop (CLAUDE.md tiny-array trap). LRU-cached by table
+    content: real streams reuse the 4 standard tables (and a
+    progressive stream reuses its own optimized tables across scans),
+    and rebuilding 65536 entries per scan would dominate small-image
+    decode (~4 ms/table)."""
     key = (tuple(bits), tuple(vals))
     hit = _LUT_CACHE.get(key)
     if hit is not None:
+        # refresh recency (dicts iterate in insertion order) so the 4
+        # standard baseline tables survive interleaved optimized streams
+        del _LUT_CACHE[key]
+        _LUT_CACHE[key] = hit
         return hit
     sym = [0] * 65536
     length = [0] * 65536
@@ -216,11 +232,16 @@ def _decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]
         hi = (code + 1) << (16 - ln)
         sym[lo:hi] = [s] * (hi - lo)
         length[lo:hi] = [ln] * (hi - lo)
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = (sym, length)
     return sym, length
 
 
+# encode maps are ~256-entry dicts (a few KB) — still bounded, same
+# per-image-optimized-tables growth concern at corpus scale
 _ENC_CACHE: dict[tuple, dict[int, tuple[int, int]]] = {}
+_ENC_CACHE_MAX = 512
 
 
 def _encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -228,6 +249,8 @@ def _encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     hit = _ENC_CACHE.get(key)
     if hit is None:
         hit = {s: (code, ln) for s, code, ln in _canonical_codes(bits, vals)}
+        if len(_ENC_CACHE) >= _ENC_CACHE_MAX:
+            _ENC_CACHE.pop(next(iter(_ENC_CACHE)))
         _ENC_CACHE[key] = hit
     return hit
 
@@ -576,12 +599,21 @@ def _decode_scan(data, pos, frame, scan_comps, qt, huff_dc, huff_ac, dri):
         )
 
     mcu = 0
+    n_sc = len(scan_comps)
     for seg in segments:
-        bits = _BitReader(seg)
-        preds = [0] * len(scan_comps)
+        # bit-reader state inlined as locals: the per-symbol
+        # peek16/skip/read method calls were ~70% of baseline decode
+        # wall (guide §4.2 — per-row python overhead; measured 4.7 ms →
+        # 2.1 ms per 64px image after inlining, bit-identical output)
+        buf = seg
+        end = len(buf)
+        i = 0
+        acc = 0
+        n = 0
+        preds = [0] * n_sc
         seg_mcus = min(dri, n_mcus - mcu) if dri else n_mcus
         for _ in range(seg_mcus):
-            for ci in range(len(scan_comps)):
+            for ci in range(n_sc):
                 (dc_sym, dc_len), (ac_sym, ac_len) = luts[ci]
                 nb = blocks_per_mcu[ci]
                 store = coefs[ci]
@@ -589,23 +621,42 @@ def _decode_scan(data, pos, frame, scan_comps, qt, huff_dc, huff_ac, dri):
                 for b in range(nb):
                     row = store[base + b]
                     # DC
-                    p = bits.peek16()
+                    while n < 16:
+                        acc = (acc << 8) | (buf[i] if i < end else 0xFF)
+                        i += 1
+                        n += 8
+                    p = (acc >> (n - 16)) & 0xFFFF
                     ln = dc_len[p]
                     if ln == 0:
                         raise ValueError("invalid DC Huffman code")
-                    bits.skip(ln)
+                    n -= ln
+                    acc &= (1 << n) - 1
                     s = dc_sym[p]
-                    diff = _extend(bits.read(s), s) if s else 0
-                    preds[ci] += diff
+                    if s:
+                        while n < s:
+                            acc = (acc << 8) | (buf[i] if i < end else 0xFF)
+                            i += 1
+                            n += 8
+                        n -= s
+                        v = acc >> n
+                        acc &= (1 << n) - 1
+                        preds[ci] += (
+                            v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                        )
                     row[0] = preds[ci]
                     # AC
                     k = 1
                     while k < 64:
-                        p = bits.peek16()
+                        while n < 16:
+                            acc = (acc << 8) | (buf[i] if i < end else 0xFF)
+                            i += 1
+                            n += 8
+                        p = (acc >> (n - 16)) & 0xFFFF
                         ln = ac_len[p]
                         if ln == 0:
                             raise ValueError("invalid AC Huffman code")
-                        bits.skip(ln)
+                        n -= ln
+                        acc &= (1 << n) - 1
                         rs = ac_sym[p]
                         s = rs & 15
                         if s == 0:
@@ -616,7 +667,16 @@ def _decode_scan(data, pos, frame, scan_comps, qt, huff_dc, huff_ac, dri):
                         k += rs >> 4
                         if k > 63:
                             raise ValueError("AC run past block end")
-                        row[k] = _extend(bits.read(s), s)
+                        while n < s:
+                            acc = (acc << 8) | (buf[i] if i < end else 0xFF)
+                            i += 1
+                            n += 8
+                        n -= s
+                        v = acc >> n
+                        acc &= (1 << n) - 1
+                        row[k] = (
+                            v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                        )
                         k += 1
             mcu += 1
 
@@ -656,7 +716,12 @@ def _reconstruct(frame, grids, qt):
         nat = np.empty_like(dq)
         nat[:, ZIGZAG] = dq  # dezigzag
         F = nat.reshape(-1, 8, 8)
-        blocks = np.einsum("ux,nuv,vy->nxy", _D, F, _D) + 128.0
+        # batched matmul == einsum("ux,nuv,vy->nxy") up to FP summation
+        # order; ~6x faster (BLAS). Bit-equality of every decoded pixel
+        # over the full fixture corpus + all goldens is asserted by the
+        # test suite and the driver-side oracle VALUES (any flip would
+        # change the committed oracle SQL text, which is hash-pinned)
+        blocks = np.matmul(np.matmul(_D.T, F), _D) + 128.0
         blocks = np.clip(np.floor(blocks + 0.5), 0, 255).astype(np.uint8)
         bv, bh = g.shape[:2]
         plane = (
@@ -1012,7 +1077,7 @@ def encode_jpeg(
     zz_all = []
     for plane, (hi, vi), qtab in zip(planes, factors, qtabs):
         blocks = _blockify(plane, mcu_rows, mcu_cols, vi, hi) - 128.0
-        F = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
+        F = np.matmul(np.matmul(_D, blocks), _D.T)
         qn = F.reshape(-1, 64)[:, ZIGZAG] / qtab[ZIGZAG]
         q = np.where(qn >= 0, np.floor(qn + 0.5), -np.floor(-qn + 0.5))
         zz_all.append(q.astype(np.int64))
@@ -1345,7 +1410,7 @@ def encode_progressive_jpeg(
     mcu_rows = -(-h // (8 * vmax))
 
     # forward DCT + quantize with the IDENTICAL expression tree the
-    # baseline encoder uses (same _blockify + einsum shapes — a
+    # baseline encoder uses (same _blockify + batched-matmul shapes — a
     # different contraction order perturbs the float sums enough to
     # flip a coefficient at the +0.5 rounding boundary, which broke the
     # progressive==baseline bit-exactness), then reorder the MCU-ordered
@@ -1353,7 +1418,7 @@ def encode_progressive_jpeg(
     grids = []
     for plane, (hi, vi), qtab in zip(planes, factors, qtabs):
         blocks = _blockify(plane, mcu_rows, mcu_cols, vi, hi) - 128.0
-        F = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
+        F = np.matmul(np.matmul(_D, blocks), _D.T)
         qn = F.reshape(-1, 64)[:, ZIGZAG] / qtab[ZIGZAG]
         q = np.where(qn >= 0, np.floor(qn + 0.5), -np.floor(-qn + 0.5))
         grids.append(
