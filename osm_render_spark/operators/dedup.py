@@ -176,13 +176,6 @@ def _band_cols(band: int, rows_per_band: int) -> list[str]:
     return [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
 
 
-def _union_bands(parts: list[DataFrame]) -> DataFrame:
-    allb = parts[0]
-    for b in parts[1:]:
-        allb = allb.unionAll(b)
-    return allb
-
-
 def lsh_buckets(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -194,7 +187,7 @@ def lsh_buckets(
     Output keeps the historical 2×2 column shape (band, h1, h2, …) by
     hashing each band's rows into two 64-bit halves when
     rows_per_band > 2 (xxhash64 with distinct seeds via a salt column)."""
-    bands = []
+    entries = []
     for band in range(n_bands):
         hs = _band_cols(band, rows_per_band)
         if rows_per_band <= 2:
@@ -203,16 +196,23 @@ def lsh_buckets(
         else:
             h1 = F.xxhash64(F.lit(0), *[F.col(h) for h in hs])
             h2 = F.xxhash64(F.lit(1), *[F.col(h) for h in hs])
-        bands.append(
-            signatures.select(
-                F.lit(band).alias("band"),
-                h1.alias("h1"),
-                h2.alias("h2"),
-                F.col(id_col),
+        entries.append(
+            F.struct(
+                F.lit(band).alias("band"), h1.alias("h1"), h2.alias("h2")
             )
         )
+    # one explode, not an n_bands-way union: a union re-evaluates the
+    # signature input once per band (see hamming_near_dups note)
+    allb = signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("_e")
+    ).select(
+        F.col("_e.band").alias("band"),
+        F.col("_e.h1").alias("h1"),
+        F.col("_e.h2").alias("h2"),
+        F.col(id_col),
+    )
     return (
-        _union_bands(bands).groupBy("band", "h1", "h2")
+        allb.groupBy("band", "h1", "h2")
         .agg(
             F.count("*").alias("n_docs"),
             F.min(id_col).alias("min_doc"),
@@ -237,17 +237,23 @@ def lsh_candidate_pairs(
     buckets returned for accounting when ``return_stats=True``. Pairs
     colliding in several bands are deduplicated by a (a, b) group-by;
     output (a, b, n_bands_hit) with a < b."""
-    bands = []
-    for band in range(n_bands):
-        hs = _band_cols(band, rows_per_band)
-        bands.append(
-            signatures.select(
-                F.lit(band).alias("band"),
-                F.xxhash64(*[F.col(h) for h in hs]).alias("bkey"),
-                F.col(id_col).alias("_id"),
-            )
+    entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[F.col(h) for h in _band_cols(band, rows_per_band)]
+            ).alias("bkey"),
         )
-    allb = _union_bands(bands)
+        for band in range(n_bands)
+    ]
+    # one explode, not an n_bands-way union (see hamming_near_dups note)
+    allb = signatures.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*entries)).alias("_e")
+    ).select(
+        F.col("_e.band").alias("band"),
+        F.col("_e.bkey").alias("bkey"),
+        "_id",
+    )
     sizes = allb.groupBy("band", "bkey").agg(F.count("*").alias("n_docs"))
     dropped = sizes.where(F.col("n_docs") > bucket_cap)
     kept = allb.join(
@@ -307,21 +313,31 @@ def hamming_near_dups(
         )
     w = 64 // n_bands
     h = F.col(hash_col).cast("long")
-    bands = []
+    # band fan-out as ONE explode instead of an n_bands-way union: the
+    # union shape re-evaluated the input n_bands times PER USE (sizes +
+    # both self-join sides = 3 uses → 12 input evaluations at 4 bands),
+    # which dominates when the input is itself a computed view (guide
+    # §7.2 duplicated subtrees; measured 9-12 s → ~2 s on the bench
+    # phash cluster corpus). Same (band, bval, _id, _h) row set.
+    entries = []
     for b in range(n_bands):
         shifted = F.shiftrightunsigned(h, b * w)
         # the last band keeps the remainder bits; logical shift already
         # zero-fills, so no mask is needed there
         bval = shifted if b == n_bands - 1 else shifted.bitwiseAND(F.lit((1 << w) - 1))
-        bands.append(
-            df.select(
-                F.lit(b).alias("band"),
-                bval.alias("bval"),
-                F.col(id_col).alias("_id"),
-                h.alias("_h"),
-            )
+        entries.append(
+            F.struct(F.lit(b).alias("band"), bval.alias("bval"))
         )
-    allb = _union_bands(bands)
+    allb = df.select(
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.explode(F.array(*entries)).alias("_e"),
+    ).select(
+        F.col("_e.band").alias("band"),
+        F.col("_e.bval").alias("bval"),
+        "_id",
+        "_h",
+    )
     sizes = allb.groupBy("band", "bval").agg(F.count("*").alias("n_rows"))
     dropped = sizes.where(F.col("n_rows") > bucket_cap)
     kept = allb.join(
