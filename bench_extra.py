@@ -131,10 +131,56 @@ def bench_pipeline(spark) -> dict:
             "stages": stage_walls}
 
 
+def bench_geotiff(spark) -> dict:
+    """bench.py's GeoTIFF ingest + hillshade + contours, same fixtures."""
+    import numpy as np
+
+    from osm_render_spark.raster.geotiff import GeoRef, encode_geotiff
+    from osm_render_spark.raster.terrain import contour_tiles, terrain_tiles
+    from osm_render_spark.sources.geotiff_source import read_geotiff_tiles
+
+    gt_dir = "/tmp/osm_render_spark_fixtures/geotiff_bench"
+    os.makedirs(gt_dir, exist_ok=True)
+    yy, xx = np.mgrid[0:1024, 0:1024].astype(np.int64)
+    layouts = [
+        dict(tile=(64, 64), compression="deflate", predictor=2),
+        dict(rows_per_strip=64, compression="lzw", predictor=2),
+        dict(tile=(128, 128), compression="packbits"),
+        dict(rows_per_strip=128, compression="deflate", predictor=2),
+    ]
+    paths = []
+    for k, kw in enumerate(layouts):
+        p = f"{gt_dir}/k{k}.tif"
+        if not os.path.exists(p):
+            dem = ((xx * 3 + yy * 7 + k * 1000 + (xx * yy) % 97) % 4096).astype(
+                np.int32
+            )
+            with open(p, "wb") as f:
+                f.write(encode_geotiff(dem, georef=GeoRef(0, 0, 0.01, 0.01), **kw))
+        paths.append(p)
+    read_geotiff_tiles(spark, paths[:1], 64).count()  # warm
+    t0 = time.time()
+    gt = read_geotiff_tiles(spark, paths, 64)
+    n = gt.count()
+    ingest = time.time() - t0
+    t0 = time.time()
+    ns = terrain_tiles(gt, 64, mode="hillshade", raster_col="raster").count()
+    shade = time.time() - t0
+    t0 = time.time()
+    nc = contour_tiles(gt, 64, [500, 1500, 2500], raster_col="raster").count()
+    contour = time.time() - t0
+    return {
+        "gt_ingest_sec": round(ingest, 3), "gt_tiles": n,
+        "hillshade_sec": round(shade, 3), "shade_tiles": ns,
+        "contour_sec": round(contour, 3), "contour_segs": nc,
+    }
+
+
 SECTIONS = {
     "snap": bench_snap,
     "viterbi": bench_viterbi,
     "pipeline": bench_pipeline,
+    "geotiff": bench_geotiff,
 }
 
 

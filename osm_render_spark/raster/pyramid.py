@@ -132,16 +132,97 @@ def rollup_level(tiles: DataFrame, zoom: int, tile_px: int = 256) -> DataFrame:
     )
 
 
+def rollup_levels(
+    tiles: DataFrame, zoom: int, n_levels: int, tile_px: int = 256
+) -> DataFrame:
+    """``n_levels`` pyramid steps in ONE exchange: tiles at ``zoom`` →
+    every level down to ``zoom - n_levels``, each row tagged ``zoom``.
+
+    Tiles key by their ancestor ``n_levels`` up, so one group holds a
+    complete 4^n_levels subtree and the kernel runs the per-level
+    reduction locally — same ``_compose_parent`` arithmetic as
+    :func:`rollup_level` applied level by level (bit-identical PNGs;
+    PNG is lossless so re-decoding the in-kernel intermediate equals
+    the old cross-shuffle decode), but ceil(levels / n) exchanges and
+    jobs instead of one per level (guide §2.4). Group size is bounded
+    at 4^n_levels tiles."""
+    if zoom < n_levels:
+        raise ValueError("cannot roll up below zoom 0")
+    from .ops import buffered_group_flatmap
+
+    n_anc = 1 << (zoom - n_levels)
+    prepared = tiles.select(
+        (
+            F.shiftright("tile_x", n_levels) * F.lit(n_anc)
+            + F.shiftright("tile_y", n_levels)
+        ).alias("_akey"),
+        "tile_x",
+        "tile_y",
+        "bytes",
+        "n_ways",
+        "way_sum",
+    )
+
+    def subtree_rows(g: pd.DataFrame) -> list[tuple]:
+        cur = {
+            (int(x), int(y)): (png, int(nw), int(ws))
+            for x, y, png, nw, ws in zip(
+                g["tile_x"], g["tile_y"], g["bytes"], g["n_ways"],
+                g["way_sum"],
+            )
+        }
+        out = []
+        for step in range(1, n_levels + 1):
+            zp = zoom - step
+            n_parent = 1 << zp
+            parents: dict[tuple[int, int], list] = {}
+            for (x, y), (png, nw, ws) in cur.items():
+                parents.setdefault((x >> 1, y >> 1), []).append(
+                    (x - ((x >> 1) << 1), y - ((y >> 1) << 1), png, nw, ws)
+                )
+            cur = {}
+            for (px, py), chs in parents.items():
+                png = _compose_parent(
+                    [(qx, qy, p) for qx, qy, p, _nw, _ws in chs], tile_px
+                )
+                nw = sum(c[3] for c in chs)
+                ws = sum(c[4] for c in chs)
+                cur[(px, py)] = (png, nw, ws)
+                out.append(
+                    (px * n_parent + py, px, py, png, nw, ws, len(chs), zp)
+                )
+        return out
+
+    return buffered_group_flatmap(
+        prepared,
+        "_akey",
+        subtree_rows,
+        [
+            "tile_key", "tile_x", "tile_y", "bytes", "n_ways", "way_sum",
+            "n_children", "zoom",
+        ],
+        (
+            "tile_key long, tile_x long, tile_y long, bytes binary, "
+            "n_ways long, way_sum long, n_children long, zoom int"
+        ),
+    )
+
+
 def build_tile_pyramid(
-    tiles: DataFrame, zoom: int, zoom_min: int = 0, tile_px: int = 256
+    tiles: DataFrame, zoom: int, zoom_min: int = 0, tile_px: int = 256,
+    levels_per_shuffle: int = 3,
 ) -> DataFrame:
     """Full pyramid: base tiles at ``zoom`` → union of every level down
     to ``zoom_min`` (inclusive), each row tagged with its ``zoom``.
 
-    Each level is localCheckpoint()ed before deriving the next, so the
+    Levels are produced in chunks of ``levels_per_shuffle`` via
+    :func:`rollup_levels` (one exchange + one kernel per chunk instead
+    of one per level — at toy scale per-level job overhead dominated
+    the geometric series; at planet scale it cuts exchanges 3×). Each
+    chunk is localCheckpoint()ed before deriving the next, so the
     returned union materializes every level exactly once (without it,
-    level z-k's lineage would re-run all k rollups AND the base render
-    once per level in the union).
+    a chunk's lineage would re-run every earlier chunk AND the base
+    render once per reference).
     """
     if zoom_min > zoom:
         raise ValueError(f"zoom_min {zoom_min} above base zoom {zoom}")
@@ -150,11 +231,15 @@ def build_tile_pyramid(
         # the base feeds BOTH the first rollup and the union — without
         # this the base render's lineage runs twice
         base = base.localCheckpoint(eager=True)
-    levels = [base.withColumn("zoom", F.lit(zoom))]
+    levels = [base.withColumn("zoom", F.lit(zoom).cast("int"))]
     cur = base
-    for z in range(zoom, zoom_min, -1):
-        cur = rollup_level(cur, z, tile_px).localCheckpoint(eager=True)
-        levels.append(cur.withColumn("zoom", F.lit(z - 1)))
+    z = zoom
+    while z > zoom_min:
+        n = min(levels_per_shuffle, z - zoom_min)
+        chunk = rollup_levels(cur, z, n, tile_px).localCheckpoint(eager=True)
+        levels.append(chunk)
+        cur = chunk.where(F.col("zoom") == z - n).drop("zoom")
+        z -= n
     out = levels[0]
     for lvl in levels[1:]:
         out = out.unionByName(lvl)
