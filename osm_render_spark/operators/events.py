@@ -58,7 +58,16 @@ def asof_join(
     Equal-timestamp right rows collapse to the max-`tie` one without a
     separate dedup pass: the window sorts (ts, _is_left, tie), so among
     right rows sharing a timestamp the max-tie row is the LAST non-null
-    the running `last()` sees — the dedup is free inside the same sort."""
+    the running `last()` sees — the dedup is free inside the same sort.
+
+    CONTRACT: each payload column is assumed NON-NULL on right rows.
+    Every asof_<payload> column runs its own last(ignorenulls) window,
+    so a NULL in one payload column of the matched right row would make
+    that column fall back to an EARLIER right row while the others come
+    from the matched row (pandas merge_asof would return the matched
+    row's NULL instead). Carry a single struct payload through one
+    last() if mixed-null right rows ever need exact merge_asof
+    semantics."""
     r = right
     lcols = left.columns
     tagged_l = left.select(

@@ -214,7 +214,6 @@ def decode_gif(data: bytes) -> list[tuple[np.ndarray, int]]:
         pos += 3 * n
 
     screen = np.zeros((h, w, 4), np.uint8)  # transparent background
-    prev_screen = screen.copy()
     frames: list[tuple[np.ndarray, int]] = []
     transparent = -1
     disposal = 0
@@ -270,8 +269,10 @@ def decode_gif(data: bytes) -> list[tuple[np.ndarray, int]]:
         if disposal == 2:
             screen[top: top + fh, left: left + fw] = 0
         elif disposal == 3:
-            screen = prev_screen.copy()
-        prev_screen = before
+            # restore-to-previous = the canvas as it was BEFORE this
+            # frame rendered (GIF89a 23.c.iv). The old code restored
+            # the canvas from before the PREVIOUS frame.
+            screen = before
         transparent, disposal, delay = -1, 0, 0
     if not frames:
         raise ValueError("GIF contains no image data")

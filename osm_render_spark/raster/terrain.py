@@ -2,8 +2,8 @@
 aspect, hillshade — as a DISTRIBUTED tile operator with perimeter-sized
 halo exchange.
 
-Reference semantics: the slippy pipeline renders per-tile rasters from
-per-tile inputs (OsmRenderTileSet.m:54-96 draws each tile independently);
+Reference semantics: the reference renders each area's raster
+independently in a per-area loop (OsmRender.m:1248-1257);
 terrain shading is the raster analog that NEEDS cross-tile pixels — each
 output pixel reads a 3×3 neighborhood, so tile borders require the
 adjacent tiles' edge rows/columns.  The naive distributed shapes are
@@ -730,9 +730,18 @@ def dem_overview(
     if not keyed:
         src = src.withColumn("raster", F.lit(""))
     f = factor
+    # tile coordinates must be non-negative: Spark DIV truncates toward
+    # zero and % follows the dividend sign, so a negative tx/ty would
+    # mis-group output tiles and produce negative sub-block offsets that
+    # wrap-index into the output array SILENTLY. Unlike map_match (which
+    # offset-shifts via _OFF), DEM grids are defined on a non-negative
+    # tile lattice — enforce it loudly instead of shifting.
     parts = src.selectExpr(
         "raster",
-        f"tx DIV {f} AS otx",
+        # the guard lives INSIDE the used column so pruning can't drop it
+        f"CASE WHEN tx < 0 OR ty < 0 THEN CAST(raise_error("
+        f"'dem_overview requires non-negative tile coordinates') AS BIGINT)"
+        f" ELSE tx DIV {f} END AS otx",
         f"ty DIV {f} AS oty",
         f"tx % {f} AS sx",
         f"ty % {f} AS sy",

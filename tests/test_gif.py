@@ -148,3 +148,46 @@ def test_codec_dispatch():
     data = encode_image(img, "gif")
     assert data[:6] == b"GIF89a"
     assert (decode_image(data, "gif") == img).all()
+
+
+def test_disposal_restore_to_previous():
+    # GIF89a 23.c.iv: disposal 3 restores the canvas to its state
+    # BEFORE the frame that carries the flag — hand-assembled because
+    # our encoder only emits disposal 1. Frame 2 (disposal 3) paints
+    # (0,0); frame 3 then paints (1,1), so its canvas must equal the
+    # post-frame-1 canvas plus the (1,1) patch. (The former bookkeeping
+    # restored the canvas from before the PREVIOUS frame — here the
+    # all-transparent pre-frame-1 screen, leaving frame 3 transparent
+    # everywhere except its own patch.)
+    gct = bytes([10, 10, 10, 20, 200, 20, 200, 20, 20, 20, 20, 200])
+    buf = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0) + gct
+
+    def image_block(left, top, w, h, pixels):
+        data = lzw_encode(np.asarray(pixels, np.uint8).ravel(), 2)
+        return (
+            struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+            + bytes([2, len(data)]) + data + b"\x00"
+        )
+
+    def gce(disposal):
+        return (
+            b"\x21\xf9" + bytes([4, disposal << 2]) + b"\x00\x00\x00\x00"
+        )
+
+    buf += gce(1) + image_block(0, 0, 2, 2, [[1, 1], [1, 1]])   # frame 1
+    buf += gce(3) + image_block(0, 0, 1, 1, [[2]])              # frame 2
+    buf += image_block(1, 1, 1, 1, [[3]])                       # frame 3
+    buf += b"\x3b"
+
+    frames = decode_gif(buf)
+    assert len(frames) == 3
+    f1, f2, f3 = (f for f, _d in frames)
+    assert (f1[:, :, :3] == [20, 200, 20]).all() and (f1[:, :, 3] == 255).all()
+    assert (f2[0, 0, :3] == [200, 20, 20]).all()
+    assert (f2[0, 1, :3] == [20, 200, 20]).all()
+    # frame 3: frame 2's patch is REVERTED, frame 1's canvas is back,
+    # and only (1,1) carries frame 3's color
+    assert (f3[0, 0, :3] == [20, 200, 20]).all() and f3[0, 0, 3] == 255
+    assert (f3[1, 1, :3] == [20, 20, 200]).all()
+    assert (f3[0, 1, :3] == [20, 200, 20]).all()
+    assert (f3[1, 0, :3] == [20, 200, 20]).all()

@@ -393,3 +393,21 @@ def test_dem_overview_negative_halfway():
     s = np.array([[-2, 2]], dtype=np.int64)
     pooled = (2 * s + 4) // 8
     assert pooled.tolist() == [[0, 1]]
+
+
+def test_dem_overview_rejects_negative_tile_coords(spark):
+    import numpy as np
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from osm_render_spark.raster.terrain import dem_overview
+
+    dem = np.arange(16, dtype=np.int32).tobytes()
+    tiles = spark.createDataFrame(
+        [(-1, 0, dem), (0, 0, dem)], "tx long, ty long, dem binary"
+    )
+    # Spark DIV truncates toward zero, so a negative tx would silently
+    # mis-group and wrap-index — the operator must fail loudly instead
+    with pytest.raises(Exception) as ei:
+        dem_overview(tiles, 4, 2).count()
+    assert "non-negative tile coordinates" in str(ei.value)
