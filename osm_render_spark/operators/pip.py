@@ -102,11 +102,35 @@ def pip_join(
     point_id: str = "point_id",
 ) -> DataFrame:
     """points(point_id, lon, lat) ⨝ polygons(area_id, xs, ys) →
-    (point_id, area_id) for every point strictly inside (even-odd)."""
-    cover = polygon_cover_df(polygons, zoom)
+    (point_id, area_id) for every point strictly inside (even-odd).
+
+    ``polygons`` is dimension-sized by contract (use
+    :func:`pip_join_large` otherwise), so it is collected once: the
+    cell cover is computed driver-side (no extra Spark job + broadcast
+    for the cover build) and the vertex arrays ride to the refine
+    kernel in its closure instead of being join-duplicated onto every
+    candidate row and re-shipped through Arrow (guide §4.1: pass only
+    the columns the function needs — the big side now crosses with
+    just point_id/area_id/lon/lat)."""
+    polys = polygons.select("area_id", "xs", "ys").collect()
+    poly_map = {
+        int(r["area_id"]): (
+            np.asarray(r["xs"], dtype=np.float64),
+            np.asarray(r["ys"], dtype=np.float64),
+        )
+        for r in polys
+    }
+    cover_rows = [
+        (aid, int(cell))
+        for aid, (xs, ys) in sorted(poly_map.items())
+        for cell in polygon_cover(np.column_stack([xs, ys]), zoom)
+    ]
+    cover = points.sparkSession.createDataFrame(
+        cover_rows, "area_id long, cell long"
+    )
     pts = points.withColumn("cell", F.expr(tile_key_sql("lon", "lat", zoom)))
-    cand = pts.join(F.broadcast(cover), "cell").join(
-        F.broadcast(polygons), "area_id"
+    cand = pts.join(F.broadcast(cover), "cell").select(
+        point_id, "area_id", "lon", "lat"
     )
 
     def refine(batches):
@@ -116,9 +140,7 @@ def pip_join(
             inside = np.zeros(len(pdf), dtype=bool)
             for aid in pdf["area_id"].unique():
                 mask = (pdf["area_id"] == aid).to_numpy()
-                first = np.flatnonzero(mask)[0]
-                xs = np.asarray(pdf["xs"].iloc[first])
-                ys = np.asarray(pdf["ys"].iloc[first])
+                xs, ys = poly_map[int(aid)]
                 inside[mask] = raycast_even_odd(
                     pdf["lon"].to_numpy()[mask], pdf["lat"].to_numpy()[mask], xs, ys
                 )
