@@ -191,3 +191,37 @@ def test_pyramid_tree_sink(spark, tmp_path):
         assert open(m["path"], "rb").read() == bytes(r["bytes"])
     # all three zoom directories exist
     assert set(os.listdir(out)) == {f"z{z}" for z in range(ZOOM - 2, ZOOM + 1)}
+
+
+def test_rollup_levels_equals_per_level_chain(spark):
+    # the r7 chunked rollup (3 levels per shuffle) must reproduce the
+    # per-level path byte-for-byte at every level, including n_children
+    from osm_render_spark.raster.pyramid import rollup_levels
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for tx in range(8):
+        for ty in range(8):
+            if (tx * 7 + ty) % 3 == 0:
+                continue  # holes exercise missing-child handling
+            color = tuple(int(c) for c in rng.integers(0, 256, 4))
+            rows.append(_tile_row(tx, ty, 3, color, n_ways=tx + 1, way_sum=ty))
+    base = spark.createDataFrame(rows, _SCHEMA)
+
+    chunked = {
+        (r["zoom"], r["tile_key"]): (
+            bytes(r["bytes"]), r["n_ways"], r["way_sum"], r["n_children"]
+        )
+        for r in rollup_levels(base, 3, 3, 8).collect()
+    }
+
+    expected = {}
+    cur = base
+    for z in (3, 2, 1):
+        cur = rollup_level(cur, z, 8)
+        for r in cur.collect():
+            expected[(z - 1, r["tile_key"])] = (
+                bytes(r["bytes"]), r["n_ways"], r["way_sum"], r["n_children"]
+            )
+        cur = cur.drop("n_children")
+    assert chunked == expected
