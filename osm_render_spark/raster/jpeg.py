@@ -527,26 +527,49 @@ def _decode_baseline_ni_scan(
     segments, end = _scan_segments(data, pos, n_units, dri)
     unit = 0
     for seg in segments:
-        bits = _BitReader(seg)
+        # inlined bit-reader state (same idiom as _decode_scan)
+        buf = seg
+        bend = len(buf)
+        i = 0
+        acc = 0
+        n = 0
         pred = 0  # restarts reset the DC predictor
         for _ in range(min(dri, n_units - unit) if dri else n_units):
             by, bx = divmod(unit, cbh)
             row = g[by, bx]
-            p = bits.peek16()
+            while n < 16:
+                acc = (acc << 8) | (buf[i] if i < bend else 0xFF)
+                i += 1
+                n += 8
+            p = (acc >> (n - 16)) & 0xFFFF
             ln = dc_len[p]
             if ln == 0:
                 raise ValueError("invalid DC Huffman code")
-            bits.skip(ln)
+            n -= ln
+            acc &= (1 << n) - 1
             s = dc_sym[p]
-            pred += _extend(bits.read(s), s) if s else 0
+            if s:
+                while n < s:
+                    acc = (acc << 8) | (buf[i] if i < bend else 0xFF)
+                    i += 1
+                    n += 8
+                n -= s
+                v = acc >> n
+                acc &= (1 << n) - 1
+                pred += v - (1 << s) + 1 if v < (1 << (s - 1)) else v
             row[0] = pred
             k = 1
             while k < 64:
-                p = bits.peek16()
+                while n < 16:
+                    acc = (acc << 8) | (buf[i] if i < bend else 0xFF)
+                    i += 1
+                    n += 8
+                p = (acc >> (n - 16)) & 0xFFFF
                 ln = ac_len[p]
                 if ln == 0:
                     raise ValueError("invalid AC Huffman code")
-                bits.skip(ln)
+                n -= ln
+                acc &= (1 << n) - 1
                 rs = ac_sym[p]
                 s = rs & 15
                 if s == 0:
@@ -557,7 +580,14 @@ def _decode_baseline_ni_scan(
                 k += rs >> 4
                 if k > 63:
                     raise ValueError("AC run past block end")
-                row[k] = _extend(bits.read(s), s)
+                while n < s:
+                    acc = (acc << 8) | (buf[i] if i < bend else 0xFF)
+                    i += 1
+                    n += 8
+                n -= s
+                v = acc >> n
+                acc &= (1 << n) - 1
+                row[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
                 k += 1
             unit += 1
     return end
@@ -817,7 +847,15 @@ def _decode_progressive_scan(
                 luts.append(None)  # refinement reads raw bits only
         unit = 0
         for seg in segments:
-            bits = _BitReader(seg)
+            # bit-reader state inlined as locals, same idiom (and same
+            # past-the-end 0xFF padding) as the baseline _decode_scan —
+            # the per-symbol peek16/skip/read method calls dominated
+            # progressive decode wall (guide §4.2)
+            buf = seg
+            bend = len(buf)
+            i = 0
+            acc = 0
+            n = 0
             preds = [0] * len(scan_comps)
             for _ in range(min(dri, n_units - unit) if dri else n_units):
                 for si, (cs, _td, _ta) in enumerate(scan_comps):
@@ -835,17 +873,47 @@ def _decode_progressive_scan(
                     for by, bx in blocks:
                         if ah == 0:
                             dc_sym, dc_len = luts[si]
-                            p = bits.peek16()
+                            while n < 16:
+                                acc = (acc << 8) | (
+                                    buf[i] if i < bend else 0xFF
+                                )
+                                i += 1
+                                n += 8
+                            p = (acc >> (n - 16)) & 0xFFFF
                             ln = dc_len[p]
                             if ln == 0:
                                 raise ValueError("invalid DC Huffman code")
-                            bits.skip(ln)
+                            n -= ln
+                            acc &= (1 << n) - 1
                             s = dc_sym[p]
-                            diff = _extend(bits.read(s), s) if s else 0
-                            preds[si] += diff
+                            if s:
+                                while n < s:
+                                    acc = (acc << 8) | (
+                                        buf[i] if i < bend else 0xFF
+                                    )
+                                    i += 1
+                                    n += 8
+                                n -= s
+                                v = acc >> n
+                                acc &= (1 << n) - 1
+                                preds[si] += (
+                                    v - (1 << s) + 1
+                                    if v < (1 << (s - 1))
+                                    else v
+                                )
                             g[by, bx, 0] = preds[si] << al
-                        elif bits.read(1):
-                            g[by, bx, 0] |= 1 << al
+                        else:
+                            if n < 1:
+                                acc = (acc << 8) | (
+                                    buf[i] if i < bend else 0xFF
+                                )
+                                i += 1
+                                n += 8
+                            n -= 1
+                            bit = acc >> n
+                            acc &= (1 << n) - 1
+                            if bit:
+                                g[by, bx, 0] |= 1 << al
                 unit += 1
         return end
 
@@ -859,7 +927,12 @@ def _decode_progressive_scan(
     p1, n1 = 1 << al, -(1 << al)
     unit = 0
     for seg in segments:
-        bits = _BitReader(seg)
+        # same inlined bit-reader idiom as the DC loop above
+        buf = seg
+        bend = len(buf)
+        i = 0
+        acc = 0
+        n = 0
         eobrun = 0
         for _ in range(min(dri, n_units - unit) if dri else n_units):
             by, bx = divmod(unit, cbh)
@@ -871,25 +944,49 @@ def _decode_progressive_scan(
                 else:
                     k = ss
                     while k <= se:
-                        p = bits.peek16()
+                        while n < 16:
+                            acc = (acc << 8) | (buf[i] if i < bend else 0xFF)
+                            i += 1
+                            n += 8
+                        p = (acc >> (n - 16)) & 0xFFFF
                         ln = ac_len[p]
                         if ln == 0:
                             raise ValueError("invalid AC Huffman code")
-                        bits.skip(ln)
+                        n -= ln
+                        acc &= (1 << n) - 1
                         rs = ac_sym[p]
                         r, s = rs >> 4, rs & 15
                         if s == 0:
                             if r < 15:  # EOBn: run of (1<<r)+ext blocks
                                 eobrun = (1 << r) - 1
                                 if r:
-                                    eobrun += bits.read(r)
+                                    while n < r:
+                                        acc = (acc << 8) | (
+                                            buf[i] if i < bend else 0xFF
+                                        )
+                                        i += 1
+                                        n += 8
+                                    n -= r
+                                    eobrun += acc >> n
+                                    acc &= (1 << n) - 1
                                 break
                             k += 16  # ZRL
                         else:
                             k += r
                             if k > se:
                                 raise ValueError("AC run past band end")
-                            row[k] = _extend(bits.read(s), s) * p1
+                            while n < s:
+                                acc = (acc << 8) | (
+                                    buf[i] if i < bend else 0xFF
+                                )
+                                i += 1
+                                n += 8
+                            n -= s
+                            v = acc >> n
+                            acc &= (1 << n) - 1
+                            row[k] = (
+                                v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                            ) * p1
                             k += 1
             else:
                 # --- refinement scan (G.1.2.3): correction bits on
@@ -898,11 +995,16 @@ def _decode_progressive_scan(
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        p = bits.peek16()
+                        while n < 16:
+                            acc = (acc << 8) | (buf[i] if i < bend else 0xFF)
+                            i += 1
+                            n += 8
+                        p = (acc >> (n - 16)) & 0xFFFF
                         ln = ac_len[p]
                         if ln == 0:
                             raise ValueError("invalid AC Huffman code")
-                        bits.skip(ln)
+                        n -= ln
+                        acc &= (1 << n) - 1
                         rs = ac_sym[p]
                         r, s = rs >> 4, rs & 15
                         val = 0
@@ -910,11 +1012,27 @@ def _decode_progressive_scan(
                             if r < 15:
                                 eobrun = 1 << r
                                 if r:
-                                    eobrun += bits.read(r)
+                                    while n < r:
+                                        acc = (acc << 8) | (
+                                            buf[i] if i < bend else 0xFF
+                                        )
+                                        i += 1
+                                        n += 8
+                                    n -= r
+                                    eobrun += acc >> n
+                                    acc &= (1 << n) - 1
                                 break
                             # r == 15 → ZRL: pass 16 zero-history coeffs
                         elif s == 1:
-                            val = p1 if bits.read(1) else n1
+                            if n < 1:
+                                acc = (acc << 8) | (
+                                    buf[i] if i < bend else 0xFF
+                                )
+                                i += 1
+                                n += 8
+                            n -= 1
+                            val = p1 if acc >> n else n1
+                            acc &= (1 << n) - 1
                         else:
                             raise ValueError(
                                 "invalid refinement magnitude category"
@@ -922,7 +1040,16 @@ def _decode_progressive_scan(
                         while k <= se:
                             rv = int(row[k])
                             if rv != 0:
-                                if bits.read(1) and (rv & p1) == 0:
+                                if n < 1:
+                                    acc = (acc << 8) | (
+                                        buf[i] if i < bend else 0xFF
+                                    )
+                                    i += 1
+                                    n += 8
+                                n -= 1
+                                bit = acc >> n
+                                acc &= (1 << n) - 1
+                                if bit and (rv & p1) == 0:
                                     row[k] = rv + (p1 if rv >= 0 else n1)
                             else:
                                 if r == 0:
@@ -937,7 +1064,16 @@ def _decode_progressive_scan(
                     while k <= se:
                         rv = int(row[k])
                         if rv != 0:
-                            if bits.read(1) and (rv & p1) == 0:
+                            if n < 1:
+                                acc = (acc << 8) | (
+                                    buf[i] if i < bend else 0xFF
+                                )
+                                i += 1
+                                n += 8
+                            n -= 1
+                            bit = acc >> n
+                            acc &= (1 << n) - 1
+                            if bit and (rv & p1) == 0:
                                 row[k] = rv + (p1 if rv >= 0 else n1)
                         k += 1
                     eobrun -= 1
